@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing model: per query, build the DataFrame (plan) + execute with a
+count-style collect that materializes every result row but doesn't ship
+them through toPandas (mirrors the reference's throughput-not-latency
+benchmarking, /root/reference/metrics.go:101-166). A warmup query runs
+first so JVM/codegen startup isn't billed to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from quacfka_spark.registry import get_queries
+from quacfka_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family — scan/agg, joins, window, explode,
+# streaming-batch, text, dedup (exact + LSH), similarity, multimodal.
+HEADLINE = [
+    "q01_scan_count",
+    "q04_hash_agg",
+    "q05_count_distinct",
+    "q07_inner_join",
+    "q11_multiway_join",
+    "q12_theta_join",
+    "q13_window_rank",
+    "q17_rollup",
+    "q21_posexplode",
+    "q23_subqueries",
+    "s01_tumbling_window",
+    "s03_session_window",
+    "t01_token_count",
+    "t04_fingerprint",
+    "d01_exact_dedup",
+    "d03_minhash_lsh",
+    "d05_embedding_cosine",
+    "sim01_bruteforce_topk",
+    "m02_feature_extract",
+    "m03_frame_sample",
+]
+
+
+def main() -> None:
+    spark = get_spark("quacfka-spark-bench")
+    queries = get_queries()
+    # Warmup: JVM + codegen + parquet footer caches.
+    queries["q01_scan_count"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        # noop sink materializes every output column (a bare count() would
+        # let Catalyst prune the projections we're trying to measure).
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

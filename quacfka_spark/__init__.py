@@ -1,0 +1,28 @@
+"""quacfka_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of loicalleyne/quacfka (reference studied at
+/root/reference, snapshot 2025-11-14).
+
+The reference is a Go streaming ETL orchestrator (Kafka -> protobuf decode
+-> Arrow -> DuckDB + arbitrary SQL on rotated files). This package
+re-expresses that capability Spark-first:
+
+- ``sources``    : Kafka/rate/file stream builders + binary decode helpers
+                   (reference kafka.go, proto.go)
+- ``plans``      : normalizer/flatten compiler, custom fields, transforms
+                   (reference quacfka.go:106-120, custom.go)
+- ``streaming``  : the pipeline orchestrator — foreachBatch sink, rotation,
+                   post-SQL runner, completed-path feed, metrics
+                   (reference duck.go, metrics.go)
+- ``operators``  : the relational/SQL surface (SURVEY.md §2b Q1-Q24, S1-S6)
+                   plus LLM-data-pipeline operators: dedup, similarity
+                   search, text analysis, multimodal columns
+- ``functions``  : reusable column expressions (vector math, hashing)
+
+Every declared query is registered in ``registry.QUERIES`` with a DuckDB
+oracle SQL string so the driver can hash-check results.
+"""
+
+from quacfka_spark.registry import QUERIES, get_queries, get_oracles
+
+__all__ = ["QUERIES", "get_queries", "get_oracles"]
+__version__ = "0.1.0"

@@ -1,0 +1,55 @@
+"""Fixture catalog: register the driver's parquet tables as temp views.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings.
+
+At 100 TB these would be partitioned/bucketed external tables; loading
+is a metadata operation either way (``spark.read.parquet`` is lazy, and
+Catalyst handles partition pruning + predicate pushdown on the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from quacfka_spark.session import tune_session
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale
+# (region: 5 rows, nation: 25 rows at TPC-H proportions).
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def load_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each fixture parquet as a temp view; returns the DataFrames.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read it as long (``nanosAsLong``) and
+    convert to a microsecond timestamp (the fixture values are
+    microsecond-aligned, so the conversion is lossless and matches the
+    DuckDB oracle's TIMESTAMP_NS rendering).
+    """
+    tune_session(spark)
+    dfs: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for field in df.schema.fields:
+            if field.name == "ts" and isinstance(field.dataType, T.LongType):
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df.createOrReplaceTempView(name)
+        dfs[name] = df
+    return dfs

@@ -1,0 +1,56 @@
+"""Text primitives for the documents pipeline — pure Catalyst expressions.
+
+Tokenization, word n-gram shingling, and portable md5-based hashing used
+by the dedup / text-analysis operators. Everything is an expression over
+``pyspark.sql.functions`` (JVM, codegen) — no Python in the hot path.
+
+md5 (hex string) is used as the portable hash family: identical output in
+Spark and DuckDB, so every signature built from it (minhash, simhash,
+fingerprints) is oracle-checkable byte-for-byte. At 100 TB one would swap
+in xxhash64 for speed; the operator shapes are hash-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\S+"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens via regexp_extract_all — same semantics as the
+    DuckDB oracle's ``regexp_extract_all(text, '\\S+')``."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(text, F.lit(TOKEN_RE), 0)
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles: one space-joined string per window
+    of ``n`` consecutive tokens; a doc shorter than ``n`` tokens yields
+    its whole token string as the single shingle.
+
+    Built with sequence+transform (array-valued, no explode here);
+    callers explode and shuffle on the shingle only where the algorithm
+    requires it.
+    """
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)])
+
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def seeded_md5(seed: int, value: Column) -> Column:
+    """Family of portable hash functions indexed by an integer seed:
+    ``md5(seed || '|' || value)`` — identical in Spark and DuckDB."""
+    return F.md5(F.concat(F.lit(str(seed)), F.lit("|"), value))
+
+
+def hex_digit_value(ch: Column) -> Column:
+    """Value 0-15 of one lowercase hex digit via position lookup —
+    portable (Spark ``position`` == DuckDB ``instr`` semantics)."""
+    return F.position(ch, F.lit("0123456789abcdef")) - 1

@@ -1,0 +1,326 @@
+"""Deduplication operators over the ``documents`` table.
+
+North-star LLM-data-pipeline surface: exact dedup, n-gram Jaccard
+near-dup, MinHash+LSH, SimHash, and embedding-cosine near-dup. The
+reference has no dedup (its dedup story was "write SQL against the
+DuckDB files", /root/reference/duck.go:49-52); these are first-class
+distributed operators here.
+
+Scale design (100 TB):
+- Exact dedup is a hash group-by on a digest — one shuffle on md5(text),
+  never on the full text bytes.
+- Per-doc signatures (minhash, simhash, fingerprints) are computed as
+  *array folds inside one projection* — zero shuffles, zero explodes —
+  so signature generation is scan-bound.
+- The only quadratic danger is candidate-pair generation. d02 (exact
+  shingle join) is the small-scale/oracle baseline; d03 (MinHash LSH
+  banding) is the scale path: the shuffle key is the band signature, so
+  join fan-out is bounded by bucket size, and the exact Jaccard verify
+  runs only on candidate pairs.
+- All hashing is md5 (portable, oracle-checkable). At production scale
+  swap ``xxhash64`` — same shapes, ~10x cheaper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quacfka_spark.catalog import load_views
+from quacfka_spark.functions.text import seeded_md5, shingles
+from quacfka_spark.functions.vector import cosine
+from quacfka_spark.registry import query
+
+# Normalized tokens shared by the shingle-based operators.
+_NORM_TOKEN_RE = "[a-z0-9]+"
+
+# DuckDB expression fragments for the shared oracle CTEs.
+_ORACLE_TOKS = (
+    "SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents"
+)
+_ORACLE_SHINGLES = """
+    SELECT doc_id,
+           CASE WHEN len(tk) >= 3
+                THEN list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                    for i in generate_series(1, len(tk)-2)])
+                ELSE [array_to_string(tk, ' ')] END AS shs
+    FROM toks
+"""
+
+
+def _norm_tokens() -> F.Column:
+    return F.regexp_extract_all(F.lower(F.col("text")), F.lit(_NORM_TOKEN_RE), 0)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", shingles(_norm_tokens()).alias("shs")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "d01_exact_dedup",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dupes
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    doc="Exact dedup accounting per source: group-by on md5(text) digest. "
+    "At 100 TB the shuffle carries 16-byte digests, not document bytes.",
+)
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("source", F.md5("text").alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_dupes"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "d02_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS ({_ORACLE_TOKS}),
+    sh AS ({_ORACLE_SHINGLES}),
+    ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    n AS (SELECT doc_id, len(shs) AS n FROM sh),
+    common AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT c.i, c.j, ROUND(c.c * 1.0 / (na.n + nb.n - c.c), 4) AS jaccard
+    FROM common c JOIN n na ON na.doc_id = c.i JOIN n nb ON nb.doc_id = c.j
+    WHERE c.c * 1.0 / (na.n + nb.n - c.c) >= 0.8
+    ORDER BY i, j
+    """,
+    doc="Exact word-3-gram Jaccard near-dup pairs (threshold 0.8): "
+    "explode shingles -> self-join on shingle -> pair-count -> Jaccard. "
+    "The shingle join is the textbook exact baseline; d03 is the LSH "
+    "path that bounds its fan-out at scale.",
+)
+def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    ex = sh.select("doc_id", F.size("shs").alias("n"), F.explode("shs").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("i"),
+            F.col("b.doc_id").alias("j"),
+            F.col("a.n").alias("n_i"),
+            F.col("b.n").alias("n_j"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c") / (F.col("n_i") + F.col("n_j") - F.col("c"))
+    return (
+        common.filter(jac >= 0.8)
+        .select("i", "j", F.round(jac, 4).alias("jaccard"))
+        .orderBy("i", "j")
+    )
+
+
+# --------------------------------------------------------------------------
+_MINHASH_N = 12  # hash functions
+_BAND_SIZE = 3  # rows per band -> 4 bands
+
+
+def _minhash_cols() -> list[F.Column]:
+    """12 minhashes, each an array fold over the shingle array — computed
+    in one projection, no explode, no shuffle."""
+    return [
+        F.array_min(F.transform(F.col("shs"), lambda s, i=i: seeded_md5(i, s))).alias(f"mh{i}")
+        for i in range(_MINHASH_N)
+    ]
+
+
+@query(
+    "d03_minhash_lsh",
+    oracle=f"""
+    WITH toks AS ({_ORACLE_TOKS}),
+    sh AS ({_ORACLE_SHINGLES}),
+    mh AS (
+      SELECT doc_id, g.i,
+             list_aggregate(list_transform(shs,
+                 s -> md5(CAST(g.i AS VARCHAR) || '|' || s)), 'min') AS m
+      FROM sh, generate_series(0, {_MINHASH_N - 1}) g(i)),
+    bands AS (
+      SELECT doc_id, i // {_BAND_SIZE} AS band,
+             md5(string_agg(m, '|' ORDER BY i)) AS sig
+      FROM mh GROUP BY doc_id, i // {_BAND_SIZE}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    n AS (SELECT doc_id, len(shs) AS n FROM sh),
+    common AS (
+      SELECT c.i, c.j, COUNT(*) AS c
+      FROM cand c JOIN ex a ON a.doc_id = c.i
+                  JOIN ex b ON b.doc_id = c.j AND b.s = a.s
+      GROUP BY c.i, c.j)
+    SELECT c.i, c.j, ROUND(c.c * 1.0 / (na.n + nb.n - c.c), 4) AS jaccard
+    FROM common c JOIN n na ON na.doc_id = c.i JOIN n nb ON nb.doc_id = c.j
+    WHERE c.c * 1.0 / (na.n + nb.n - c.c) >= 0.7
+    ORDER BY i, j
+    """,
+    doc="MinHash+LSH near-dup: 12 seeded-md5 minhashes as array folds "
+    "(no shuffle), banded 3-wide into 4 LSH signatures, bucket-join on "
+    "(band, sig) for candidates, exact Jaccard verify on candidates only "
+    "(threshold 0.7). This is the 100 TB dedup path: the only shuffles "
+    "are on 16-byte band signatures and the tiny candidate set.",
+)
+def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    sigs = sh.select("doc_id", "shs", *_minhash_cols())
+    n_bands = _MINHASH_N // _BAND_SIZE
+    band_sigs = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh{b * _BAND_SIZE + k}") for k in range(_BAND_SIZE)])
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    # (doc_id, band, sig) via posexplode of the band-signature array.
+    bands = (
+        sigs.select("doc_id", F.array(*band_sigs).alias("bs"))
+        .select("doc_id", F.posexplode("bs").alias("band", "sig"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+    ex = sh.select("doc_id", F.explode("shs").alias("s"))
+    n = sh.select("doc_id", F.size("shs").alias("n"))
+    common = (
+        cand.join(ex.alias("ea"), F.col("ea.doc_id") == F.col("i"))
+        .join(ex.alias("eb"), (F.col("eb.doc_id") == F.col("j")) & (F.col("eb.s") == F.col("ea.s")))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c") / (F.col("n_i") + F.col("n_j") - F.col("c"))
+    return (
+        common.join(n.alias("na"), F.col("na.doc_id") == F.col("i"))
+        .join(n.alias("nb"), F.col("nb.doc_id") == F.col("j"))
+        .select("i", "j", "c", F.col("na.n").alias("n_i"), F.col("nb.n").alias("n_j"))
+        .filter(jac >= 0.7)
+        .select("i", "j", F.round(jac, 4).alias("jaccard"))
+        .orderBy("i", "j")
+    )
+
+
+# --------------------------------------------------------------------------
+_SIMHASH_BITS = 16
+
+
+def _simhash_oracle() -> str:
+    # One signed-sum term per bit, folded over the per-token md5 list.
+    terms = []
+    for b in range(_SIMHASH_BITS):
+        digit = f"substr(h, {1 + b // 4}, 1)"
+        bit = f"(((instr('0123456789abcdef', {digit}) - 1) >> {b % 4}) & 1)"
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(hs, h -> {bit} * 2 - 1)) > 0 "
+            f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        )
+    total = " + ".join(terms)
+    return f"""
+    WITH toks AS ({_ORACLE_TOKS}),
+    hs AS (SELECT doc_id, list_transform(tk, t -> md5(t)) AS hs FROM toks)
+    SELECT doc_id, CAST({total} AS BIGINT) AS simhash
+    FROM hs ORDER BY doc_id
+    """
+
+
+@query(
+    "d04_simhash",
+    oracle=_simhash_oracle(),
+    doc="16-bit SimHash signatures: per-token md5, per-bit signed vote "
+    "(+1/-1 weighted by occurrence), majority bit -> signature. Computed "
+    "as 16 array folds in a single projection — scan-bound, no shuffle; "
+    "near-dup candidates then bucket on the signature (or on rotated "
+    "bit-blocks for Hamming<=k) instead of any pairwise pass.",
+)
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    hs = t["documents"].select(
+        "doc_id", F.transform(_norm_tokens(), lambda tok: F.md5(tok)).alias("hs")
+    )
+
+    def bit_sum(b: int) -> F.Column:
+        return F.aggregate(
+            F.transform(
+                F.col("hs"),
+                lambda h: (
+                    F.shiftright(
+                        F.position(F.substring(h, 1 + b // 4, 1), F.lit("0123456789abcdef"))
+                        - 1,
+                        b % 4,
+                    ).bitwiseAND(F.lit(1))
+                    * 2
+                    - 1
+                ),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+
+    simhash = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(bit_sum(b) > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        simhash = term if simhash is None else simhash + term
+    return hs.select("doc_id", simhash.cast("bigint").alias("simhash")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "d05_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS i, b.vec_id AS j,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.35
+    ORDER BY i, j
+    """,
+    doc="Embedding-cosine near-dup pairs (threshold 0.35) via all-pairs "
+    "cosine in pure Catalyst expressions (zip_with fold, double). The "
+    "all-pairs join is the exactness baseline; at 100 TB candidates come "
+    "from the sign-LSH buckets (sim02) and this verify runs per bucket.",
+)
+def d05_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    e = t["embeddings"].select("vec_id", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("i"),
+            F.col("b.vec_id").alias("j"),
+            cos.alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= 0.35)
+        .select("i", "j", F.round("cos_raw", 4).alias("cos"))
+        .orderBy("i", "j")
+    )

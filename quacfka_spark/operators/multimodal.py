@@ -1,0 +1,161 @@
+"""Multimodal (binary-payload) column operators over ``documents``.
+
+North-star LLM-data-pipeline surface: image/audio/video payloads are
+opaque ``binary`` columns with typed metadata — exactly the reference's
+data model for messages (opaque ``[]byte``, /root/reference/kafka.go:151)
+promoted to a first-class column. The fixtures carry no real media, so
+the payload is the utf-8 encoding of ``text`` and the "decode" is a
+deterministic fake; the Spark-side plumbing (binary schema, Arrow-batched
+``mapInPandas``, frame slicing, batch shapes) is real and oracle-checked.
+
+Scale design (100 TB): payloads never leave the executor — metadata
+extraction is codegen expressions; decode/feature-extract is
+``mapInPandas`` over Arrow batches (one Python roundtrip per ~10k-row
+batch, not per row); frame sampling explodes bounded slices, never whole
+payloads.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quacfka_spark.catalog import load_views
+from quacfka_spark.registry import query
+
+_FRAME_BYTES = 16
+_FRAME_STRIDE = 4
+
+
+def _with_payload(t: dict) -> DataFrame:
+    """documents + binary payload column (utf-8 bytes of text)."""
+    return t["documents"].select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+
+def decode_image(payload: bytes) -> dict:
+    """Real image decode — STUB.
+
+    The image/audio libraries are not available in this container; a
+    production deployment plugs Pillow/torchvision/ffmpeg in here. The
+    pipeline-facing contract (bytes in, typed metadata dict out) is what
+    ``m02_feature_extract`` exercises with a deterministic fake.
+    """
+    raise NotImplementedError("media codecs not available in this environment")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "m01_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nbytes,
+           substr(hex(CAST(text AS BLOB)), 1, 16) AS hdr_hex
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Typed metadata over an opaque binary column: byte length + "
+    "8-byte header hex (magic-number sniffing shape). Pure codegen.",
+)
+def m01_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    return (
+        _with_payload(t)
+        .select(
+            "doc_id",
+            F.octet_length("payload").cast("bigint").alias("nbytes"),
+            F.substring(F.hex(F.col("payload")), 1, 16).alias("hdr_hex"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+_M02_SCHEMA = "doc_id bigint, width bigint, height bigint, checksum bigint"
+
+
+def _fake_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake decoder standing in for ``decode_image``:
+    width/height from the first two payload bytes, checksum = byte sum
+    mod 9973. Operates on whole Arrow batches — the real decoder slots
+    in with the same signature."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": [int(p[0]) for p in payloads],
+                "height": [int(p[1]) for p in payloads],
+                "checksum": [int(sum(p) % 9973) for p in payloads],
+            }
+        )
+
+
+@query(
+    "m02_feature_extract",
+    oracle="""
+    SELECT doc_id,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS width,
+           CAST(ascii(substr(text, 2, 1)) AS BIGINT) AS height,
+           CAST(list_sum(list_transform(regexp_extract_all(text, '[\\s\\S]'),
+                                        c -> ascii(c))) % 9973 AS BIGINT) AS checksum
+    FROM documents ORDER BY doc_id
+    """,
+    doc="mapInPandas decode/feature-extract over Arrow batches of binary "
+    "payloads (deterministic fake decoder; real codec is a drop-in, see "
+    "decode_image stub). Oracle recomputes the fake in SQL byte math.",
+)
+def m02_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    return (
+        _with_payload(t)
+        .mapInPandas(_fake_decode_batches, schema=_M02_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "m03_frame_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+             octet_length(CAST(text AS BLOB)) // {_FRAME_BYTES} AS nf
+      FROM documents),
+    f AS (
+      SELECT doc_id, hx, unnest(range(0, nf, {_FRAME_STRIDE})) AS fi
+      FROM h WHERE nf > 0)
+    SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+           substr(hx, CAST(fi AS INTEGER) * {_FRAME_BYTES * 2} + 1,
+                  {_FRAME_BYTES * 2}) AS frame_hex
+    FROM f ORDER BY doc_id, frame_idx
+    """,
+    doc=f"Video-style frame sampling: treat the payload as {_FRAME_BYTES}"
+    "-byte frames, emit every "
+    f"{_FRAME_STRIDE}th frame as hex. Explodes bounded slices via "
+    "sequence+posexplode — payload bytes themselves never fan out.",
+)
+def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    hx = _with_payload(t).select(
+        "doc_id",
+        F.hex(F.col("payload")).alias("hx"),
+        F.floor(F.octet_length("payload") / _FRAME_BYTES).cast("int").alias("nf"),
+    )
+    frames = hx.filter(F.col("nf") > 0).select(
+        "doc_id",
+        "hx",
+        F.explode(
+            F.sequence(F.lit(0), F.col("nf") - 1, F.lit(_FRAME_STRIDE))
+        ).alias("frame_idx"),
+    )
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("hx")
+        .substr(F.col("frame_idx") * (_FRAME_BYTES * 2) + 1, F.lit(_FRAME_BYTES * 2))
+        .alias("frame_hex"),
+    ).orderBy("doc_id", "frame_idx")

@@ -1,0 +1,165 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+North-star LLM-data-pipeline surface: brute-force cosine top-k as the
+exactness baseline, a sign-LSH bucketed variant as the scale path, and a
+Pandas-UDF cosine (the declared UDF-surface test from SURVEY.md §2b,
+checked against DuckDB ``list_cosine_similarity``).
+
+Scale design (100 TB):
+- The query vector rides as a broadcast single-row DataFrame — never a
+  driver-side collect in the operator path.
+- Brute force is one scan with a codegen'd fold per row + a
+  TakeOrderedAndProject top-k: no shuffle of vectors, only of the k
+  winners per partition.
+- The LSH variant prunes the scan to one bucket: at scale the bucket id
+  is a partition/cluster key, so the probe reads ~1/2^bits of the data
+  (partition pruning), which is the IVF-style ANN layout.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from quacfka_spark.catalog import load_views
+from quacfka_spark.functions.vector import cosine, sign_bucket
+from quacfka_spark.registry import query
+
+_QUERY_VEC_ID = 0
+_LSH_BITS = 4
+
+
+def _query_row(t: dict) -> DataFrame:
+    return (
+        t["embeddings"]
+        .filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(F.col("embedding").alias("q"))
+    )
+
+
+def _duckdb_sign_bucket(col: str, bits: int) -> str:
+    cases = " || ".join(
+        f"(CASE WHEN {col}[{i + 1}] > 0 THEN '1' ELSE '0' END)" for i in range(bits)
+    )
+    return f"({cases})"
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim01_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.qv AS DOUBLE[])), 4) AS cos
+    FROM embeddings e, q
+    WHERE e.vec_id <> {_QUERY_VEC_ID}
+    ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+    doc="Brute-force cosine top-10 vs a broadcast query vector: codegen "
+    "fold per row, TakeOrderedAndProject for the top-k (no full sort).",
+)
+def sim01_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    q = _query_row(t)
+    e = t["embeddings"].filter(F.col("vec_id") != _QUERY_VEC_ID)
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine("embedding", "q"), 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim02_lsh_topk",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_duckdb_sign_bucket('embedding', _LSH_BITS)} AS bucket
+      FROM embeddings),
+    q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.qv AS DOUBLE[])), 4) AS cos
+    FROM b e, q
+    WHERE e.bucket = q.qb AND e.vec_id <> {_QUERY_VEC_ID}
+    ORDER BY cos DESC, vec_id LIMIT 5
+    """,
+    doc="Sign-LSH (axis-aligned random projection) bucketed ANN: probe "
+    "only the query's bucket, exact cosine within it. At scale the "
+    "bucket is the partition key -> partition-pruned probe (IVF layout).",
+)
+def sim02_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    b = t["embeddings"].select(
+        "vec_id", "embedding", sign_bucket("embedding", _LSH_BITS).alias("bucket")
+    )
+    q = (
+        b.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(F.col("embedding").alias("q"), F.col("bucket").alias("qb"))
+    )
+    return (
+        b.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qb"))
+        .select("vec_id", F.round(cosine("embedding", "q"), 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+# --------------------------------------------------------------------------
+def _cosine_pandas_udf():
+    """Arrow-vectorized cosine between two array columns.
+
+    The declared UDF-surface test (SURVEY.md §2b): same columnar-batch
+    shape as the reference's CustomArrow record transforms
+    (/root/reference/quacfka.go:21-24) — Arrow batches in, Arrow batches
+    out, numpy inside. Built lazily because pandas_udf needs an active
+    SparkSession to parse the return type.
+    """
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def one(x, y):
+            x = np.asarray(x, dtype="float64")
+            y = np.asarray(y, dtype="float64")
+            denom = np.sqrt((x * x).sum()) * np.sqrt((y * y).sum())
+            return float(x @ y / denom) if denom else None
+
+        return pd.Series([one(x, y) for x, y in zip(a, b)])
+
+    return _cosine_pandas
+
+
+@query(
+    "sim03_pandas_cosine",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.qv AS DOUBLE[])), 4) AS cos
+    FROM embeddings e, q
+    WHERE e.vec_id < 100
+    ORDER BY e.vec_id
+    """,
+    doc="pandas_udf cosine (Arrow batches, numpy) checked against DuckDB "
+    "list_cosine_similarity — the declared UDF/UDAF surface test.",
+)
+def sim03_pandas_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    q = _query_row(t)
+    cos_udf = _cosine_pandas_udf()
+    return (
+        t["embeddings"]
+        .filter(F.col("vec_id") < 100)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cos_udf("embedding", "q"), 4).alias("cos"))
+        .orderBy("vec_id")
+    )

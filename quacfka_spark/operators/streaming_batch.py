@@ -1,0 +1,139 @@
+"""Streaming operators in batch-equivalent form — SURVEY.md §2b S1-S6.
+
+The reference's streaming semantics are count/wall-clock batching only
+(/root/reference/proto.go:148); event time is merely carried as a column
+(/root/reference/kafka.go:150-157). Our engine provides the Spark-native
+streaming set; the driver hash-checks these batch equivalents over the
+``events`` fixture, while ``tests/test_streaming.py`` exercises the same
+operators through real ``readStream`` queries (watermarks, state).
+
+Window columns are cast to STRING on both sides so timestamp rendering
+can't drift between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quacfka_spark.catalog import load_views
+from quacfka_spark.registry import query
+
+
+# --------------------------------------------------------------------------
+# S1 — tumbling window aggregation
+@query(
+    "s01_tumbling_window",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS w,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS s
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="groupBy(window(ts,'1 hour')) in the streaming engine; batch "
+    "equivalent via date_trunc. One shuffle on (window, event_type).",
+)
+def s01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(
+            F.window("ts", "1 hour").getField("start").cast("string").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .orderBy("w", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# S2 — sliding window (1 hour window, 30 minute slide => each event in 2 windows)
+@query(
+    "s02_sliding_window",
+    oracle="""
+    WITH slid AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts)
+               - (k * INTERVAL '30 minutes') AS w_start,
+             value
+      FROM events, (VALUES (0), (1)) offsets(k)
+    )
+    SELECT CAST(w_start AS VARCHAR) AS w, COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS s
+    FROM slid GROUP BY 1 ORDER BY 1
+    """,
+    doc="window(ts, '1 hour', '30 minutes'); oracle replays each event into "
+    "its two overlapping windows via a 2-row offsets join (SURVEY.md S2).",
+)
+def s02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour", "30 minutes").getField("start").cast("string").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .orderBy("w")
+    )
+
+
+# --------------------------------------------------------------------------
+# S3 — session window (5 minute gap) per user
+@query(
+    "s03_session_window",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), g AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM o
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS VARCHAR) AS session_start,
+           CAST(MAX(ts) + INTERVAL 5 MINUTE AS VARCHAR) AS session_end,
+           COUNT(*) AS n
+    FROM g GROUP BY user_id, grp
+    ORDER BY user_id, session_start
+    """,
+    doc="session_window(ts,'5 minutes') per user_id; oracle is the classic "
+    "gaps-and-islands LAG + cumulative-sum rewrite (SURVEY.md S3).",
+)
+def s03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    sw = F.session_window("ts", "5 minutes")
+    return (
+        t["events"]
+        .groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("string").alias("session_start"),
+            F.col("session_window.end").cast("string").alias("session_end"),
+            "n",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# S5 — streaming dedup (batch equivalent: distinct count on the dedup key)
+@query(
+    "s05_stream_dedup",
+    oracle="SELECT COUNT(DISTINCT event_id) AS n FROM events",
+    doc="dropDuplicates(['event_id']) with watermark in the streaming "
+    "engine (tests/test_streaming.py); batch equivalent distinct count.",
+)
+def s05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    return (
+        t["events"]
+        .dropDuplicates(["event_id"])
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# S4 (watermark/late data) and S6 (arbitrary stateful agg) have no batch
+# oracle — they are engine-level tests in tests/test_streaming.py, per
+# SURVEY.md §2b ("engine-level test ... no batch oracle").

@@ -1,0 +1,199 @@
+"""Text-analysis operators over the ``documents`` table.
+
+North-star LLM-data-pipeline surface (SURVEY.md §2b extensions): token
+counting, quality scoring, language-ID heuristic, document
+fingerprinting. The reference's only text handling is opaque bytes
+(/root/reference/kafka.go:151); these operators are the batch analytics a
+training-data pipeline layers on top, built entirely from JVM-side
+expressions (regexp, md5, array ops) — no Python UDFs — so they scan-scale
+linearly: one pass over the documents, no shuffle except where a group-by
+is the algorithm (fingerprint min-shingle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quacfka_spark.catalog import load_views
+from quacfka_spark.functions.text import seeded_md5, shingles, tokens
+from quacfka_spark.registry import query
+
+# A BPE-ish pre-tokenizer: words, single digits, or single punctuation
+# marks — the shape GPT-2's regex splits on, reduced to RE2-portable form.
+BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+PUNCT_CLASS = "[.,!?;:]"
+
+
+# --------------------------------------------------------------------------
+@query(
+    "t01_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Whitespace + BPE-ish regex token counts; single scan, no shuffle.",
+)
+def t01_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.size(tokens("text")).cast("bigint").alias("n_ws_tokens"),
+            F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0))
+            .cast("bigint")
+            .alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "t02_quality_score",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '{PUNCT_CLASS}')) AS BIGINT) AS n_punct,
+             CAST(len(regexp_extract_all(text,
+                  '\\b({'|'.join(STOPWORDS)})\\b')) AS BIGINT) AS n_stop
+      FROM documents)
+    SELECT doc_id, n_chars, n_tokens,
+           ROUND(n_punct * 1.0 / n_chars, 4) AS punct_ratio,
+           ROUND(n_stop * 1.0 / n_tokens, 4) AS stopword_ratio,
+           ROUND(n_stop * 1.0 / n_tokens - n_punct * 1.0 / n_chars
+                 + LEAST(n_tokens, 100) / 100.0, 4) AS quality
+    FROM m ORDER BY doc_id
+    """,
+    doc="Length / punctuation-ratio / stopword-ratio quality heuristic — "
+    "the standard cheap pre-filter before expensive dedup at scale.",
+)
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    stop_re = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    m = t["documents"].select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(PUNCT_CLASS), 0))
+        .cast("bigint")
+        .alias("n_punct"),
+        F.size(F.regexp_extract_all("text", F.lit(stop_re), 0))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    punct_ratio = F.col("n_punct") / F.col("n_chars")
+    stop_ratio = F.col("n_stop") / F.col("n_tokens")
+    return m.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(stop_ratio - punct_ratio + F.least(F.col("n_tokens"), F.lit(100)) / 100.0, 4).alias(
+            "quality"
+        ),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Marker-word scores per language; argmax with a fixed priority order on
+# ties. On real corpora the markers would be char-n-gram frequency tables;
+# the operator shape (per-doc score vector -> argmax) is identical.
+_LANG_MARKERS = {
+    "en": ("the", "and", "with"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "und", "das"),
+    "fr": ("le", "et", "les"),
+}
+
+
+@query(
+    "t03_language_id",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\\b(the|and|with)\\b')) AS BIGINT) AS s_en,
+             CAST(len(regexp_extract_all(text, '\\b(el|la|de)\\b')) AS BIGINT) AS s_es,
+             CAST(len(regexp_extract_all(text, '\\b(der|und|das)\\b')) AS BIGINT) AS s_de,
+             CAST(len(regexp_extract_all(text, '\\b(le|et|les)\\b')) AS BIGINT) AS s_fr
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS pred_lang,
+           s_en, s_es, s_de, s_fr
+    FROM s ORDER BY doc_id
+    """,
+    doc="n-gram-marker language ID: per-doc score vector + deterministic "
+    "argmax; one scan, no shuffle, no UDF.",
+)
+def t03_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    scores = t["documents"].select(
+        "doc_id",
+        *[
+            F.size(
+                F.regexp_extract_all(
+                    "text", F.lit(r"\b(" + "|".join(words) + r")\b"), 0
+                )
+            )
+            .cast("bigint")
+            .alias(f"s_{lang}")
+            for lang, words in _LANG_MARKERS.items()
+        ],
+    )
+    en, es, de, fr = (F.col(f"s_{x}") for x in ("en", "es", "de", "fr"))
+    pred = (
+        F.when((en >= es) & (en >= de) & (en >= fr), "en")
+        .when((es >= de) & (es >= fr), "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+    return scores.select(
+        "doc_id", pred.alias("pred_lang"), "s_en", "s_es", "s_de", "s_fr"
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "t04_fingerprint",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(tk) >= 3
+                    THEN list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                        for i in generate_series(1, len(tk)-2)])
+                    ELSE [array_to_string(tk, ' ')] END) AS s
+      FROM toks)
+    SELECT t.doc_id,
+           md5(array_to_string(t.tk, ' ')) AS full_fp,
+           MIN(md5(g.s)) AS min_shingle_fp
+    FROM toks t JOIN sh g ON g.doc_id = t.doc_id
+    GROUP BY t.doc_id, t.tk ORDER BY t.doc_id
+    """,
+    doc="Document fingerprinting: md5 of the normalized token stream plus "
+    "a winnowing-style min-shingle fingerprint (rolling-hash analog). The "
+    "min-aggregation is per-doc (array fold), so still shuffle-free.",
+)
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    tk = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    d = t["documents"].select("doc_id", tk.alias("tk"))
+    # min over md5(shingle) computed as an array fold — no explode/shuffle.
+    min_fp = F.array_min(F.transform(shingles(F.col("tk")), lambda s: F.md5(s)))
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.col("tk"))).alias("full_fp"),
+        min_fp.alias("min_shingle_fp"),
+    ).orderBy("doc_id")

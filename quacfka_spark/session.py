@@ -1,0 +1,68 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32) but every
+config here is chosen to survive a 1000-executor cluster at 100 TB:
+
+- AQE on (runtime coalesce, skew-join splitting, dynamic broadcast) so the
+  same declarative plans re-optimize at any scale.
+- shuffle.partitions sized to cores locally; on a real cluster AQE's
+  coalescePartitions makes the initial number non-critical.
+- Arrow enabled for every pandas-UDF boundary (the reference's Arrow-native
+  batching, /root/reference/proto.go:146-156, maps to this).
+- Session timezone pinned UTC so timestamp semantics match the DuckDB
+  oracle and are cluster-location independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def cpu_count() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "quacfka-spark", extra_conf: dict | None = None) -> SparkSession:
+    cpus = cpu_count()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally-provided session.
+
+    The driver hands us its own SparkSession for ``entry``/``queries``;
+    these confs are the ones that affect correctness parity with the
+    DuckDB oracle (timezone) and plan quality, and are safe to set at
+    runtime.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # fixtures write ts as TIMESTAMP(NANOS); read as long + convert (catalog)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass
+    return spark
