@@ -1,0 +1,150 @@
+"""Kafka source builder + binary decode — reference D1/D2/D4/D5/D7/D8.
+
+The reference hand-rolls a Kafka client pool with SASL/PLAIN + TLS and
+per-client poll loops (/root/reference/kafka.go:90-230). On Spark the
+whole of D1/D2 is the built-in Kafka source: offset tracking, consumer
+groups, retries, and parallelism (``minPartitions`` replaces the
+``ClientCount`` pool) come from the connector; backpressure
+(``maxOffsetsPerTrigger``) replaces the bounded channel caps
+(quacfka.go:229, D22).
+
+Decode (D7) replaces the reference's per-worker unmarshal-func pool
+(proto.go:78-172) with ``from_protobuf`` — schema-driven, vectorized,
+JVM-side. Bad records (D8) use PERMISSIVE null-row semantics instead of
+the reference's log-and-continue (proto.go:131-145).
+
+Scale note: one Kafka topic-partition maps to >=1 Spark task; at 100 TB/
+day you size topic partitions x ``minPartitions`` to the executor count,
+and the source never overruns the sink because the trigger pulls a
+bounded offset range (unlike the reference's push-with-backpressure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Confluent wire format prefix the reference cuts: magic byte + 4-byte
+# schema id + 1-byte message index = 6 bytes (WithMessageCutConfluencePrefix,
+# /root/reference/kafka.go:45-49, applied quacfka.go:267-274).
+_CONFLUENT_PREFIX_BYTES = 6
+
+
+def kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    *,
+    group_id: str | None = None,
+    sasl_username: str | None = None,
+    sasl_password: str | None = None,
+    tls: bool = False,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    min_partitions: int | None = None,
+    fail_on_data_loss: bool = False,
+) -> DataFrame:
+    """Build the Kafka source DataFrame (columns: key, value, topic,
+    partition, offset, timestamp, timestampType).
+
+    Requires the Kafka connector on the classpath
+    (``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>``);
+    pip-installed pyspark does not bundle it, so tests exercise the
+    byte-identical mock source (sources.mock) instead.
+
+    Mirrors the reference's tuning surface: ``min_partitions`` ~
+    ``ClientCount`` (kafka.go:33), ``max_offsets_per_trigger`` ~
+    ``MsgChanCap`` backpressure (D22), ``fail_on_data_loss=False`` ~ the
+    silent "catch-up" seek-past-backlog (proto.go:134-137).
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+    )
+    if group_id:
+        reader = reader.option("kafka.group.id", group_id)
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    if min_partitions:
+        reader = reader.option("minPartitions", str(min_partitions))
+    if sasl_username is not None:
+        # SASL/PLAIN (+TLS) — the reference's auth surface (kafka.go:108-116)
+        protocol = "SASL_SSL" if tls else "SASL_PLAINTEXT"
+        jaas = (
+            "org.apache.kafka.common.security.plain.PlainLoginModule required "
+            f'username="{sasl_username}" password="{sasl_password}";'
+        )
+        reader = (
+            reader.option("kafka.security.protocol", protocol)
+            .option("kafka.sasl.mechanism", "PLAIN")
+            .option("kafka.sasl.jaas.config", jaas)
+        )
+    elif tls:
+        reader = reader.option("kafka.security.protocol", "SSL")
+    return reader.load()
+
+
+def strip_confluent_prefix(value: Column | str = "value") -> Column:
+    """D4: drop the 6-byte Confluent Schema-Registry prefix from a binary
+    column — a codegen expression, not a per-message Go callback."""
+    value = F.col(value) if isinstance(value, str) else value
+    skip = _CONFLUENT_PREFIX_BYTES
+    return value.substr(F.lit(skip + 1), F.octet_length(value) - skip)
+
+
+def with_event_time(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
+    """D5: the reference appends the Kafka message time as 8 trailing
+    bytes on the payload (kafka.go:150-157); Spark's source exposes it as
+    a native column — just surface it under the pipeline's name."""
+    return df.withColumn("event_time", F.col(ts_col))
+
+
+def decode_protobuf(
+    df: DataFrame,
+    message_name: str,
+    descriptor_path: str,
+    *,
+    value_col: str = "value",
+    permissive: bool = True,
+) -> DataFrame:
+    """D7/D8: protobuf bytes -> nested struct column ``r`` via
+    ``from_protobuf`` (replaces the whole bufarrow dependency — the
+    descriptor carries the schema, SURVEY.md §1.3).
+
+    PERMISSIVE mode yields NULL rows for corrupt messages; callers filter
+    ``r IS NOT NULL`` (the reference logs and skips, proto.go:131-145).
+    Requires the spark-protobuf jar; raises a clear error when absent.
+    """
+    try:
+        from pyspark.sql.protobuf.functions import from_protobuf
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "pyspark.sql.protobuf not available; use decode_json for the "
+            "dependency-free decode path"
+        ) from e
+    options = {"mode": "PERMISSIVE"} if permissive else {"mode": "FAILFAST"}
+    out = df.withColumn(
+        "r",
+        from_protobuf(F.col(value_col), message_name, descFilePath=descriptor_path, options=options),
+    )
+    return out.filter(F.col("r").isNotNull()) if permissive else out
+
+
+def decode_json(
+    df: DataFrame,
+    schema,
+    *,
+    value_col: str = "value",
+    permissive: bool = True,
+) -> DataFrame:
+    """Same decode shape as ``decode_protobuf`` over JSON payloads —
+    the dependency-free path used by tests and the mock source."""
+    mode = "PERMISSIVE" if permissive else "FAILFAST"
+    out = df.withColumn(
+        "r",
+        F.from_json(F.col(value_col).cast("string"), schema, {"mode": mode}),
+    )
+    return out.filter(F.col("r").isNotNull()) if permissive else out

@@ -1,0 +1,258 @@
+"""The pipeline orchestrator: source -> decode -> flatten/transform ->
+per-batch sinks + post-SQL + completed-path feed + metrics.
+
+Reference mapping (SURVEY.md §2a):
+
+- D13 columnar sink: ``foreachBatch`` writing raw/norm/custom parquet —
+  replaces the DuckDB connection pool (duck.go:299-546). ``append`` save
+  mode auto-creates table dirs like ``IngestCreateAppend``.
+- D14 ``write_raw=False`` = ``WithoutDuckIngestRaw`` (quacfka.go:122-126).
+- D15/D16 rotation: each micro-batch epoch is one rotation unit
+  (``trigger_seconds`` ~ rotation duration, quacfka.go:94-104);
+  ``max_records_per_file`` approximates the MB threshold
+  (quacfka.go:82-92 — itself approximate, README.md:182).
+- D17 rotation loop: write -> post-SQL -> publish path -> next epoch,
+  with checkpointing replacing manual file reopen (duck.go:252-295).
+- D18 ``SQLRunner``: ordered SQL on each completed epoch, exec mode or
+  callback mode, optional delete-when-done (duck.go:38-134).
+- D20 completed-path feed: in-process list + JSONL control log replaces
+  the bounded ``chan string`` (quacfka.go:65-70, duck.go:279-285).
+- D21 stage toggles: pass any source DataFrame (mock/kafka/file), skip
+  decode/normalize by leaving them None (quacfka.go:47-63).
+- D22/D23: backpressure and parallelism are source options +
+  ``sink_partitions`` (~ ``WithDuckConnections``, duck.go:165-169).
+- D24 metrics: per-stage atomic counters + rows/sec report shaped like
+  metrics.go:259-282.
+- D25 error surface: ``error()`` returns the streaming query exception
+  (quacfka.go: Error()).
+
+Scale notes: the sink repartitions to ``sink_partitions`` before write
+(writer-task count == the reference's K duck connections); per-epoch
+output dirs make downstream consumption embarrassingly parallel; the
+post-SQL runs on the *just-written files* (true to the reference's
+query-the-closed-file model) so its scans are pruned/pushed down like
+any other parquet read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from quacfka_spark.plans.custom import TransformRegistry
+from quacfka_spark.plans.normalizer import NormalizerSpec
+
+
+@dataclass
+class PipelineConfig:
+    output_dir: str
+    dest_table: str = "messages"
+    write_raw: bool = True  # D14
+    trigger_seconds: int | None = None  # D16
+    available_now: bool = False
+    max_records_per_file: int | None = None  # D15 analog
+    sink_partitions: int | None = None  # D23 (~ duck connections)
+    checkpoint_dir: str | None = None
+
+    def checkpoint(self) -> str:
+        return self.checkpoint_dir or os.path.join(self.output_dir, "_checkpoint")
+
+
+@dataclass
+class PipelineMetrics:
+    """D24: per-stage counters + throughput report (metrics.go:15-60)."""
+
+    started_at: float = field(default_factory=time.time)
+    records_consumed: int = 0
+    records_inserted: int = 0
+    norm_records_inserted: int = 0
+    custom_records_inserted: int = 0
+    batches: int = 0
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    def record_batch(self, consumed: int, raw: int, norm: int, custom: int) -> None:
+        with self._lock:
+            self.records_consumed += consumed
+            self.records_inserted += raw
+            self.norm_records_inserted += norm
+            self.custom_records_inserted += custom
+            self.batches += 1
+
+    def report(self) -> dict:
+        elapsed = max(time.time() - self.started_at, 1e-9)
+        total = (
+            self.records_inserted
+            + self.norm_records_inserted
+            + self.custom_records_inserted
+        )
+        return {
+            "duration_seconds": round(elapsed, 3),
+            "records_consumed": self.records_consumed,
+            "records_inserted": self.records_inserted,
+            "norm_records_inserted": self.norm_records_inserted,
+            "custom_records_inserted": self.custom_records_inserted,
+            "batches": self.batches,
+            "records_per_second": round(self.records_consumed / elapsed, 2),
+            "total_rows_per_second": round(total / elapsed, 2),
+        }
+
+    def report_json(self) -> str:
+        return json.dumps(self.report())
+
+
+@dataclass
+class SQLRunner:
+    """D18: ordered SQL statements run against each completed epoch's
+    tables (registered as temp views named after their dest tables).
+
+    ``exec=True`` -> statements run for effect (CTAS-style aggregates
+    should INSERT/CREATE or be exports); ``exec=False`` -> ``fn`` is
+    called with (spark, epoch_id) and issues its own queries
+    (duck.go:92-100 callback mode). ``delete_on_done`` removes the
+    epoch's raw dir afterwards (duck.go:122-132).
+    """
+
+    queries: list[str] = field(default_factory=list)
+    exec: bool = True
+    fn: Callable[[SparkSession, int], None] | None = None
+    delete_on_done: bool = False
+
+    def add_queries(self, queries: list[str]) -> None:
+        self.queries.extend(queries)
+
+    def run(self, spark: SparkSession, epoch_id: int) -> None:
+        if self.exec:
+            for q in self.queries:
+                spark.sql(q).collect()
+        elif self.fn is not None:
+            self.fn(spark, epoch_id)
+
+
+class StreamingPipeline:
+    """Source -> [decode] -> raw/norm/custom sinks + post-SQL + paths.
+
+    The Spark-first Orchestrator (quacfka.go:153-257): construction wires
+    declarative stages; ``start()`` launches one streaming query whose
+    micro-batches replay the reference's stage-3 loop (duck.go:252-295).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        config: PipelineConfig,
+        *,
+        decode: Callable[[DataFrame], DataFrame] | None = None,
+        normalizer: NormalizerSpec | None = None,
+        custom: TransformRegistry | None = None,
+        runner: SQLRunner | None = None,
+    ) -> None:
+        self.spark = spark
+        self.source = source
+        self.config = config
+        self.decode = decode
+        self.normalizer = normalizer
+        self.custom = custom
+        self.runner = runner
+        self.metrics = PipelineMetrics()
+        self.completed_paths: list[str] = []  # D20 in-process feed
+        self._paths_log = os.path.join(config.output_dir, "_completed", "paths.jsonl")
+        self.query = None
+
+    # -- epoch processing (D13/D17/D18/D20/D24) ----------------------------
+    def _epoch_dir(self, table: str, epoch_id: int) -> str:
+        return os.path.join(self.config.output_dir, table, f"epoch={epoch_id}")
+
+    def _write(self, df: DataFrame, path: str) -> int:
+        n = df.count()
+        w = df
+        if self.config.sink_partitions:
+            w = w.repartition(self.config.sink_partitions)
+        writer = w.write.mode("append")
+        if self.config.max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", str(self.config.max_records_per_file))
+        writer.parquet(path)
+        return n
+
+    def _publish_path(self, path: str, epoch_id: int, table: str) -> None:
+        self.completed_paths.append(path)
+        os.makedirs(os.path.dirname(self._paths_log), exist_ok=True)
+        with open(self._paths_log, "a") as fh:
+            fh.write(json.dumps({"epoch": epoch_id, "table": table, "path": path}) + "\n")
+
+    def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.persist()
+        to_unpersist = [batch_df]
+        try:
+            consumed = batch_df.count()
+            decoded = self.decode(batch_df) if self.decode else batch_df
+            if self.decode:
+                decoded = decoded.persist()
+                to_unpersist.append(decoded)
+
+            raw_n = norm_n = custom_n = 0
+            written: list[tuple[str, str]] = []  # (table, path)
+
+            if self.config.write_raw:
+                p = self._epoch_dir(self.config.dest_table, epoch_id)
+                raw_n = self._write(decoded, p)
+                written.append((self.config.dest_table, p))
+
+            if self.normalizer is not None:
+                norm_table = f"{self.config.dest_table}_norm"
+                p = self._epoch_dir(norm_table, epoch_id)
+                norm_n = self._write(self.normalizer.apply(decoded), p)
+                written.append((norm_table, p))
+
+            if self.custom is not None:
+                for table, df in self.custom.apply_all(decoded).items():
+                    p = self._epoch_dir(table, epoch_id)
+                    custom_n += self._write(df, p)
+                    written.append((table, p))
+
+            # D18: post-SQL over the *written* epoch output (the closed
+            # file, not the in-flight batch) — true to DuckRunner.
+            if self.runner is not None:
+                for table, path in written:
+                    self.spark.read.parquet(path).createOrReplaceTempView(table)
+                self.runner.run(self.spark, epoch_id)
+                if self.runner.delete_on_done:
+                    import shutil
+
+                    for _, path in written:
+                        shutil.rmtree(path, ignore_errors=True)
+
+            for table, path in written:
+                self._publish_path(path, epoch_id, table)
+            self.metrics.record_batch(consumed, raw_n, norm_n, custom_n)
+        finally:
+            for df in to_unpersist:
+                df.unpersist()
+
+    # -- lifecycle (D17/D19/D25) -------------------------------------------
+    def start(self):
+        writer = (
+            self.source.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.config.checkpoint())
+            .outputMode("update")
+        )
+        if self.config.available_now:
+            writer = writer.trigger(availableNow=True)
+        elif self.config.trigger_seconds:
+            writer = writer.trigger(processingTime=f"{self.config.trigger_seconds} seconds")
+        self.query = writer.start()
+        return self.query
+
+    def error(self):
+        """D25: the single error surface (``Orchestrator.Error()``)."""
+        return self.query.exception() if self.query else None
+
+    def stop(self) -> None:
+        if self.query is not None:
+            self.query.stop()

@@ -1,0 +1,171 @@
+"""Real streaming-engine tests (S4 watermark/late-data, S6 arbitrary
+stateful aggregation — SURVEY.md §2b "engine-level test, no batch
+oracle"), plus the D3 mock-source smoke through the full pipeline.
+
+Multi-batch sequencing: batch files are written *between*
+``processAllAvailable()`` calls, so each file deterministically forms its
+own micro-batch (writing both up front can land them in one initial
+batch regardless of maxFilesPerTrigger).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+TS = pd.Timestamp
+
+BATCH1 = [
+    (TS("2024-01-01 10:00:30"), 1, 1.0),
+    (TS("2024-01-01 10:01:30"), 2, 2.0),
+    (TS("2024-01-01 11:00:00"), 1, 3.0),  # advances watermark to 10:50
+]
+BATCH2 = [
+    (TS("2024-01-01 10:02:00"), 3, 4.0),  # LATE: behind the 10:50 watermark
+    (TS("2024-01-01 11:05:00"), 2, 5.0),  # on time
+]
+
+
+def _write_batch_file(d: str, name: str, rows: list[tuple]) -> None:
+    tbl = pa.table(
+        {
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "v": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, name))
+
+
+def _file_stream(spark, d):
+    return spark.readStream.schema("ts timestamp, user_id bigint, v double").parquet(d)
+
+
+def _run_two_batches(spark, tmp_path, build_query, sink_name):
+    """Start the streaming query over an input dir, feed BATCH1, let it
+    fully process, then feed BATCH2 — two deterministic micro-batches."""
+    d = str(tmp_path / "stream_in")
+    os.makedirs(d)
+    _write_batch_file(d, "f1.parquet", BATCH1)
+    q = build_query(_file_stream(spark, d), str(tmp_path / "ckpt"), sink_name)
+    try:
+        q.processAllAvailable()
+        _write_batch_file(d, "f2.parquet", BATCH2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_s4_watermark_drops_late_data(spark, tmp_path):
+    def build(src, ckpt, name):
+        agg = (
+            src.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    _run_two_batches(spark, tmp_path, build, "s4_sink")
+    rows = {
+        r["w"]["start"].strftime("%H:%M"): r["n"]
+        for r in spark.sql("SELECT * FROM s4_sink").collect()
+    }
+    # the 10:00 window closed with only batch-1 rows; the late 10:02 event
+    # from batch 2 was dropped by the watermark
+    assert rows.get("10:00") == 2, rows
+
+
+def test_s6_stateful_running_count(spark, tmp_path):
+    def running_count(key, pdf_iter, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [total]})
+
+    def build(src, ckpt, name):
+        out = src.groupBy("user_id").applyInPandasWithState(
+            running_count,
+            outputStructType="user_id bigint, n bigint",
+            stateStructType="n bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    _run_two_batches(spark, tmp_path, build, "s6_sink")
+    # state accumulates across batches: user 1 -> 2 (batch1), user 2 ->
+    # 1 then 2, user 3 -> 1
+    latest = {
+        r.user_id: r.n
+        for r in spark.sql(
+            "SELECT user_id, MAX(n) AS n FROM s6_sink GROUP BY user_id"
+        ).collect()
+    }
+    assert latest == {1: 2, 2: 2, 3: 1}, latest
+
+
+def test_s5_streaming_dedup(spark, tmp_path):
+    def build(src, ckpt, name):
+        dedup = src.withWatermark("ts", "1 hour").dropDuplicates(["user_id"])
+        return (
+            dedup.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    _run_two_batches(spark, tmp_path, build, "s5_sink")
+    # user 2 appears in both batches but is emitted once; dedup state
+    # spans micro-batches
+    assert spark.sql("SELECT COUNT(*) AS n FROM s5_sink").first().n == 3
+
+
+def test_d3_mock_source_through_pipeline(spark, tmp_path):
+    """MockKafka analog: rate-source bytes -> decode -> normalize ->
+    sinks, a few processing-time triggers (D3 + D13/D16/D24)."""
+    from quacfka_spark.plans.normalizer import NormalizerSpec
+    from quacfka_spark.sources.kafka import decode_json
+    from quacfka_spark.sources.mock import NESTED_SCHEMA, mock_kafka_bytes_stream
+    from quacfka_spark.streaming import PipelineConfig, StreamingPipeline
+
+    out = str(tmp_path / "mock_out")
+    pipe = StreamingPipeline(
+        spark,
+        mock_kafka_bytes_stream(spark, rows_per_second=500),
+        PipelineConfig(output_dir=out, trigger_seconds=1),
+        decode=lambda df: decode_json(df, NESTED_SCHEMA),
+        normalizer=NormalizerSpec(
+            fields=["r.site.id", "r.deals.id"], aliases=["site", "deal_id"]
+        ),
+    )
+    q = pipe.start()
+    deadline = time.time() + 30
+    while time.time() < deadline and pipe.metrics.records_consumed == 0:
+        time.sleep(1)
+    pipe.stop()
+    assert pipe.error() is None
+    rep = pipe.metrics.report()
+    assert rep["records_consumed"] > 0
+    assert rep["records_inserted"] == rep["records_consumed"]
+    assert rep["norm_records_inserted"] > 0
