@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 
 from quacfka_spark.catalog import load_views
 from quacfka_spark.functions.text import seeded_md5, shingles
-from quacfka_spark.functions.vector import cosine
 from quacfka_spark.registry import query
 
 # Normalized tokens shared by the shingle-based operators.
@@ -52,9 +51,22 @@ def _norm_tokens() -> F.Column:
     return F.regexp_extract_all(F.lower(F.col("text")), F.lit(_NORM_TOKEN_RE), 0)
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition to full core count before CPU-heavy per-row work.
+
+    The fixture tables are single parquet files -> one input split; a
+    shingle/hash pipeline would otherwise run on 1 of N cores. At
+    cluster scale the same principle holds: a CPU-bound expression stage
+    should be spread to total parallelism even when the scan has fewer
+    splits (the shuffle moves KBs of text per row, the expressions burn
+    orders of magnitude more CPU than that move costs).
+    """
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_views(spark, sf_dir)
-    return t["documents"].select(
+    return _spread(spark, t["documents"]).select(
         "doc_id", shingles(_norm_tokens()).alias("shs")
     )
 
@@ -176,10 +188,14 @@ def _minhash_cols() -> list[F.Column]:
     ORDER BY i, j
     """,
     doc="MinHash+LSH near-dup: 12 seeded-md5 minhashes as array folds "
-    "(no shuffle), banded 3-wide into 4 LSH signatures, bucket-join on "
-    "(band, sig) for candidates, exact Jaccard verify on candidates only "
-    "(threshold 0.7). This is the 100 TB dedup path: the only shuffles "
-    "are on 16-byte band signatures and the tiny candidate set.",
+    "(no shuffle), banded 3-wide into 4 LSH signatures, bucket self-join "
+    "on (band, sig) for candidates, exact Jaccard verify on candidates "
+    "via array_intersect (threshold 0.7). The shingle array rides along "
+    "through the band shuffle, so the whole plan is ONE exchange "
+    "(reused by both self-join sides — the shingle/minhash subtree "
+    "computes once) plus the candidate group-by. At extreme doc sizes "
+    "you would shuffle doc_ids only and re-join for shingles; carrying "
+    "the ~KB shingle set is the standard minhash-dedup layout.",
 )
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir)
@@ -191,10 +207,11 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"band{b}")
         for b in range(n_bands)
     ]
-    # (doc_id, band, sig) via posexplode of the band-signature array.
+    # (doc_id, shs, band, sig) via posexplode of the band-signature array;
+    # both self-join sides shuffle on (band, sig) -> one reused exchange.
     bands = (
-        sigs.select("doc_id", F.array(*band_sigs).alias("bs"))
-        .select("doc_id", F.posexplode("bs").alias("band", "sig"))
+        sigs.select("doc_id", "shs", F.array(*band_sigs).alias("bs"))
+        .select("doc_id", "shs", F.posexplode("bs").alias("band", "sig"))
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -204,24 +221,17 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
-        .distinct()
+        # a pair colliding in multiple bands appears up to 4x; the
+        # group-by dedupes it (shs is functionally dependent on doc_id)
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.first("a.shs").alias("shs_i"), F.first("b.shs").alias("shs_j"))
     )
-    ex = sh.select("doc_id", F.explode("shs").alias("s"))
-    n = sh.select("doc_id", F.size("shs").alias("n"))
-    common = (
-        cand.join(ex.alias("ea"), F.col("ea.doc_id") == F.col("i"))
-        .join(ex.alias("eb"), (F.col("eb.doc_id") == F.col("j")) & (F.col("eb.s") == F.col("ea.s")))
-        .groupBy("i", "j")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    jac = F.col("c") / (F.col("n_i") + F.col("n_j") - F.col("c"))
+    common = F.size(F.array_intersect("shs_i", "shs_j"))
+    jac = common / (F.size("shs_i") + F.size("shs_j") - common)
     return (
-        common.join(n.alias("na"), F.col("na.doc_id") == F.col("i"))
-        .join(n.alias("nb"), F.col("nb.doc_id") == F.col("j"))
-        .select("i", "j", "c", F.col("na.n").alias("n_i"), F.col("nb.n").alias("n_j"))
-        .filter(jac >= 0.7)
-        .select("i", "j", F.round(jac, 4).alias("jaccard"))
+        cand.select("i", "j", F.round(jac, 4).alias("jaccard"), jac.alias("_j"))
+        .filter(F.col("_j") >= 0.7)
+        .drop("_j")
         .orderBy("i", "j")
     )
 
@@ -260,7 +270,7 @@ def _simhash_oracle() -> str:
 )
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_views(spark, sf_dir)
-    hs = t["documents"].select(
+    hs = _spread(spark, t["documents"]).select(
         "doc_id", F.transform(_norm_tokens(), lambda tok: F.md5(tok)).alias("hs")
     )
 
@@ -303,24 +313,66 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  CAST(b.embedding AS DOUBLE[])) >= 0.35
     ORDER BY i, j
     """,
-    doc="Embedding-cosine near-dup pairs (threshold 0.35) via all-pairs "
-    "cosine in pure Catalyst expressions (zip_with fold, double). The "
-    "all-pairs join is the exactness baseline; at 100 TB candidates come "
-    "from the sign-LSH buckets (sim02) and this verify runs per bucket.",
+    doc="Embedding-cosine near-dup pairs (threshold 0.35) via BLOCKED "
+    "all-pairs matrix cosine: vectors hash into B blocks, the B*(B+1)/2 "
+    "block pairs fan out as tasks, and each task computes its block-vs-"
+    "block cosine matrix with vectorized numpy inside mapInPandas (Arrow "
+    "batches). This is the distributed exact-all-pairs pattern: work and "
+    "memory per task are bounded by the block size, the shuffle carries "
+    "each vector B+1 times (not N times), and surviving pairs (>= "
+    "threshold) are the only rows that leave the task. At 100 TB the "
+    "sign-LSH buckets (sim02) pre-filter candidates and this runs per "
+    "bucket.",
 )
 def d05_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
     t = load_views(spark, sf_dir)
-    e = t["embeddings"].select("vec_id", "embedding")
-    a, b = e.alias("a"), e.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    n_blocks = 8
+    e = t["embeddings"].select(
+        "vec_id", "embedding", (F.col("vec_id") % n_blocks).alias("blk")
+    )
+    blocks = e.groupBy("blk").agg(
+        F.collect_list(F.struct("vec_id", "embedding")).alias("rows")
+    )
+    pairs = (
+        blocks.alias("x")
+        .crossJoin(blocks.alias("y"))
+        .filter(F.col("x.blk") <= F.col("y.blk"))
         .select(
-            F.col("a.vec_id").alias("i"),
-            F.col("b.vec_id").alias("j"),
-            cos.alias("cos_raw"),
+            (F.col("x.blk") == F.col("y.blk")).alias("same_block"),
+            F.col("x.rows").alias("rows_x"),
+            F.col("y.rows").alias("rows_y"),
         )
-        .filter(F.col("cos_raw") >= 0.35)
-        .select("i", "j", F.round("cos_raw", 4).alias("cos"))
+    )
+
+    def block_cosine(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_i, out_j, out_c = [], [], []
+            for same, rows_x, rows_y in zip(
+                pdf["same_block"], pdf["rows_x"], pdf["rows_y"]
+            ):
+                ids_x = np.array([r["vec_id"] for r in rows_x])
+                ids_y = np.array([r["vec_id"] for r in rows_y])
+                mx = np.array([r["embedding"] for r in rows_x], dtype="float64")
+                my = np.array([r["embedding"] for r in rows_y], dtype="float64")
+                mx /= np.linalg.norm(mx, axis=1, keepdims=True)
+                my /= np.linalg.norm(my, axis=1, keepdims=True)
+                cos = mx @ my.T
+                if same:
+                    # diagonal block holds both (u,v) and (v,u): keep u<v
+                    cos = np.where(ids_x[:, None] < ids_y[None, :], cos, -2.0)
+                ii, jj = np.nonzero(cos >= 0.35)
+                for a_, b_ in zip(ii, jj):
+                    u, v = int(ids_x[a_]), int(ids_y[b_])
+                    out_i.append(min(u, v))
+                    out_j.append(max(u, v))
+                    out_c.append(round(float(cos[a_, b_]), 4))
+            yield pd.DataFrame({"i": out_i, "j": out_j, "cos": out_c})
+
+    return (
+        pairs.mapInPandas(block_cosine, schema="i bigint, j bigint, cos double")
         .orderBy("i", "j")
     )

@@ -189,7 +189,12 @@ def t03_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_views(spark, sf_dir)
     tk = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
-    d = t["documents"].select("doc_id", tk.alias("tk"))
+    # single-file fixture -> spread the md5-heavy projection across cores
+    d = (
+        t["documents"]
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", tk.alias("tk"))
+    )
     # min over md5(shingle) computed as an array fold — no explode/shuffle.
     min_fp = F.array_min(F.transform(shingles(F.col("tk")), lambda s: F.md5(s)))
     return d.select(
