@@ -66,9 +66,17 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_views(spark, sf_dir)
-    return _spread(spark, t["documents"]).select(
-        "doc_id", shingles(_norm_tokens()).alias("shs")
+    # Materialize the token array in its own projection BEFORE shingling:
+    # the gram lambda references its input ~3n times via element_at, and
+    # Catalyst inlines (rather than CSEs) an expression argument, so
+    # passing the regexp tokenizer directly would re-run the regex per
+    # element_at (~300x per doc — measured 8s/500 docs vs <1s split).
+    # CollapseProject keeps the stages separate because the tokenizer is
+    # non-cheap and multiply-referenced.
+    toks = _spread(spark, t["documents"]).select(
+        "doc_id", _norm_tokens().alias("tk")
     )
+    return toks.select("doc_id", shingles(F.col("tk")).alias("shs"))
 
 
 # --------------------------------------------------------------------------
@@ -123,7 +131,12 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir)
-    ex = sh.select("doc_id", F.size("shs").alias("n"), F.explode("shs").alias("s"))
+    # explode_outer: shs is never empty (short docs get a 1-element
+    # array), and inner explode would infer a size(shs)>0 filter that
+    # pushes the whole shingle tree below the repartition (see d03).
+    ex = sh.select(
+        "doc_id", F.size("shs").alias("n"), F.explode_outer("shs").alias("s")
+    )
     a, b = ex.alias("a"), ex.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -209,9 +222,15 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     # (doc_id, shs, band, sig) via posexplode of the band-signature array;
     # both self-join sides shuffle on (band, sig) -> one reused exchange.
+    # posexplode_OUTER, not posexplode: bs always has exactly n_bands
+    # elements so they are equivalent, but an inner Generate makes
+    # InferFiltersFromGenerate add `size(bs) > 0`, which pushes below the
+    # repartition with the ENTIRE tokenize->shingle->minhash->band tree
+    # inlined — the whole pipeline then runs twice, once on the single
+    # pre-shuffle scan task (measured 10s of the 14s total at sf0.001).
     bands = (
         sigs.select("doc_id", "shs", F.array(*band_sigs).alias("bs"))
-        .select("doc_id", "shs", F.posexplode("bs").alias("band", "sig"))
+        .select("doc_id", "shs", F.posexplode_outer("bs").alias("band", "sig"))
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
