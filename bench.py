@@ -68,6 +68,17 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    # Ingestion throughput — the reference's headline metric (BASELINE.md:
+    # 806k total rows/s on 60 CPUs). Same pipeline shape: bytes -> decode
+    # -> raw + normalized parquet. Reported alongside the query timings.
+    from quacfka_spark.bench_ingest import run_ingest_bench
+
+    try:
+        ingest = run_ingest_bench(spark)
+        print(f"# ingest: {ingest['total_rows_per_second']:,.0f} rows/s", file=sys.stderr)
+    except Exception as e:  # pragma: no cover — bench must still emit JSON
+        ingest = {"error": str(e)[:200]}
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -77,6 +88,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "ingest": ingest,
             }
         )
     )

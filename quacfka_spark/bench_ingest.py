@@ -1,0 +1,141 @@
+"""Ingestion-throughput benchmark — the reference's headline metric.
+
+The only published numbers for the reference are ingest rates from a
+5-minute Kafka -> DuckDB run (/root/reference/README.md:151-173,
+BASELINE.md): 398k raw records/s, 806k total rows/s (raw + normalized),
+500 MB/s on 60 CPUs. This module reproduces that pipeline shape on Spark
+and measures the same three numbers:
+
+    bytes at rest  ->  decode (from_json ~ the unmarshal pool, D7)
+                   ->  raw nested table write           (D13)
+                   ->  normalized flat table write      (D10 explode)
+                   ->  parquet files                    (rotation unit)
+
+Faithfulness notes:
+- The source is a pre-materialized parquet of JSON-encoded nested
+  payload bytes (generation is NOT timed — Kafka is external to the
+  reference's measurement too; it measures consume -> insert).
+- Decode is schema-driven and JVM-side (from_json), the dependency-free
+  stand-in for from_protobuf (no spark-protobuf jar in this env); both
+  are vectorized columnar decodes of the same shape.
+- The normalizer output reproduces D10 semantics: one row per repeated
+  element, scalars duplicated, null row on empty list (explode_outer).
+- Writes are partitioned to the core count (writer tasks ~ the
+  reference's 24 duck connections, D23) and go to local parquet, the
+  analog of the rotated .db files.
+
+Scale: every stage here is a narrow map (decode, explode, write) — no
+shuffle at all — so the pipeline scales linearly with executors; the
+only coordination is the write commit. That is the same shape as the
+reference (independent worker pools, no cross-worker exchange).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from quacfka_spark.sources.mock import NESTED_SCHEMA, _nested_payload
+
+DEFAULT_ROWS = int(os.environ.get("SPARK_GRAFT_INGEST_ROWS", "4000000"))
+
+
+def _gen_bytes(spark: SparkSession, rows: int, path: str, partitions: int) -> float:
+    """Materialize `rows` JSON-encoded nested messages as a binary-column
+    parquet (the 'Kafka topic at rest'). Returns payload MB."""
+    df = (
+        spark.range(0, rows, 1, partitions)
+        .select(F.encode(F.to_json(_nested_payload(F.col("id"))), "utf-8").alias("value"))
+    )
+    df.write.mode("overwrite").parquet(path)
+    mb = (
+        spark.read.parquet(path)
+        .select((F.sum(F.octet_length("value")) / (1024 * 1024)).alias("mb"))
+        .collect()[0]["mb"]
+    )
+    return float(mb)
+
+
+def run_ingest_bench(
+    spark: SparkSession,
+    rows: int = DEFAULT_ROWS,
+    work_dir: str = "/tmp/quacfka_spark_ingest",
+) -> dict:
+    """Run the timed ingest: read bytes -> decode -> raw + norm writes.
+
+    Returns a report shaped like the reference's metrics JSON
+    (/root/reference/metrics.go:259-282).
+    """
+    cores = spark.sparkContext.defaultParallelism
+    src = os.path.join(work_dir, "src")
+    out_raw = os.path.join(work_dir, "raw")
+    out_norm = os.path.join(work_dir, "norm")
+    shutil.rmtree(work_dir, ignore_errors=True)
+
+    mb = _gen_bytes(spark, rows, src, cores)
+
+    # Warm the decode to JIT steady state before timing — the reference
+    # reports steady-state 30s samples out of a 5-minute run
+    # (metrics.go:101-166), so timing Spark's cold JIT would compare a
+    # cold start to their steady state. The hot path (Jackson parse +
+    # codegen scaffolding) is shared across plans, so a few passes over
+    # a small separate slice warm the fresh full-size plan too
+    # (measured: 5x500k warm passes take the 4M decode 40s -> 7s).
+    warm_src = os.path.join(work_dir, "warm")
+    _gen_bytes(spark, min(rows // 8, 500_000), warm_src, cores)
+    warm = spark.read.parquet(warm_src).select(
+        F.from_json(F.col("value").cast("string"), NESTED_SCHEMA).alias("r")
+    ).select("r.*")
+    for _ in range(5):
+        warm.write.format("noop").mode("overwrite").save()
+
+    t0 = time.perf_counter()
+    bytes_df = spark.read.parquet(src)
+    decoded = bytes_df.select(
+        F.from_json(F.col("value").cast("string"), NESTED_SCHEMA).alias("r")
+    ).select("r.*")
+    decoded.write.mode("overwrite").parquet(out_raw)
+    # Decode ONCE: the norm table derives from the just-written raw
+    # parquet, not from a second decode. Re-deriving norm from the JSON
+    # expression is 10x slower because OptimizeJsonExprs prunes the
+    # schema per extracted field — each flat column becomes its own
+    # from_json and the payload parses ~5x per row (measured 28.6s vs
+    # 2.7s for the read-back at 2M rows). The read-back is also the
+    # 100 TB pattern: columnar, column-pruned, shuffle-free.
+    raw_back = spark.read.parquet(out_raw)
+    # D10 normalizer semantics: flat columns, one row per deal,
+    # scalars duplicated, null deal columns when the list is empty.
+    norm = raw_back.select(
+        F.col("site.id").alias("site_id"),
+        F.col("user_id"),
+        F.col("amount"),
+        F.explode_outer("deals").alias("deal"),
+    ).select(
+        "site_id",
+        "user_id",
+        "amount",
+        F.col("deal.id").alias("deal_id"),
+        F.col("deal.kind").alias("deal_kind"),
+    )
+    norm.write.mode("overwrite").parquet(out_norm)
+    elapsed = time.perf_counter() - t0
+
+    raw_n = spark.read.parquet(out_raw).count()
+    norm_n = spark.read.parquet(out_norm).count()
+    shutil.rmtree(work_dir, ignore_errors=True)
+    total = raw_n + norm_n
+    return {
+        "records_consumed": rows,
+        "records_inserted": raw_n,
+        "norm_records_inserted": norm_n,
+        "duration_seconds": round(elapsed, 3),
+        "records_per_second": round(raw_n / elapsed, 2),
+        "total_rows_per_second": round(total / elapsed, 2),
+        "mb_per_second": round(mb / elapsed, 2),
+        "payload_mb": round(mb, 2),
+        "cores": cores,
+    }

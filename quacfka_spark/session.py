@@ -38,6 +38,11 @@ def get_spark(app_name: str = "quacfka-spark", extra_conf: dict | None = None) -
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Hot codegen workloads (wide from_json, large expression trees)
+        # overflow the JVM's default 240MB code cache, after which the
+        # JIT thrashes: identical decode jobs measured 10s -> 71s -> 1s
+        # across runs. A 1g reserve gives stable steady-state compiles.
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -134,3 +134,20 @@ def test_confluent_prefix_strip(spark):
     df = spark.createDataFrame([(b"\x00\x00\x00\x00\x01\x02payload",)], ["value"])
     out = df.select(strip_confluent_prefix("value").alias("v")).first()
     assert bytes(out.v) == b"payload"
+
+
+def test_ingest_bench_invariants(spark, tmp_path):
+    """The ingest bench upholds the reference's correctness proxy:
+    records consumed == raw inserted, and norm row count follows the
+    explode_outer semantics (metrics.go:142-156)."""
+    from quacfka_spark.bench_ingest import run_ingest_bench
+
+    n = 9_000
+    r = run_ingest_bench(spark, rows=n, work_dir=str(tmp_path / "ingest"))
+    assert r["records_consumed"] == n
+    assert r["records_inserted"] == n
+    # deals per row cycle 0/1/2 with seq%3; explode_outer keeps the
+    # empty-list rows as one null row -> n/3 * (1+1+2) = 4n/3
+    assert r["norm_records_inserted"] == n // 3 * 4
+    assert r["duration_seconds"] > 0
+    assert r["mb_per_second"] > 0
