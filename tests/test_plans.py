@@ -1,0 +1,136 @@
+"""Physical-plan shape tests — the 100 TB posture, made durable.
+
+Correctness tests say the operators compute the right answer; these say
+they compute it with the plan you would want on a 1000-executor cluster:
+filters reach the parquet scan, scans read only needed columns, small
+dimensions broadcast (no shuffle of the fact table), aggregates combine
+map-side before the exchange, and top-k never globally sorts. A
+regression here is a scale bug even when results stay correct.
+
+Assertions target explain("formatted") text at sf0.001 — planning only,
+nothing executes (except AQE-finalized checks, marked below).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from quacfka_spark.registry import get_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = get_queries()
+    cache: dict[str, str] = {}
+
+    def plan(name: str) -> str:
+        if name not in cache:
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                qs[name](spark, SF).explain("formatted")
+            cache[name] = buf.getvalue()
+        return cache[name]
+
+    return plan
+
+
+def read_schemas(plan_text: str) -> list[str]:
+    return re.findall(r"ReadSchema: struct<([^>]*)>", plan_text)
+
+
+def test_q03_filter_pushdown_and_pruning(plans):
+    p = plans("q03_filter")
+    assert "GreaterThan(l_quantity,45.0)" in p
+    assert "EqualTo(l_returnflag,R)" in p
+    # projection + filter columns only — not the 16-column lineitem
+    (schema,) = read_schemas(p)
+    cols = sorted(c.split(":")[0] for c in schema.split(","))
+    assert cols == ["l_linenumber", "l_orderkey", "l_quantity", "l_returnflag"]
+
+
+def test_q07_broadcasts_customer_not_orders(plans):
+    p = plans("q07_inner_join")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # orders-side filter pushed to its scan
+    assert "GreaterThan(o_totalprice,200000.0)" in p
+
+
+def test_q11_multiway_join_is_broadcast_tree(plans):
+    """TPC-H Q5 shape: every dimension broadcast, the lineitem fact table
+    never shuffles before aggregation, agg combines map-side."""
+    p = plans("q11_multiway_join")
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 4
+    assert "SortMergeJoin" not in p
+    assert "partial_sum" in p  # map-side combine before the exchange
+    # lineitem scan reads exactly the 3 columns the query needs
+    schemas = read_schemas(p)
+    li = [s for s in schemas if "l_extendedprice" in s]
+    assert li and sorted(c.split(":")[0] for c in li[0].split(",")) == [
+        "l_discount",
+        "l_extendedprice",
+        "l_orderkey",
+    ]
+
+
+def test_q12_theta_join_extracts_equi_key(plans):
+    """The p_partkey equi-conjunct must become a hash-join key; only the
+    l_quantity > p_size range predicate stays as a residual condition.
+    A BroadcastNestedLoopJoin here would be quadratic at scale."""
+    p = plans("q12_theta_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_q15_topk_no_global_sort(plans):
+    p = plans("q15_topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q01_count_reads_no_columns(plans):
+    """COUNT(*) should prune every column (scan returns row counts)."""
+    p = plans("q01_scan_count")
+    (schema,) = read_schemas(p)
+    assert schema == ""
+
+
+def test_q04_agg_partial_final(plans):
+    p = plans("q04_hash_agg")
+    assert "partial_sum" in p or "partial_avg" in p
+    # one shuffle for the group-by, one for the final order-by — no more
+    assert p.count("Exchange") <= 4  # incl. AQE ShuffleQueryStage echoes
+
+
+def test_s01_window_agg_partial_final(plans):
+    p = plans("s01_tumbling_window")
+    assert "partial_" in p
+
+
+def test_d03_minhash_no_inferred_generate_filter(plans):
+    """Regression: inner explode once inferred size(bs)>0 and pushed the
+    whole minhash tree below the repartition (ran twice, one task)."""
+    p = plans("d03_minhash_lsh")
+    filters = re.findall(r"Condition : (.*)", p)
+    for cond in filters:
+        assert "regexp_extract_all" not in cond
+
+
+def test_sim01_topk_is_take_ordered(plans):
+    """Brute-force cosine top-k must use TakeOrderedAndProject (per-
+    partition heap + driver merge), never a global sort of all scores."""
+    p = plans("sim01_bruteforce_topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_events_scan_prunes_json_props(plans):
+    """s01 aggregates counts only — the wide props JSON string must not
+    be read from parquet."""
+    p = plans("s01_tumbling_window")
+    for schema in read_schemas(p):
+        assert "props" not in schema
