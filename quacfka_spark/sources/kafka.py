@@ -141,10 +141,35 @@ def decode_json(
     permissive: bool = True,
 ) -> DataFrame:
     """Same decode shape as ``decode_protobuf`` over JSON payloads —
-    the dependency-free path used by tests and the mock source."""
-    mode = "PERMISSIVE" if permissive else "FAILFAST"
-    out = df.withColumn(
-        "r",
-        F.from_json(F.col(value_col).cast("string"), schema, {"mode": mode}),
+    the dependency-free path used by tests and the mock source.
+
+    Bad-record semantics (D8): ``from_json`` PERMISSIVE returns an
+    all-NULL *struct* (not NULL) for corrupt input, so a bare
+    ``r IS NOT NULL`` filter never fires; a corrupt-record column in the
+    parse schema is the reliable signal, and is stripped from the
+    output.
+    """
+    if not permissive:
+        out = df.withColumn(
+            "r",
+            F.from_json(F.col(value_col).cast("string"), schema, {"mode": "FAILFAST"}),
+        )
+        return out
+    from pyspark.sql import types as T
+
+    corrupt = "_corrupt_record"
+    parse_schema = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt, T.StringType())]
     )
-    return out.filter(F.col("r").isNotNull()) if permissive else out
+    parsed = df.withColumn(
+        "r",
+        F.from_json(
+            F.col(value_col).cast("string"),
+            parse_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
+        ),
+    )
+    return (
+        parsed.filter(F.col("r").isNotNull() & F.col(f"r.{corrupt}").isNull())
+        .withColumn("r", F.col("r").dropFields(corrupt))
+    )
