@@ -151,3 +151,42 @@ def test_ingest_bench_invariants(spark, tmp_path):
     assert r["norm_records_inserted"] == n // 3 * 4
     assert r["duration_seconds"] > 0
     assert r["mb_per_second"] > 0
+
+
+def test_sqlrunner_exec_mode_with_export(spark, tmp_path, input_dir):
+    """D18 exec mode: ordered SQL statements run for effect per completed
+    epoch — including the reference's documented COPY TO-style export
+    (duck.go:70-72) as INSERT OVERWRITE DIRECTORY."""
+    out = str(tmp_path / "out")
+    export_dir = str(tmp_path / "export")
+    source = spark.readStream.schema("value binary").parquet(input_dir)
+    runner = SQLRunner(
+        exec=True,
+        queries=[
+            # aggregate-to-table analog (CTAS-per-epoch would collide on
+            # re-run; temp view is this engine's scratch namespace)
+            "CREATE OR REPLACE TEMP VIEW site_rollup AS "
+            "SELECT site, COUNT(*) AS n FROM messages_norm GROUP BY site",
+            # export analog of COPY TO
+            f"INSERT OVERWRITE DIRECTORY '{export_dir}' USING parquet "
+            "SELECT * FROM site_rollup",
+        ],
+    )
+    norm = NormalizerSpec(
+        fields=["r.site.id", "r.user_id", "r.amount", "r.deals.id"],
+        aliases=["site", "user_id", "amount", "deal_id"],
+    )
+    pipe = StreamingPipeline(
+        spark,
+        source,
+        PipelineConfig(output_dir=out, dest_table="messages", available_now=True),
+        decode=lambda df: decode_json(df, NESTED_SCHEMA),
+        normalizer=norm,
+        runner=runner,
+    )
+    q = pipe.start()
+    q.awaitTermination(120)
+    assert pipe.error() is None
+    exported = spark.read.parquet(export_dir)
+    assert exported.columns == ["site", "n"]
+    assert exported.agg(F.sum("n")).collect()[0][0] == 400
