@@ -1,0 +1,82 @@
+"""Bucketed-layout tests: co-bucketed tables join with zero exchanges —
+the one-time-shuffle-at-ingest strategy for 100 TB fact-to-fact joins."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from quacfka_spark.catalog import load_views
+from quacfka_spark.layout import cobucketed_join, write_bucketed, write_partitioned
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tmp_path_factory):
+    t = load_views(spark, SF)
+    write_bucketed(t["orders"], "orders_bkt", ["o_orderkey"], buckets=4)
+    write_bucketed(
+        t["lineitem"].withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_bkt",
+        ["o_orderkey"],
+        buckets=4,
+    )
+    yield
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_cobucketed_join_has_no_exchange(spark, bucketed):
+    joined = cobucketed_join(spark, "lineitem_bkt", "orders_bkt", "o_orderkey")
+    # force the non-broadcast path a big-big join would take at scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = _plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    assert re.search(r"\(\d+\) SortMergeJoin", p)
+    assert not re.search(r"\(\d+\) Exchange", p), p
+    # and it computes the right thing
+    n = joined.count()
+    raw = load_views(spark, SF)
+    expected = (
+        raw["lineitem"]
+        .join(raw["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    assert n == expected
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed):
+    """Aggregation on the bucket key also skips its shuffle."""
+    agg = (
+        spark.table("lineitem_bkt")
+        .groupBy("o_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    p = _plan(agg)
+    assert not re.search(r"\(\d+\) Exchange", p), p
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    t = load_views(spark, SF)
+    path = str(tmp_path / "orders_by_status")
+    write_partitioned(t["orders"], path, ["o_orderstatus"])
+    df = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    p = _plan(df)
+    # partition filter is handled at the file index, not a row Filter
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "o_orderstatus" in m.group(1)
+    assert df.count() == t["orders"].filter("o_orderstatus = 'F'").count()
