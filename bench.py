@@ -57,6 +57,29 @@ def main() -> None:
     # Warmup: JVM + codegen + parquet footer caches.
     queries["q01_scan_count"](spark, SF_DIR).collect()
 
+    # Ingest throughput — the reference's headline metric (BASELINE.md:
+    # 806k total rows/s on 60 CPUs) — runs in a SUBPROCESS with its own
+    # JVM: query jobs and ingest jobs measurably degrade each other's
+    # session (JIT/GC aging), and the reference's run owned its process.
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "quacfka_spark.bench_ingest"],
+            capture_output=True,
+            text=True,
+            timeout=420,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        ingest_out = json.loads(proc.stdout.strip().splitlines()[-1])
+        ingest = ingest_out.get("ingest", {"error": "missing"})
+        ingest_streaming = ingest_out.get("ingest_streaming", {"error": "missing"})
+        for label, rep in (("ingest", ingest), ("ingest_streaming", ingest_streaming)):
+            if "total_rows_per_second" in rep:
+                print(f"# {label}: {rep['total_rows_per_second']:,.0f} rows/s", file=sys.stderr)
+    except Exception as e:  # pragma: no cover — bench must still emit JSON
+        ingest = ingest_streaming = {"error": str(e)[:200]}
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -68,17 +91,6 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
-    # Ingestion throughput — the reference's headline metric (BASELINE.md:
-    # 806k total rows/s on 60 CPUs). Same pipeline shape: bytes -> decode
-    # -> raw + normalized parquet. Reported alongside the query timings.
-    from quacfka_spark.bench_ingest import run_ingest_bench
-
-    try:
-        ingest = run_ingest_bench(spark)
-        print(f"# ingest: {ingest['total_rows_per_second']:,.0f} rows/s", file=sys.stderr)
-    except Exception as e:  # pragma: no cover — bench must still emit JSON
-        ingest = {"error": str(e)[:200]}
-
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -89,6 +101,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "ingest": ingest,
+                "ingest_streaming": ingest_streaming,
             }
         )
     )

