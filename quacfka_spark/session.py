@@ -64,6 +64,12 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # The driver's plain session keeps the 200-partition default; size
+    # to the actual core count (AQE coalesces further at runtime, so
+    # this only trims scheduling overhead, never capacity).
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
     # fixtures write ts as TIMESTAMP(NANOS); read as long + convert (catalog)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
