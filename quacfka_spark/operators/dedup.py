@@ -363,6 +363,11 @@ def d05_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.rows").alias("rows_x"),
             F.col("y.rows").alias("rows_y"),
         )
+        # one block-pair per task: without this, AQE coalesces the
+        # B*(B+1)/2 pair rows onto 1-2 partitions and the matrix work
+        # runs on 1-2 cores (each pair row is only ~MBs; the shuffle is
+        # cheap next to the B/2-fold parallelism it buys)
+        .repartition(n_blocks * (n_blocks + 1) // 2)
     )
 
     def block_cosine(batches):
