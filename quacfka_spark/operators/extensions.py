@@ -1,0 +1,110 @@
+"""Extension operators beyond the reference surface: as-of join and
+deterministic stratified sampling.
+
+- **As-of join** (x01): the canonical "operator Spark lacks" — join each
+  event to the most recent prior event of another stream. The naive
+  formulation is a range join (quadratic blow-up per user); the
+  distributed pattern is union-the-streams + one window per partition
+  key: a single shuffle on user_id, then a sorted scan per user carrying
+  the last-seen view via ``last(..., ignorenulls)``. At 100 TB this is
+  shuffle-optimal (one exchange, no per-row probing) and is exactly how
+  ASOF is implemented inside columnar engines.
+
+- **Stratified sampling** (x02): training-data pipelines rebalance
+  corpora (downsample the dominant language) with DETERMINISTIC
+  per-row hashing, never ``rand()``: task retries and re-runs must pick
+  identical rows (the same idempotency argument as the salted join,
+  functions/skew.py). Single scan, no shuffle; the sample decision is
+  a pure function of the key, portable across engines (md5 on both
+  sides of the oracle).
+
+Reference relation: neither exists in quacfka (its SQL surface delegated
+such queries to DuckDB, SURVEY.md §2b); both are declared-query
+extensions with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quacfka_spark.catalog import load_views
+from quacfka_spark.registry import query
+
+
+@query(
+    "x01_asof_join",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, ts, event_type, value FROM events
+      WHERE event_type IN ('view', 'click')),
+    c AS (SELECT * FROM ev WHERE event_type = 'click'),
+    v AS (SELECT * FROM ev WHERE event_type = 'view'),
+    j AS (
+      SELECT c.event_id AS click_id, c.user_id,
+             v.event_id AS view_id, ROUND(v.value, 2) AS view_value,
+             ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM c LEFT JOIN v
+        ON v.user_id = c.user_id
+       AND (v.ts < c.ts OR (v.ts = c.ts AND v.event_id < c.event_id)))
+    SELECT click_id, user_id, view_id, view_value
+    FROM j WHERE rn = 1 ORDER BY click_id
+    """,
+    doc="As-of join: each click paired with the user's most recent "
+    "strictly-prior view ((ts, event_id) lexicographic order makes ties "
+    "deterministic). Implemented as union + window last(ignorenulls) — "
+    "ONE shuffle on user_id, no range join. The oracle is the "
+    "independent row_number-over-range-join formulation.",
+)
+def x01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    ev = (
+        t["events"]
+        .filter(F.col("event_type").isin("view", "click"))
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_view = F.col("event_type") == "view"
+    view_id = F.last(F.when(is_view, F.col("event_id")), ignorenulls=True).over(w)
+    view_value = F.last(F.when(is_view, F.col("value")), ignorenulls=True).over(w)
+    return (
+        ev.withColumn("view_id", view_id)
+        .withColumn("view_value", F.round(view_value, 2))
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"), "user_id", "view_id", "view_value"
+        )
+        .orderBy("click_id")
+    )
+
+
+@query(
+    "x02_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+          / 65536.0
+          < CASE WHEN lang = 'en' THEN 0.10 ELSE 0.50 END
+    ORDER BY doc_id
+    """,
+    doc="Deterministic stratified sampling: keep 10% of the dominant "
+    "language, 50% of the rest, decided by a pure md5 hash of doc_id "
+    "(identical under retries/re-runs; same rows in Spark and DuckDB). "
+    "Single scan, no shuffle.",
+)
+def x02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        / 65536.0
+    )
+    rate = F.when(F.col("lang") == "en", 0.10).otherwise(0.50)
+    return (
+        t["documents"].select("doc_id", "lang").filter(frac < rate).orderBy("doc_id")
+    )

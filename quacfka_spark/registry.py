@@ -43,6 +43,7 @@ def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from quacfka_spark.operators import (  # noqa: F401
         dedup,
+        extensions,
         multimodal,
         relational,
         similarity,
