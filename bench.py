@@ -48,6 +48,7 @@ HEADLINE = [
     "sim01_bruteforce_topk",
     "m02_feature_extract",
     "m03_frame_sample",
+    "x01_asof_join",
 ]
 
 

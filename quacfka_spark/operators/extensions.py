@@ -72,9 +72,16 @@ def x01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_view = F.col("event_type") == "view"
     view_id = F.last(F.when(is_view, F.col("event_id")), ignorenulls=True).over(w)
     view_value = F.last(F.when(is_view, F.col("value")), ignorenulls=True).over(w)
+    # both window expressions in ONE projection so they extract into a
+    # single Window operator (chained withColumn produced two)
     return (
-        ev.withColumn("view_id", view_id)
-        .withColumn("view_value", F.round(view_value, 2))
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            view_id.alias("view_id"),
+            F.round(view_value, 2).alias("view_value"),
+        )
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"), "user_id", "view_id", "view_value"

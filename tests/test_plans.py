@@ -134,3 +134,14 @@ def test_events_scan_prunes_json_props(plans):
     p = plans("s01_tumbling_window")
     for schema in read_schemas(p):
         assert "props" not in schema
+
+
+def test_x01_asof_join_is_single_shuffle_window(plans):
+    """The as-of join must be the union+window form: one hash exchange
+    on user_id plus the final order — never a range join (quadratic
+    per-user probing at scale)."""
+    p = plans("x01_asof_join")
+    assert not re.search(r"\(\d+\) \w*Join", p)  # window carries the join
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1
+    hash_ex = [x for x in re.findall(r"Arguments: (\w+)partitioning", p) if x == "hash"]
+    assert len(hash_ex) == 1  # exactly one hash shuffle (user_id)
