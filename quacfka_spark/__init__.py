@@ -24,5 +24,32 @@ oracle SQL string so the driver can hash-check results.
 
 from quacfka_spark.registry import QUERIES, get_queries, get_oracles
 
-__all__ = ["QUERIES", "get_queries", "get_oracles"]
+__all__ = [
+    "QUERIES",
+    "get_queries",
+    "get_oracles",
+    # convenience re-exports (see MIGRATION.md for the reference mapping)
+    "StreamingPipeline",
+    "PipelineConfig",
+    "SQLRunner",
+    "NormalizerSpec",
+    "TransformRegistry",
+]
 __version__ = "0.1.0"
+
+
+def __getattr__(name: str):
+    """Lazy re-exports so `import quacfka_spark` stays light."""
+    if name in ("StreamingPipeline", "PipelineConfig", "SQLRunner"):
+        from quacfka_spark import streaming
+
+        return getattr(streaming, name)
+    if name == "NormalizerSpec":
+        from quacfka_spark.plans.normalizer import NormalizerSpec
+
+        return NormalizerSpec
+    if name == "TransformRegistry":
+        from quacfka_spark.plans.custom import TransformRegistry
+
+        return TransformRegistry
+    raise AttributeError(name)
