@@ -169,3 +169,33 @@ def test_d3_mock_source_through_pipeline(spark, tmp_path):
     assert rep["records_consumed"] > 0
     assert rep["records_inserted"] == rep["records_consumed"]
     assert rep["norm_records_inserted"] > 0
+
+
+def test_d16_processing_time_trigger_rotation(spark, tmp_path):
+    """D16: wall-clock trigger mode — epochs rotate on the trigger
+    interval like the reference's duration-based file rotation
+    (quacfka.go:94-104). Uses the live mock source for a few seconds."""
+    import time as _time
+
+    from quacfka_spark.sources.kafka import decode_json
+    from quacfka_spark.sources.mock import NESTED_SCHEMA, mock_kafka_bytes_stream
+    from quacfka_spark.streaming import PipelineConfig, StreamingPipeline
+
+    out = str(tmp_path / "out")
+    pipe = StreamingPipeline(
+        spark,
+        mock_kafka_bytes_stream(spark, rows_per_second=2000),
+        PipelineConfig(output_dir=out, dest_table="messages", trigger_seconds=1),
+        decode=lambda df: decode_json(df, NESTED_SCHEMA),
+    )
+    q = pipe.start()
+    try:
+        deadline = _time.time() + 30
+        while _time.time() < deadline and pipe.metrics.batches < 2:
+            _time.sleep(0.5)
+    finally:
+        pipe.stop()
+    assert pipe.error() is None
+    assert pipe.metrics.batches >= 2  # rotated at least twice
+    assert pipe.metrics.records_inserted == pipe.metrics.records_consumed
+    assert len(pipe.completed_paths) >= 2
