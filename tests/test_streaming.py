@@ -199,3 +199,53 @@ def test_d16_processing_time_trigger_rotation(spark, tmp_path):
     assert pipe.metrics.batches >= 2  # rotated at least twice
     assert pipe.metrics.records_inserted == pipe.metrics.records_consumed
     assert len(pipe.completed_paths) >= 2
+
+
+def test_s01_streaming_batch_equivalence(spark, tmp_path):
+    """S1 executed as an ACTUAL streaming query (readStream over the
+    events fixture, window() agg, memory sink) must produce exactly the
+    batch-mode declared-query result — the survey's 'streaming in the
+    engine, hash-checked in batch' contract (SURVEY.md §2b)."""
+    from pyspark.sql import functions as F
+
+    from quacfka_spark.registry import get_queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    # events.ts is parquet TIMESTAMP(NANOS): declare it long and convert,
+    # exactly like catalog.load_views does for batch
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    # file-stream sources want a directory; symlink the fixture in
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    os.symlink(f"{sf_dir}/events.parquet", stream_dir / "events.parquet")
+    src = spark.readStream.schema(schema).parquet(str(stream_dir))
+    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("w"),
+            "event_type",
+            "n",
+            "s",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("s01_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM s01_stream").collect())
+    )
+    want = sorted(
+        map(tuple, get_queries()["s01_tumbling_window"](spark, sf_dir).collect())
+    )
+    assert got == want
