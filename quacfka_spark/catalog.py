@@ -34,6 +34,10 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
+_VIEW_CACHE: dict[tuple[SparkSession, str], dict[str, DataFrame]] = {}
+_LAST_REGISTERED: dict[SparkSession, str] = {}
+
+
 def load_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register each fixture parquet as a temp view; returns the DataFrames.
 
@@ -42,7 +46,22 @@ def load_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     convert to a microsecond timestamp (the fixture values are
     microsecond-aligned, so the conversion is lossless and matches the
     DuckDB oracle's TIMESTAMP_NS rendering).
+
+    Cached per (session, sf_dir): every declared query calls this, and
+    the 10 schema reads + view registrations are pure overhead after the
+    first call (the DataFrames are immutable lazy plans).
     """
+    key = (spark, sf_dir)
+    cached = _VIEW_CACHE.get(key)
+    if cached is not None:
+        # cheap re-registration (no schema reads) if another sf_dir was
+        # registered since — keeps the temp-view namespace consistent
+        # for callers that use view names rather than the returned dfs
+        if _LAST_REGISTERED.get(spark) != sf_dir:
+            for name, df in cached.items():
+                df.createOrReplaceTempView(name)
+            _LAST_REGISTERED[spark] = sf_dir
+        return cached
     tune_session(spark)
     dfs: dict[str, DataFrame] = {}
     for name in TABLES:
@@ -52,4 +71,6 @@ def load_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df.createOrReplaceTempView(name)
         dfs[name] = df
+    _VIEW_CACHE[key] = dfs
+    _LAST_REGISTERED[spark] = sf_dir
     return dfs
