@@ -249,3 +249,73 @@ def test_s01_streaming_batch_equivalence(spark, tmp_path):
         map(tuple, get_queries()["s01_tumbling_window"](spark, sf_dir).collect())
     )
     assert got == want
+
+
+def test_s03_streaming_session_window_with_watermark(spark, tmp_path):
+    """S3 as an actual watermark-closed streaming query: sessions emit in
+    append mode once the watermark passes them. A far-future sentinel
+    event arrives as the final micro-batch to push the watermark past
+    every real session; the emitted sessions must equal the batch
+    declared-query result."""
+    from pyspark.sql import functions as F
+
+    from quacfka_spark.registry import get_queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    os.symlink(f"{sf_dir}/events.parquet", stream_dir / "a_events.parquet")
+
+    # sentinel: one event a year past the fixture, lexicographically and
+    # mtime-wise LAST so it forms the final micro-batch
+    sent = pa.table(
+        {
+            "event_id": pa.array([10**9], pa.int64()),
+            "ts": pa.array([pd.Timestamp("2025-06-01").value], pa.int64()),
+            "user_id": pa.array([-1], pa.int64()),
+            "event_type": pa.array(["view"], pa.string()),
+            "value": pa.array([0.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    sent_path = stream_dir / "z_sentinel.parquet"
+    pq.write_table(sent, sent_path)
+    os.utime(sent_path, (time.time() + 60, time.time() + 60))
+
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+    )
+    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sessions = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "5 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("win.start").cast("string").alias("session_start"),
+            F.col("win.end").cast("string").alias("session_end"),
+            "n",
+        )
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("s03_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM s03_stream WHERE user_id >= 0").collect())
+    )
+    want = sorted(
+        map(tuple, get_queries()["s03_session_window"](spark, sf_dir).collect())
+    )
+    assert got == want
