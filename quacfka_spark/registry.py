@@ -46,6 +46,7 @@ def _load_all() -> None:
         extensions,
         multimodal,
         relational,
+        relational_ext,
         similarity,
         streaming_batch,
         text,
