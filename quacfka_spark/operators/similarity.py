@@ -163,3 +163,93 @@ def sim03_pandas_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round(cos_udf("embedding", "q"), 4).alias("cos"))
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+_IVF_K = 8       # coarse centroids (deterministic: the first K vectors)
+_IVF_PROBE = 2   # cells probed per query
+
+
+@query(
+    "sim04_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE vec_id < {_IVF_K}),
+    sims AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce), 6) AS s
+      FROM embeddings e, cents c),
+    assign AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT vec_id, embedding, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        FROM sims) t WHERE rn = 1),
+    probe AS (
+      SELECT cid AS cell FROM sims WHERE vec_id = {_QUERY_VEC_ID}
+      ORDER BY s DESC, cid LIMIT {_IVF_PROBE}),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT a.vec_id,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.qv), 4) AS cos
+    FROM assign a JOIN probe p ON a.cell = p.cell, q
+    WHERE a.vec_id <> {_QUERY_VEC_ID}
+    ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+    doc="IVF-style ANN: assign every vector to its nearest of K coarse "
+    "centroids (deterministic: the first K vectors stand in for trained "
+    "k-means centers), probe the query's top-2 cells, exact cosine "
+    "within them. The survey's declared scale path alongside sign-LSH.",
+)
+def sim04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization as pure DataFrame ops.
+
+    Scale design (100 TB): the centroid table is K rows -> broadcast;
+    the N x K similarity rows collapse map-side (partial max per vec_id
+    happens before the exchange, so the assignment shuffle moves N rows,
+    not N x K). At rest the cell id would be the partition key, making a
+    probe a partition-pruned scan of ~PROBE/K of the data -- the same
+    layout story as sim02's LSH bucket, with data-adaptive cells.
+    """
+    t = load_views(spark, sf_dir)
+    e = t["embeddings"]
+    cents = (
+        e.filter(F.col("vec_id") < _IVF_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    )
+    sims = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.round(cosine("embedding", "ce"), 6).alias("s"),
+    )
+    # argmax(s) with smaller-cid tie-break, carried embedding: one partial
+    # + final max of a struct ordered by (s, -cid); no window, no second join.
+    assign = (
+        sims.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("s").alias("s"),
+                    (-F.col("cid")).alias("nc"),
+                    F.col("embedding").alias("emb"),
+                )
+            ).alias("m")
+        )
+        .select("vec_id", (-F.col("m.nc")).alias("cell"), F.col("m.emb").alias("embedding"))
+    )
+    probe = (
+        sims.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .orderBy(F.desc("s"), F.asc("cid"))
+        .limit(_IVF_PROBE)
+        .select(F.col("cid").alias("cell"))
+    )
+    q = _query_row(t)
+    return (
+        assign.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(probe), "cell")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine("embedding", "q"), 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
