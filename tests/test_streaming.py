@@ -319,3 +319,74 @@ def test_s03_streaming_session_window_with_watermark(spark, tmp_path):
         map(tuple, get_queries()["s03_session_window"](spark, sf_dir).collect())
     )
     assert got == want
+
+
+def test_s7_stream_stream_interval_join(spark, tmp_path):
+    """S7: stream-stream inner join with watermarks on both sides and a
+    time-interval condition (ad impression joined to clicks within 10
+    minutes). State for each side is bounded by its watermark; Spark
+    drops impression state once click-time watermark passes imp_ts+10m.
+    The reference has no join at all in its streaming path — this is
+    engine-native capability beyond it (SURVEY.md §2b S-table scope)."""
+
+    def _write(d, name, col, rows):
+        tbl = pa.table(
+            {
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                col: pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(d, name))
+
+    imp_dir, clk_dir = str(tmp_path / "imps"), str(tmp_path / "clicks")
+    os.makedirs(imp_dir)
+    os.makedirs(clk_dir)
+    # batch 1: impressions for ads 1,2 at 10:00; click on ad 1 at 10:05
+    _write(imp_dir, "f1.parquet", "ad_id", [(TS("2024-01-01 10:00:00"), 1), (TS("2024-01-01 10:00:00"), 2)])
+    _write(clk_dir, "f1.parquet", "c_ad_id", [(TS("2024-01-01 10:05:00"), 1)])
+
+    imps = (
+        spark.readStream.schema("ts timestamp, ad_id bigint")
+        .parquet(imp_dir)
+        .withColumnRenamed("ts", "imp_ts")
+        .withWatermark("imp_ts", "10 minutes")
+    )
+    clks = (
+        spark.readStream.schema("ts timestamp, c_ad_id bigint")
+        .parquet(clk_dir)
+        .withColumnRenamed("ts", "click_ts")
+        .withWatermark("click_ts", "10 minutes")
+    )
+    joined = imps.join(
+        clks,
+        F.expr(
+            "ad_id = c_ad_id AND "
+            "click_ts >= imp_ts AND click_ts <= imp_ts + INTERVAL 10 MINUTES"
+        ),
+    ).select("ad_id", "imp_ts", "click_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("s7_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: late click on ad 2 (10:45 — outside the 10-minute
+        # interval) must NOT join; click on ad 3 joins its impression
+        _write(imp_dir, "f2.parquet", "ad_id", [(TS("2024-01-01 11:00:00"), 3)])
+        _write(
+            clk_dir,
+            "f2.parquet",
+            "c_ad_id",
+            [(TS("2024-01-01 10:45:00"), 2), (TS("2024-01-01 11:04:00"), 3)],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(
+        (r.ad_id, r.click_ts.strftime("%H:%M"))
+        for r in spark.sql("SELECT * FROM s7_sink").collect()
+    )
+    assert rows == [(1, "10:05"), (3, "11:04")], rows
