@@ -38,6 +38,10 @@ HEADLINE = [
     "q17_rollup",
     "q21_posexplode",
     "q23_subqueries",
+    "q27_cube_grouping",
+    "q28_window_nav",
+    "q30_percentile",
+    "q34_higher_order_array",
     "s01_tumbling_window",
     "s03_session_window",
     "t01_token_count",
@@ -46,6 +50,7 @@ HEADLINE = [
     "d03_minhash_lsh",
     "d05_embedding_cosine",
     "sim01_bruteforce_topk",
+    "sim04_ivf_topk",
     "m02_feature_extract",
     "m03_frame_sample",
     "x01_asof_join",

@@ -145,3 +145,37 @@ def test_x01_asof_join_is_single_shuffle_window(plans):
     assert len(re.findall(r"\(\d+\) Window", p)) == 1
     hash_ex = [x for x in re.findall(r"Arguments: (\w+)partitioning", p) if x == "hash"]
     assert len(hash_ex) == 1  # exactly one hash shuffle (user_id)
+
+
+def test_q28_one_window_one_exchange(plans):
+    """Five navigation functions share one window spec: they must plan
+    into a single Window node fed by a single hash-partition Exchange —
+    N window functions never cost N shuffles."""
+    p = plans("q28_window_nav")
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_q27_cube_single_expand_single_shuffle(plans):
+    """CUBE expands all 4 grouping sets in one Expand node and one
+    aggregation shuffle — not one pass per grouping set."""
+    p = plans("q27_cube_grouping")
+    assert len(re.findall(r"\(\d+\) Expand", p)) == 1
+    # one agg exchange + the final sort exchange
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    assert "partial_count" in p  # map-side combine survives the Expand
+
+
+def test_sim04_ivf_single_shuffle_broadcast_probe(plans):
+    """IVF ANN: the only Exchange is the argmax-assignment aggregation
+    (N rows after map-side partial); centroids, probe cells, and the
+    query vector all broadcast."""
+    p = plans("sim04_ivf_topk")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "SortMergeJoin" not in p
+    assert "partial_max" in p  # N x K collapses before the shuffle
+
+
+def test_q31_decimal_sum_partial(plans):
+    p = plans("q31_decimal_agg")
+    assert "partial_sum" in p  # decimal agg still combines map-side

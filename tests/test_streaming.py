@@ -390,3 +390,66 @@ def test_s7_stream_stream_interval_join(spark, tmp_path):
         for r in spark.sql("SELECT * FROM s7_sink").collect()
     )
     assert rows == [(1, "10:05"), (3, "11:04")], rows
+
+
+def test_s6b_transform_with_state_in_pandas(spark, tmp_path):
+    """S6 via the modern stateful API (transformWithStateInPandas,
+    Spark 4): a StatefulProcessor with ValueState keeps a running
+    per-user count across micro-batches. Requires the RocksDB state
+    store provider, and the ``protobuf`` Python package for Spark's
+    state-server protocol (absent in this container -> skipped; the
+    applyInPandasWithState path above is the tested-everywhere S6)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas needs the protobuf package",
+    )
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("n", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                total += len(pdf)
+            self._count.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [total]})
+
+        def close(self) -> None:
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        def build(src, ckpt, name):
+            out = src.groupBy("user_id").transformWithStateInPandas(
+                RunningCount(),
+                outputStructType="user_id bigint, n bigint",
+                outputMode="Update",
+                timeMode="None",
+            )
+            return (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        _run_two_batches(spark, tmp_path, build, "s6b_sink")
+        latest = {
+            r.user_id: r.n
+            for r in spark.sql(
+                "SELECT user_id, MAX(n) AS n FROM s6b_sink GROUP BY user_id"
+            ).collect()
+        }
+        assert latest == {1: 2, 2: 2, 3: 1}, latest
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
