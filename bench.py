@@ -70,14 +70,24 @@ def main() -> None:
     import subprocess
 
     try:
-        proc = subprocess.run(
-            [sys.executable, "-m", "quacfka_spark.bench_ingest"],
-            capture_output=True,
-            text=True,
-            timeout=420,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        ingest_out = json.loads(proc.stdout.strip().splitlines()[-1])
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m", "quacfka_spark.bench_ingest"],
+                capture_output=True,
+                text=True,
+                timeout=420,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            stdout = proc.stdout
+        except subprocess.TimeoutExpired as te:
+            # the subprocess emits a complete JSON line after EACH phase,
+            # so a kill mid-streaming still leaves the batch numbers on
+            # the last complete line
+            stdout = (te.stdout or b"")
+            if isinstance(stdout, bytes):
+                stdout = stdout.decode("utf-8", "replace")
+        lines = [ln for ln in stdout.strip().splitlines() if ln.startswith("{")]
+        ingest_out = json.loads(lines[-1])
         ingest = ingest_out.get("ingest", {"error": "missing"})
         ingest_streaming = ingest_out.get("ingest_streaming", {"error": "missing"})
         for label, rep in (("ingest", ingest), ("ingest_streaming", ingest_streaming)):

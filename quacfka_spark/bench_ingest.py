@@ -43,6 +43,16 @@ from quacfka_spark.sources.mock import NESTED_SCHEMA, _nested_payload
 
 DEFAULT_ROWS = int(os.environ.get("SPARK_GRAFT_INGEST_ROWS", "4000000"))
 
+# Wall-clock budget for the whole CLI run (bench.py gives the subprocess
+# 420 s). The host VM's effective CPU speed varies by several x between
+# runs (measured 3x swings in a loop microbenchmark), so fixed row
+# counts sometimes blow the budget; instead the bench CALIBRATES — time
+# a small pass, then size the measured run to fit the remaining budget.
+# Throughput (rows/s) stays comparable across sizes because every stage
+# is a narrow map with per-row cost.
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_INGEST_BUDGET_S", "300"))
+_CALIB_ROWS = 500_000
+
 
 def _gen_bytes(spark: SparkSession, rows: int, path: str, partitions: int) -> float:
     """Materialize `rows` JSON-encoded nested messages as a binary-column
@@ -62,10 +72,16 @@ def _gen_bytes(spark: SparkSession, rows: int, path: str, partitions: int) -> fl
 
 def run_ingest_bench(
     spark: SparkSession,
-    rows: int = DEFAULT_ROWS,
+    rows: int | None = None,
     work_dir: str = "/tmp/quacfka_spark_ingest",
+    deadline: float | None = None,
 ) -> dict:
     """Run the timed ingest: read bytes -> decode -> raw + norm writes.
+
+    ``rows=None`` auto-sizes: after warmup, a calibration pass over the
+    warm slice estimates this run's rows/s on THIS machine right now,
+    and the measured run is sized to ~45 s (capped at DEFAULT_ROWS).
+    ``deadline`` (time.monotonic()) bounds optional repeat passes.
 
     Returns a report shaped like the reference's metrics JSON
     (/root/reference/metrics.go:259-282).
@@ -76,8 +92,6 @@ def run_ingest_bench(
     out_norm = os.path.join(work_dir, "norm")
     shutil.rmtree(work_dir, ignore_errors=True)
 
-    mb = _gen_bytes(spark, rows, src, cores)
-
     # Warm the decode to JIT steady state before timing — the reference
     # reports steady-state 30s samples out of a 5-minute run
     # (metrics.go:101-166), so timing Spark's cold JIT would compare a
@@ -85,13 +99,45 @@ def run_ingest_bench(
     # codegen scaffolding) is shared across plans, so a few passes over
     # a small separate slice warm the fresh full-size plan too
     # (measured: 5x500k warm passes take the 4M decode 40s -> 7s).
+    warm_rows = min(rows // 8, _CALIB_ROWS) if rows else _CALIB_ROWS
     warm_src = os.path.join(work_dir, "warm")
-    _gen_bytes(spark, min(rows // 8, 500_000), warm_src, cores)
+    _gen_bytes(spark, warm_rows, warm_src, cores)
     warm = spark.read.parquet(warm_src).select(
         F.from_json(F.col("value").cast("string"), NESTED_SCHEMA).alias("r")
     ).select("r.*")
     for _ in range(5):
         warm.write.format("noop").mode("overwrite").save()
+
+    if rows is None:
+        # calibration: full raw+norm passes over the warm slice, best of
+        # 2 — the host VM shows intermittent multi-10s stalls (measured:
+        # an identical 0.6s job taking 77s), and a stalled single
+        # calibration would undersize the whole run
+        def calib_pass() -> float:
+            t0 = time.perf_counter()
+            warm.write.mode("overwrite").parquet(out_raw)
+            spark.read.parquet(out_raw).select(
+                F.col("site.id").alias("site_id"),
+                "user_id",
+                "amount",
+                F.explode_outer("deals").alias("deal"),
+            ).write.mode("overwrite").parquet(out_norm)
+            return time.perf_counter() - t0
+
+        calib_s = min(calib_pass() for _ in range(2))
+        rate = warm_rows / max(calib_s, 0.1)
+        # size so gen + pass1 + optional pass2 (~3 pass-equivalents) fit
+        # what's left of the budget
+        if deadline is not None:
+            target_pass_s = min(45.0, max(15.0, (deadline - time.monotonic()) / 3))
+        else:
+            target_pass_s = 45.0
+        rows = max(
+            _CALIB_ROWS,
+            min(DEFAULT_ROWS, int(rate * target_pass_s) // 100_000 * 100_000),
+        )
+
+    mb = _gen_bytes(spark, rows, src, cores)
 
     def one_pass() -> float:
         t0 = time.perf_counter()
@@ -125,11 +171,15 @@ def run_ingest_bench(
         norm.write.mode("overwrite").parquet(out_norm)
         return time.perf_counter() - t0
 
-    # Two passes, best kept: this VM shows large run-to-run variance
+    # Best-of-N with a deadline: this VM shows large run-to-run variance
     # (noisy neighbors / JIT); the reference's number is likewise its
     # best steady-state 30s sample, so best-of-N is the apples-to-apples
-    # capability measurement.
-    elapsed = min(one_pass() for _ in range(2))
+    # capability measurement. The second pass runs only if it fits.
+    elapsed = one_pass()
+    passes = 1
+    if deadline is None or time.monotonic() + elapsed * 1.2 < deadline:
+        elapsed = min(elapsed, one_pass())
+        passes = 2
 
     raw_n = spark.read.parquet(out_raw).count()
     norm_n = spark.read.parquet(out_norm).count()
@@ -145,7 +195,7 @@ def run_ingest_bench(
         "mb_per_second": round(mb / elapsed, 2),
         "payload_mb": round(mb, 2),
         "cores": cores,
-        "passes": 2,
+        "passes": passes,
     }
 
 
@@ -154,6 +204,7 @@ def run_streaming_ingest_bench(
     rows: int = DEFAULT_ROWS // 2,
     work_dir: str = "/tmp/quacfka_spark_ingest_stream",
     epochs: int = 4,
+    deadline: float | None = None,
 ) -> dict:
     """Same measurement through the actual StreamingPipeline orchestrator
     (foreachBatch, rotation epochs, post-publish, metrics) — the full
@@ -193,8 +244,10 @@ def run_streaming_ingest_bench(
         q.awaitTermination()
         return time.perf_counter() - t0, pipe.metrics.report()
 
-    # best-of-2 (see run_ingest_bench — VM variance + JIT warmup)
-    elapsed, rep = min((one_pass(i) for i in range(2)), key=lambda t: t[0])
+    # best-of-2 when the deadline allows (see run_ingest_bench)
+    elapsed, rep = one_pass(0)
+    if deadline is None or time.monotonic() + elapsed * 1.2 < deadline:
+        elapsed, rep = min((elapsed, rep), one_pass(1), key=lambda t: t[0])
     shutil.rmtree(work_dir, ignore_errors=True)
     total = rep["records_inserted"] + rep["norm_records_inserted"]
     return {
@@ -221,15 +274,33 @@ def main() -> None:
     from quacfka_spark.session import get_spark
 
     spark = get_spark("quacfka-spark-ingest-bench")
+    deadline = time.monotonic() + BUDGET_S
     out: dict = {}
     try:
-        out["ingest"] = run_ingest_bench(spark)
+        # batch gets ~2/3 of the budget; its calibrated size also sizes
+        # the streaming run below
+        out["ingest"] = run_ingest_bench(
+            spark, deadline=min(deadline, time.monotonic() + BUDGET_S * 2 / 3)
+        )
     except Exception as e:  # pragma: no cover
         out["ingest"] = {"error": str(e)[:200]}
-    try:
-        out["ingest_streaming"] = run_streaming_ingest_bench(spark)
-    except Exception as e:  # pragma: no cover
-        out["ingest_streaming"] = {"error": str(e)[:200]}
+    # progressive emit: if the host stalls during the streaming phase and
+    # the parent kills this subprocess, the batch numbers still reach
+    # bench.py (it reads the LAST complete stdout line)
+    json.dump(out, sys.stdout)
+    sys.stdout.write("\n")
+    sys.stdout.flush()
+    remaining = deadline - time.monotonic()
+    if remaining < 60:
+        out["ingest_streaming"] = {"skipped": f"budget exhausted ({remaining:.0f}s left)"}
+    else:
+        try:
+            batch_rows = out["ingest"].get("records_consumed", DEFAULT_ROWS)
+            out["ingest_streaming"] = run_streaming_ingest_bench(
+                spark, rows=max(_CALIB_ROWS, batch_rows // 2), deadline=deadline
+            )
+        except Exception as e:  # pragma: no cover
+            out["ingest_streaming"] = {"error": str(e)[:200]}
     json.dump(out, sys.stdout)
     print()
     spark.stop()
