@@ -115,3 +115,72 @@ def x02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["documents"].select("doc_id", "lang").filter(frac < rate).orderBy("doc_id")
     )
+
+
+_BAND_US = 3600 * 1_000_000  # 1-hour band in microseconds
+
+
+@query(
+    "x03_range_band_join",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+         v AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'view')
+    SELECT c.event_id AS click_id,
+           COUNT(v.event_id) AS n_views,
+           ROUND(SUM(v.value), 2) AS sum_value
+    FROM c JOIN v
+      ON v.user_id = c.user_id
+     AND v.ts >= c.ts - INTERVAL 1 HOUR
+     AND v.ts < c.ts
+    GROUP BY c.event_id ORDER BY click_id
+    """,
+    doc="Banded range join: views within the hour before each click, "
+    "per user. The naive plan is a non-equi (BNLJ) join — quadratic per "
+    "user. The 100 TB plan here buckets event time into band-width cells "
+    "(exact integer microseconds, unix_micros) and EXPLODES the click "
+    "side to its two candidate cells, turning the range predicate into "
+    "an equi hash join on (user_id, bucket) + a cheap residual filter: "
+    "one shuffle, candidate set bounded by band width, no BNLJ. The "
+    "oracle is the direct interval-predicate formulation.",
+)
+def x03_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    ev = t["events"].select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("us").alias("c_us"),
+            F.floor(F.col("us") / _BAND_US).alias("b"),
+        )
+        .select(
+            "click_id", "user_id", "c_us",
+            F.explode(F.array(F.col("b") - 1, F.col("b"))).alias("bucket"),
+        )
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("us").alias("v_us"),
+        "value",
+        F.floor(F.col("us") / _BAND_US).alias("bucket"),
+    )
+    return (
+        clicks.join(views, ["user_id", "bucket"])
+        .filter(
+            (F.col("v_us") >= F.col("c_us") - F.lit(_BAND_US))
+            & (F.col("v_us") < F.col("c_us"))
+        )
+        .groupBy("click_id")
+        .agg(
+            F.count("view_id").alias("n_views"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("click_id")
+    )

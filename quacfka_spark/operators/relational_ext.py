@@ -402,3 +402,93 @@ def q36_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Q37 — time-interval RANGE window frame
+@query(
+    "q37_range_interval_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2)
+             AS rolling_1h
+    FROM events ORDER BY event_id
+    """,
+    doc="Rolling 1-hour sum per user via a RANGE frame over event time — "
+    "the time-series frame the reference's DuckRunner users write "
+    "(/root/reference/duck.go:70-72 delegates arbitrary SQL). SUM over a "
+    "RANGE frame is peer-insensitive, so ts ties stay deterministic. "
+    "Scale: one shuffle on user_id, sorted scan per partition; frame "
+    "evaluation is streaming (no per-row re-scan).",
+)
+def q37_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    win = (
+        "SUM(value) OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    )
+    return (
+        t["events"]
+        .select(
+            "event_id", "user_id", F.round(F.expr(win), 2).alias("rolling_1h")
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q38 — correlated scalar subquery in the select list
+@query(
+    "q38_correlated_scalar",
+    oracle="""
+    SELECT c.c_custkey,
+           (SELECT ROUND(MAX(o.o_totalprice), 2) FROM orders o
+             WHERE o.o_custkey = c.c_custkey) AS max_price
+    FROM customer c ORDER BY c_custkey
+    """,
+    doc="Correlated scalar subquery — Catalyst decorrelates it into a "
+    "left outer aggregate join (RewriteCorrelatedScalarSubquery), so at "
+    "scale this is one shuffled agg + one join, not a per-row probe.",
+)
+def q38_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey,
+               (SELECT ROUND(MAX(o.o_totalprice), 2) FROM orders o
+                 WHERE o.o_custkey = c.c_custkey) AS max_price
+        FROM customer c ORDER BY c_custkey
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Q39 — LATERAL correlated subquery join (top-N per row)
+@query(
+    "q39_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+    """,
+    doc="LATERAL top-2 orders per customer. Spark SQL supports the same "
+    "LATERAL syntax (3.2+); Catalyst plans the correlated LIMIT as a "
+    "decorrelated window/rank, i.e. the same single-shuffle plan q13 "
+    "writes by hand — per-row probing never reaches the physical plan.",
+)
+def q39_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+        """
+    )
