@@ -179,3 +179,46 @@ def test_sim04_ivf_single_shuffle_broadcast_probe(plans):
 def test_q31_decimal_sum_partial(plans):
     p = plans("q31_decimal_agg")
     assert "partial_sum" in p  # decimal agg still combines map-side
+
+
+def test_x03_band_join_is_equi_never_bnlj(plans):
+    """The banded range join must plan as an equi hash join on
+    (user_id, bucket) — the bucket-explode rewrite exists precisely so
+    the range predicate never degrades to BroadcastNestedLoopJoin /
+    CartesianProduct (quadratic per-user probing at scale)."""
+    p = plans("x03_range_band_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", p)
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 1  # 2-bucket explode
+    assert "partial_count" in p  # per-click agg combines map-side
+
+
+def test_q39_lateral_decorrelates_to_group_limit(plans):
+    """Spark must decorrelate the LATERAL LIMIT subquery into a
+    rank-based group-limit + one equi join — a per-row probe loop
+    (nested-loop join) must never reach the physical plan."""
+    p = plans("q39_lateral_topn")
+    assert "WindowGroupLimit" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q38_correlated_scalar_decorrelates_to_agg_join(plans):
+    """The correlated scalar subquery becomes one shuffled aggregate
+    joined back to customer — partial_max proves map-side combine, the
+    equi join proves decorrelation happened."""
+    p = plans("q38_correlated_scalar")
+    assert "partial_max" in p
+    assert re.search(r"BroadcastHashJoin|SortMergeJoin", p)
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q37_interval_frame_single_window_exchange(plans):
+    """The RANGE-frame rolling sum costs one hash exchange (user_id)
+    plus the final presentation sort — the frame itself is evaluated in
+    a single sorted pass, never a self-join."""
+    p = plans("q37_range_interval_frame")
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    assert not re.search(r"\(\d+\) \w*Join", p)
