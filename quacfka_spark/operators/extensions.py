@@ -184,3 +184,38 @@ def x03_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_id")
     )
+
+
+@query(
+    "x04_time_rollup",
+    oracle="""
+    SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour' ELSE 'day' END AS gran,
+           COALESCE(h, d) AS bucket, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS s
+    FROM (SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+                 event_type, value
+          FROM events)
+    GROUP BY GROUPING SETS ((d, event_type), (h, event_type))
+    ORDER BY gran, bucket, event_type
+    """,
+    doc="Hypertable-style multi-granularity rollup: hourly AND daily "
+    "continuous aggregates of the event stream in ONE scan, one Expand, "
+    "one aggregation shuffle (GROUPING SETS) — not one pass per "
+    "granularity. At 100 TB this is the materialized-rollup maintenance "
+    "query run per ingest window (the reference delegates such "
+    "aggregate-to-table queries to DuckRunner, duck.go:70-72).",
+)
+def x04_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour' ELSE 'day' END AS gran,
+               COALESCE(h, d) AS bucket, event_type,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS s
+        FROM (SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+                     event_type, value
+              FROM events)
+        GROUP BY GROUPING SETS ((d, event_type), (h, event_type))
+        ORDER BY gran, bucket, event_type
+        """
+    )

@@ -202,3 +202,35 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(" ", F.col("tk"))).alias("full_fp"),
         min_fp.alias("min_shingle_fp"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "t05_term_frequency",
+    oracle="""
+    WITH tok AS (
+      SELECT lower(t.word) AS word
+      FROM documents, UNNEST(str_split(text, ' ')) AS t(word)
+      WHERE t.word <> '')
+    SELECT word, COUNT(*) AS n
+    FROM tok GROUP BY word ORDER BY n DESC, word LIMIT 50
+    """,
+    doc="Corpus term frequency, top-50: split/explode + count. Scale "
+    "shape: the Generate (explode) stays in the scan stage and the "
+    "partial HashAggregate combines token counts map-side BEFORE the "
+    "shuffle, so the exchange carries one row per distinct term per "
+    "task, not one per token; the top-50 is TakeOrderedAndProject, "
+    "never a global sort.",
+)
+def t05_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .select(F.lower(F.col("word")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(50)
+    )

@@ -222,3 +222,24 @@ def test_q37_interval_frame_single_window_exchange(plans):
     assert len(re.findall(r"\(\d+\) Window\b", p)) == 1
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
     assert not re.search(r"\(\d+\) \w*Join", p)
+
+
+def test_x04_rollup_single_expand_single_agg_shuffle(plans):
+    """Both granularities (hour + day) come out of ONE scan via one
+    Expand and one aggregation shuffle — multi-granularity rollups must
+    never cost one pass per granularity."""
+    p = plans("x04_time_rollup")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Expand", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2  # agg + final sort
+    assert "partial_count" in p
+
+
+def test_t05_term_frequency_combines_before_shuffle(plans):
+    """Token counts combine map-side after the explode (the exchange
+    carries distinct terms per task, not tokens) and the top-50 is
+    TakeOrderedAndProject, not a global sort."""
+    p = plans("t05_term_frequency")
+    assert "partial_count" in p
+    assert "TakeOrderedAndProject" in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
