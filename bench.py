@@ -54,6 +54,10 @@ HEADLINE = [
     "m02_feature_extract",
     "m03_frame_sample",
     "x01_asof_join",
+    "x03_range_band_join",
+    "x04_time_rollup",
+    "t05_term_frequency",
+    "q37_range_interval_frame",
 ]
 
 
