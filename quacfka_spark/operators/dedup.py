@@ -170,9 +170,9 @@ def _minhash_cols() -> list[F.Column]:
     ]
 
 
-@query(
-    "d03_minhash_lsh",
-    oracle=f"""
+# Shared by d03 (pairs) and d06 (clusters-over-pairs): the full MinHash
+# chain replicated in DuckDB SQL.
+_D03_ORACLE = f"""
     WITH toks AS ({_ORACLE_TOKS}),
     sh AS ({_ORACLE_SHINGLES}),
     mh AS (
@@ -199,7 +199,12 @@ def _minhash_cols() -> list[F.Column]:
     FROM common c JOIN n na ON na.doc_id = c.i JOIN n nb ON nb.doc_id = c.j
     WHERE c.c * 1.0 / (na.n + nb.n - c.c) >= 0.7
     ORDER BY i, j
-    """,
+    """
+
+
+@query(
+    "d03_minhash_lsh",
+    oracle=_D03_ORACLE,
     doc="MinHash+LSH near-dup: 12 seeded-md5 minhashes as array folds "
     "(no shuffle), banded 3-wide into 4 LSH signatures, bucket self-join "
     "on (band, sig) for candidates, exact Jaccard verify on candidates "
@@ -211,6 +216,16 @@ def _minhash_cols() -> list[F.Column]:
     "the ~KB shingle set is the standard minhash-dedup layout.",
 )
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _minhash_pairs(spark, sf_dir)
+        .select("i", "j", F.round(F.col("_j"), 4).alias("jaccard"))
+        .orderBy("i", "j")
+    )
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-verified LSH candidate pairs (i, j, _j) — the shared core
+    of d03 (reported pairs) and d06 (duplicate clusters)."""
     sh = _doc_shingles(spark, sf_dir)
     sigs = sh.select("doc_id", "shs", *_minhash_cols())
     n_bands = _MINHASH_N // _BAND_SIZE
@@ -247,12 +262,7 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     common = F.size(F.array_intersect("shs_i", "shs_j"))
     jac = common / (F.size("shs_i") + F.size("shs_j") - common)
-    return (
-        cand.select("i", "j", F.round(jac, 4).alias("jaccard"), jac.alias("_j"))
-        .filter(F.col("_j") >= 0.7)
-        .drop("_j")
-        .orderBy("i", "j")
-    )
+    return cand.select("i", "j", jac.alias("_j")).filter(F.col("_j") >= 0.7)
 
 
 # --------------------------------------------------------------------------
@@ -400,3 +410,73 @@ def d05_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.mapInPandas(block_cosine, schema="i bigint, j bigint, cos double")
         .orderBy("i", "j")
     )
+
+
+# --------------------------------------------------------------------------
+_D06_ORACLE = f"""
+    WITH RECURSIVE
+    pairs AS (SELECT i, j FROM ({_D03_ORACLE})),
+    e AS (SELECT i AS a, j AS b FROM pairs
+          UNION SELECT j AS a, i AS b FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN e e2 ON e2.a = r.b),
+    lbl AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a)
+    SELECT doc_id, cluster_id FROM lbl ORDER BY doc_id
+    """
+
+
+@query(
+    "d06_dup_clusters",
+    oracle=_D06_ORACLE,
+    doc="Duplicate clustering: connected components over the "
+    "Jaccard-verified MinHash pairs (d03), labeling every near-dup doc "
+    "with the min doc_id of its component — the step that turns "
+    "pairwise near-dup hits into keep-one-per-cluster decisions in a "
+    "training-data pipeline. Implemented as iterative min-label "
+    "propagation: per round, one equi join (edges x labels) + one "
+    "min-aggregate, lineage truncated via localCheckpoint; rounds = "
+    "graph diameter, and LSH components are near-cliques (diameter "
+    "1-2), so it converges in 2-3 rounds. At cluster scale swap "
+    "localCheckpoint for reliable checkpointing and, for adversarial "
+    "long-chain graphs, the large-star/small-star contraction variant "
+    "(same join-agg building blocks). The only driver-side value per "
+    "round is the scalar changed-count. Oracle: transitive closure via "
+    "recursive CTE over the same pair SQL.",
+)
+def d06_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _minhash_pairs(spark, sf_dir).select("i", "j")
+    edges = (
+        pairs.select(F.col("i").alias("a"), F.col("j").alias("b"))
+        .union(pairs.select(F.col("j").alias("a"), F.col("i").alias("b")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # diameter bound; LSH components converge in 2-3
+        prop = edges.join(labels, edges["a"] == labels["v"]).select(
+            F.col("b").alias("v"), "lbl"
+        )
+        new_labels = (
+            labels.union(prop).groupBy("v").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    ).orderBy("doc_id")
