@@ -234,3 +234,54 @@ def t05_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "word")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+_CHUNK = 32  # tokens per chunk
+
+
+@query(
+    "t06_chunk_split_udtf",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+    c AS (
+      SELECT doc_id, g.i AS chunk_id,
+             array_to_string(tk[g.i * {_CHUNK} + 1 : (g.i + 1) * {_CHUNK}], ' ')
+               AS chunk,
+             LEAST({_CHUNK}, len(tk) - g.i * {_CHUNK}) AS n_tokens
+      FROM toks,
+           UNNEST(generate_series(0, CAST(ceil(len(tk) / {_CHUNK}.0) AS INT) - 1))
+             AS g(i))
+    SELECT doc_id, chunk_id, chunk, n_tokens
+    FROM c ORDER BY doc_id, chunk_id
+    """,
+    doc="Context-window chunking (32-token chunks per document) through "
+    "the Python UDTF surface (SURVEY §2b UDF/UDTF row): an "
+    "Arrow-optimized @udtf invoked via LATERAL — one input row yields "
+    "N chunk rows, the table-function analog of the reference's "
+    "CustomArrow record->record transforms (quacfka.go:21-24). "
+    "Chunking itself needs no Python (sequence+slice+explode built-ins "
+    "express it); this operator exists to keep the UDTF extension point "
+    "tested. Scale: the UDTF is a narrow per-partition map — no "
+    "shuffle until the final presentation sort.",
+)
+def t06_chunk_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, chunk string, n_tokens int", useArrow=True)
+    class ChunkSplit:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(0, len(toks), _CHUNK):
+                part = toks[i : i + _CHUNK]
+                yield i // _CHUNK, " ".join(part), len(part)
+
+    load_views(spark, sf_dir)
+    spark.udtf.register("chunk_split", ChunkSplit)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk, c.n_tokens
+        FROM documents d, LATERAL chunk_split(d.text) c
+        ORDER BY doc_id, chunk_id
+        """
+    )
