@@ -492,3 +492,34 @@ def q39_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey, o_totalprice DESC, o_orderkey
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Q40 — FILTER clause on aggregates
+@query(
+    "q40_filtered_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+           ROUND(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+             AS disc_rev
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Conditional aggregation via the SQL FILTER clause — several "
+    "differently-filtered aggregates in ONE scan + one shuffle (the "
+    "pre-FILTER idiom was N scans or CASE-wrapped inputs). Partial "
+    "aggregation still combines map-side.",
+)
+def q40_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+               ROUND(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+                 AS disc_rev
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
