@@ -253,3 +253,48 @@ def sim04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+_DIM = 64  # fixture embedding dimensionality (FIXTURES.md)
+
+
+@query(
+    "sim05_label_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+             unnest(embedding) AS e
+      FROM embeddings)
+    SELECT label, pos, ROUND(AVG(e), 4) AS c
+    FROM ex GROUP BY label, pos ORDER BY label, pos
+    """,
+    doc="Per-label centroids over the embedding column — the vector "
+    "aggregation that trains IVF coarse quantizers (sim04 probes such "
+    "centroids) and powers class-prototype analyses. Computed as 64 "
+    "parallel AVG aggregates over element_at — ONE shuffle carrying 10 "
+    "labels x 64 partial (sum,count) pairs, no row explosion before the "
+    "exchange (the naive posexplode plan shuffles N x 64 rows). The "
+    "10-row result is exploded to (label, pos, c) scalars only AFTER "
+    "the aggregation, for the hash compare. The oracle is the "
+    "explode-first formulation.",
+)
+def sim05_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    avgs = [
+        F.round(F.avg(F.element_at("embedding", i + 1)), 4).alias(f"a{i}")
+        for i in range(_DIM)
+    ]
+    return (
+        t["embeddings"]
+        .groupBy("label")
+        .agg(*avgs)
+        .select(
+            "label",
+            F.posexplode(F.array(*[F.col(f"a{i}") for i in range(_DIM)])).alias(
+                "pos", "c"
+            ),
+        )
+        .orderBy("label", "pos")
+    )
