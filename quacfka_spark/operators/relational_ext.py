@@ -523,3 +523,40 @@ def q40_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Q41 — UNPIVOT / melt
+@query(
+    "q41_unpivot",
+    oracle="""
+    WITH a AS (
+      SELECT l_returnflag,
+             ROUND(SUM(l_quantity), 2) AS qty,
+             ROUND(SUM(l_extendedprice), 2) AS price,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'qty' AS metric, qty AS value FROM a
+    UNION ALL SELECT l_returnflag, 'price', price FROM a
+    UNION ALL SELECT l_returnflag, 'n', n FROM a
+    ORDER BY l_returnflag, metric
+    """,
+    doc="UNPIVOT (wide metrics -> long key/value rows) via DataFrame "
+    ".unpivot — the inverse of q32_pivot. Catalyst plans it as a single "
+    "Expand over the 3-row aggregate (no self-union of scans); the "
+    "oracle is the portable UNION ALL formulation.",
+)
+def q41_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    agg = (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("price"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        )
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["qty", "price", "n"], "metric", "value"
+    ).orderBy("l_returnflag", "metric")

@@ -190,3 +190,55 @@ def test_sqlrunner_exec_mode_with_export(spark, tmp_path, input_dir):
     exported = spark.read.parquet(export_dir)
     assert exported.columns == ["site", "n"]
     assert exported.agg(F.sum("n")).collect()[0][0] == 400
+
+
+def test_d19_restart_from_checkpoint_exactly_once(spark, tmp_path):
+    """D19 lifecycle upgrade (SURVEY §4.3): restarting the pipeline from
+    its checkpoint must process ONLY data that arrived since the last
+    run — the reference has no offset/commit coordination (a crash
+    between Kafka commit and DuckDB write loses/dupes data); the Spark
+    engine's checkpoint + file-sink commit log gives exactly-once."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+
+    def write_rows(lo, hi):
+        (
+            spark.range(lo, hi)
+            .select(
+                F.encode(F.to_json(_nested_payload(F.col("id"))), "utf-8").alias(
+                    "value"
+                )
+            )
+            .coalesce(1)
+            .write.mode("append").parquet(inp)
+        )
+
+    def run_once():
+        source = spark.readStream.schema("value binary").parquet(inp)
+        pipe = StreamingPipeline(
+            spark,
+            source,
+            PipelineConfig(
+                output_dir=out,
+                dest_table="m",
+                available_now=True,
+                sink_partitions=1,
+            ),
+            decode=lambda df: decode_json(df, NESTED_SCHEMA),
+        )
+        q = pipe.start()
+        q.awaitTermination(120)
+        assert pipe.error() is None
+        return pipe
+
+    write_rows(0, 100)
+    p1 = run_once()
+    assert p1.metrics.report()["records_consumed"] == 100
+
+    write_rows(100, 150)
+    p2 = run_once()
+    # second run consumed ONLY the new arrivals...
+    assert p2.metrics.report()["records_consumed"] == 50
+    # ...and the sink holds each record exactly once across both runs
+    raw = spark.read.parquet(os.path.join(out, "m"))
+    assert raw.count() == 150
