@@ -243,3 +243,33 @@ def test_t05_term_frequency_combines_before_shuffle(plans):
     assert "partial_count" in p
     assert "TakeOrderedAndProject" in p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_sim05_centroids_aggregate_before_explode(plans):
+    """Centroid training must aggregate BEFORE any row explosion: the
+    Generate (posexplode to scalars) sits after the final HashAggregate,
+    so the exchange carries labels x 64 partials, never N x 64 exploded
+    rows."""
+    p = plans("sim05_label_centroids")
+    assert "partial_avg" in p
+    idx_gen = p.index("Generate")
+    idx_ex = p.index("Exchange")
+    assert idx_ex < idx_gen  # agg exchange precedes the explode
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2  # agg + final sort
+
+
+def test_q40_filtered_aggs_one_pass(plans):
+    """Three differently-filtered aggregates cost ONE scan and one
+    aggregation exchange with map-side partials."""
+    p = plans("q40_filtered_agg")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "partial_count" in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+
+
+def test_q41_unpivot_single_expand_no_scan_union(plans):
+    """The melt is one Expand over the aggregate — never a self-union
+    of N scans (the UNION ALL formulation the oracle uses)."""
+    p = plans("q41_unpivot")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Expand", p)) == 1
