@@ -101,13 +101,19 @@ def main() -> None:
         ingest = ingest_streaming = {"error": str(e)[:200]}
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        # noop sink materializes every output column (a bare count() would
-        # let Catalyst prune the projections we're trying to measure).
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = fn(spark, SF_DIR)
+            # noop sink materializes every output column (a bare count()
+            # would let Catalyst prune the projections we measure).
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as e:  # one broken query must not lose the run
+            errors[name] = str(e)[:200]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
@@ -122,6 +128,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "ingest": ingest,
                 "ingest_streaming": ingest_streaming,
+                **({"errors": errors} if errors else {}),
             }
         )
     )
