@@ -453,3 +453,47 @@ def test_s6b_transform_with_state_in_pandas(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_s02_streaming_sliding_window_equivalence(spark, tmp_path):
+    """S2 as an actual streaming query: the sliding window(ts, 1h, 30m)
+    aggregation over readStream must equal the batch declared query —
+    each event lands in its two overlapping windows in streaming exactly
+    as the batch oracle's 2-row offsets replay says it should."""
+    from pyspark.sql import functions as F
+
+    from quacfka_spark.registry import get_queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    stream_dir = tmp_path / "events_stream_s02"
+    stream_dir.mkdir()
+    os.symlink(f"{sf_dir}/events.parquet", stream_dir / "events.parquet")
+    src = spark.readStream.schema(schema).parquet(str(stream_dir))
+    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes")
+            .getField("start")
+            .cast("string")
+            .alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("s02_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_s02"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM s02_stream").collect()))
+    want = sorted(
+        map(tuple, get_queries()["s02_sliding_window"](spark, sf_dir).collect())
+    )
+    assert got == want
