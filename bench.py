@@ -100,6 +100,13 @@ def main() -> None:
     except Exception as e:  # pragma: no cover — bench must still emit JSON
         ingest = ingest_streaming = {"error": str(e)[:200]}
 
+    # Re-warm after the ingest subprocess: the main session idled for
+    # minutes while the ingest JVM owned the machine, and billing its
+    # re-warm (OS caches, JIT re-profiling) to the first timed queries
+    # skewed them 4-8x vs steady state.
+    queries["q01_scan_count"](spark, SF_DIR).collect()
+    queries["q04_hash_agg"](spark, SF_DIR).collect()
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
