@@ -219,3 +219,56 @@ def x04_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gran, bucket, event_type
         """
     )
+
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "x05_column_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+        (SELECT '{c}' AS column_name,
+                COUNT(*) - COUNT({c}) AS n_nulls,
+                COUNT(DISTINCT {c}) AS n_distinct,
+                ROUND(MIN(CAST({c} AS DOUBLE)), 2) AS min_v,
+                ROUND(MAX(CAST({c} AS DOUBLE)), 2) AS max_v
+         FROM orders)"""
+        for c in _PROFILE_COLS
+    )
+    + " ORDER BY column_name",
+    doc="ANALYZE-style column profiling (null count, distinct count, "
+    "min/max) for pipeline-health checks — computed for all columns in "
+    "ONE scan and one aggregation (12 aggregates share the pass), then "
+    "exploded to long (column_name, stats) rows after the aggregate. "
+    "The oracle is the naive one-scan-per-column UNION ALL; at 100 TB "
+    "the single-pass form reads the table once instead of N times, and "
+    "the distinct counts would switch to approx_count_distinct "
+    "(documented trade: exact here for the hash check).",
+)
+def x05_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.round(F.min(F.col(c).cast("double")), 2).alias(f"{c}__min"),
+            F.round(F.max(F.col(c).cast("double")), 2).alias(f"{c}__max"),
+        ]
+    row = t["orders"].agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_v"),
+            F.col(f"{c}__max").alias("max_v"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return (
+        row.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.*")
+        .orderBy("column_name")
+    )
