@@ -252,9 +252,10 @@ def test_sim05_centroids_aggregate_before_explode(plans):
     rows."""
     p = plans("sim05_label_centroids")
     assert "partial_avg" in p
-    idx_gen = p.index("Generate")
-    idx_ex = p.index("Exchange")
-    assert idx_ex < idx_gen  # agg exchange precedes the explode
+    # node ids are leaf-to-root: the explode must sit above the agg
+    gen_id = int(re.search(r"\((\d+)\) Generate", p).group(1))
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", p)]
+    assert agg_ids and gen_id > max(agg_ids)
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 2  # agg + final sort
 
 
@@ -273,3 +274,16 @@ def test_q41_unpivot_single_expand_no_scan_union(plans):
     p = plans("q41_unpivot")
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert len(re.findall(r"\(\d+\) Expand", p)) == 1
+
+
+def test_x05_profile_single_scan_agg_before_explode(plans):
+    """All column stats come from ONE scan and one aggregation; the
+    explode to long rows happens after the final aggregate (1-row
+    input), never before it."""
+    p = plans("x05_column_profile")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    # node ids are leaf-to-root: the Generate (explode) must sit above
+    # every aggregate
+    gen_id = int(re.search(r"\((\d+)\) Generate", p).group(1))
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", p)]
+    assert agg_ids and gen_id > max(agg_ids)
