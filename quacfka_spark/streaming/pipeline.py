@@ -194,15 +194,20 @@ class StreamingPipeline:
             fh.write(json.dumps({"epoch": epoch_id, "table": table, "path": path}) + "\n")
 
     def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df = batch_df.persist()
-        to_unpersist = [batch_df]
-        try:
-            consumed = batch_df.count()
-            decoded = self.decode(batch_df) if self.decode else batch_df
-            if self.decode:
-                decoded = decoded.persist()
-                to_unpersist.append(decoded)
+        from pyspark.sql import Observation
 
+        # The consumed count (pre-decode input rows, D24) piggybacks on
+        # the first sink job via an Observation BELOW the decode — a
+        # separate count() job per epoch cost a full extra pass over the
+        # batch bytes. The decoded frame is persisted, so the observed
+        # node executes exactly once (the first write fills the cache;
+        # later sinks read it).
+        consumed_obs = Observation()
+        observed = batch_df.observe(consumed_obs, F.count(F.lit(1)).alias("n"))
+        decoded = self.decode(observed) if self.decode else observed
+        decoded = decoded.persist()
+        to_unpersist = [decoded]
+        try:
             raw_n = norm_n = custom_n = 0
             written: list[tuple[str, str]] = []  # (table, path)
 
@@ -237,6 +242,9 @@ class StreamingPipeline:
 
             for table, path in written:
                 self._publish_path(path, epoch_id, table)
+            # no sink materialized the batch (all stages toggled off):
+            # count directly, else read the piggybacked observation
+            consumed = decoded.count() if not written else int(consumed_obs.get["n"])
             self.metrics.record_batch(consumed, raw_n, norm_n, custom_n)
         finally:
             for df in to_unpersist:
