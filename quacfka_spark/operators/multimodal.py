@@ -159,3 +159,66 @@ def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .substr(F.col("frame_idx") * (_FRAME_BYTES * 2) + 1, F.lit(_FRAME_BYTES * 2))
         .alias("frame_hex"),
     ).orderBy("doc_id", "frame_idx")
+
+
+# --------------------------------------------------------------------------
+# m04 — modality routing by magic-number sniffing
+_MAGICS = (("89504E47", "image_png"), ("FFD8FF", "image_jpeg"), ("52494646", "audio_riff"))
+
+
+@query(
+    "m04_modality_route",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN from_hex('89504E47')
+               WHEN 1 THEN from_hex('FFD8FF')
+               ELSE from_hex('52494646') END || CAST(text AS BLOB) AS payload
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             CASE WHEN substr(hex(payload), 1, 8) = '89504E47' THEN 'image_png'
+                  WHEN substr(hex(payload), 1, 6) = 'FFD8FF' THEN 'image_jpeg'
+                  WHEN substr(hex(payload), 1, 8) = '52494646' THEN 'audio_riff'
+                  ELSE 'unknown' END AS modality,
+             octet_length(payload) AS nbytes
+      FROM p)
+    SELECT modality, COUNT(*) AS n, CAST(SUM(nbytes) AS BIGINT) AS total_bytes
+    FROM c GROUP BY modality ORDER BY modality
+    """,
+    doc="Modality routing: classify opaque binary payloads by magic "
+    "number (PNG/JPEG/RIFF) and aggregate per modality — the dispatch "
+    "step before per-modality decode in a multimodal pipeline. The "
+    "fixture carries no real media, so headers are synthesized "
+    "deterministically (doc_id %% 3) with REAL magic bytes and the "
+    "sniffing logic is genuine: hex-prefix CASE, pure codegen, one "
+    "aggregation shuffle of 3 modality rows. At 100 TB the CASE "
+    "becomes the partition key for per-modality decode stages.",
+)
+def m04_modality_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    hdr = (
+        F.when(F.col("doc_id") % 3 == 0, F.unhex(F.lit("89504E47")))
+        .when(F.col("doc_id") % 3 == 1, F.unhex(F.lit("FFD8FF")))
+        .otherwise(F.unhex(F.lit("52494646")))
+    )
+    p = t["documents"].select(
+        "doc_id", F.concat(hdr, F.encode("text", "utf-8")).alias("payload")
+    )
+    h = F.hex(F.col("payload"))
+    modality = (
+        F.when(F.substring(h, 1, 8) == "89504E47", "image_png")
+        .when(F.substring(h, 1, 6) == "FFD8FF", "image_jpeg")
+        .when(F.substring(h, 1, 8) == "52494646", "audio_riff")
+        .otherwise("unknown")
+    )
+    return (
+        p.select(modality.alias("modality"), F.octet_length("payload").alias("nbytes"))
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("nbytes").cast("bigint").alias("total_bytes"),
+        )
+        .orderBy("modality")
+    )
