@@ -80,3 +80,29 @@ def test_partitioned_write_prunes(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
     assert m and "o_orderstatus" in m.group(1)
     assert df.count() == t["orders"].filter("o_orderstatus = 'F'").count()
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
+    """At 100 TB the fact table is partitioned on the dispatch key and a
+    filtered dimension join must prune fact partitions at RUNTIME via
+    dynamic partition pruning — the scan carries a dynamicpruning
+    subquery filter, so partitions for dim values the filter rejects
+    are never read."""
+    t = load_views(spark, SF)
+    fact_dir = str(tmp_path / "events_by_type")
+    t["events"].write.partitionBy("event_type").parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("click", 1.5), ("view", 1.0), ("purchase", 2.0)],
+        "event_type string, weight double",
+    )
+    fact = spark.read.parquet(fact_dir)
+    j = (
+        fact.join(F.broadcast(dim.filter(F.col("weight") > 1.2)), "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = _plan(j)
+    assert "dynamicpruningexpression" in p.lower()
+    # and the result only contains the surviving partitions
+    got = {r["event_type"] for r in j.collect()}
+    assert got <= {"click", "purchase"}
