@@ -41,11 +41,13 @@ _LAST_REGISTERED: dict[SparkSession, str] = {}
 def load_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register each fixture parquet as a temp view; returns the DataFrames.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as long (``nanosAsLong``) and
-    convert to a microsecond timestamp (the fixture values are
-    microsecond-aligned, so the conversion is lossless and matches the
-    DuckDB oracle's TIMESTAMP_NS rendering).
+    ``events.ts`` has surfaced as three different types across fixture
+    generations: parquet TIMESTAMP(NANOS) read as long (``nanosAsLong``),
+    TIMESTAMP_NTZ, and plain TIMESTAMP. All are normalized here to
+    session-local TIMESTAMP — the session timezone is pinned UTC
+    (session.py), so the NTZ->LTZ cast is value-preserving and every
+    downstream ts consumer (unix_micros, window, session_window, ...)
+    sees one stable dtype regardless of fixture drift.
 
     Cached per (session, sf_dir): every declared query calls this, and
     the 10 schema reads + view registrations are pure overhead after the
@@ -67,8 +69,14 @@ def load_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         for field in df.schema.fields:
-            if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            if field.name != "ts":
+                continue
+            if isinstance(field.dataType, T.LongType):
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif not isinstance(field.dataType, T.TimestampType):
+                # TIMESTAMP_NTZ (or any other ts flavor) -> TIMESTAMP;
+                # lossless under the pinned-UTC session timezone.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         df.createOrReplaceTempView(name)
         dfs[name] = df
     _VIEW_CACHE[key] = dfs

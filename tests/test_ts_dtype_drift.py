@@ -1,0 +1,87 @@
+"""Fixture-drift screen for ``events.ts``.
+
+The driver's fixture generator has emitted ``ts`` as three different
+physical types across rounds: parquet TIMESTAMP(NANOS), TIMESTAMP_NTZ
+(timestamp[us], no tz) and TIMESTAMP (timestamp[us, tz=UTC]). Round 3's
+only red correctness row was x03 breaking on the NTZ flavor. This module
+rewrites the events table with ``ts`` as each flavor and asserts every
+ts-consuming declared query still hash-matches its DuckDB oracle on the
+rewritten fixture, so dtype drift is caught in-repo before the driver
+sees it.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from quacfka_spark.catalog import TABLES
+from quacfka_spark.registry import QUERIES, get_queries
+
+import tests.conftest as cf
+from tests.parity import compare
+
+get_queries()
+
+# Every declared query whose plan consumes events.ts.
+TS_QUERIES = (
+    "x01_asof_join",
+    "x03_range_band_join",
+    "x04_time_rollup",
+    "s01_tumbling_window",
+    "s02_sliding_window",
+    "s03_session_window",
+    "q37_range_interval_frame",
+)
+
+_FLAVORS = {
+    "ntz": pa.timestamp("us"),            # TIMESTAMP_NTZ (round-3 drift)
+    "ltz": pa.timestamp("us", tz="UTC"),  # TIMESTAMP (instant semantics)
+}
+
+
+@pytest.fixture(scope="module", params=sorted(_FLAVORS))
+def drift_dir(request, tmp_path_factory):
+    """Fixture dir identical to SMOKE_DIR except events.ts is recast."""
+    dst = tmp_path_factory.mktemp(f"ts_{request.param}")
+    for name in TABLES:
+        if name != "events":
+            os.symlink(f"{cf.SMOKE_DIR}/{name}.parquet", dst / f"{name}.parquet")
+    tbl = pq.read_table(f"{cf.SMOKE_DIR}/events.parquet")
+    idx = tbl.schema.get_field_index("ts")
+    target = _FLAVORS[request.param]
+    # Fixture values are microsecond-aligned (TESTDATA.md), so the cast
+    # is lossless in every direction we exercise.
+    recast = tbl.column(idx).cast(target)
+    tbl = tbl.set_column(idx, pa.field("ts", target), recast)
+    pq.write_table(tbl, dst / "events.parquet")
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def duck_drift(drift_dir):
+    con = cf.make_duck(drift_dir)
+    # DuckDB reads timestamp[us, tz=UTC] as TIMESTAMPTZ, which renders
+    # with a zone offset; normalize the oracle's view back to naive UTC
+    # so both engines stringify/compare identically (Spark does the same
+    # normalization in catalog.load_views under the pinned-UTC session).
+    con.sql("SET TimeZone = 'UTC'")
+    con.sql(
+        "CREATE OR REPLACE VIEW events AS "
+        "SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) "
+        f"FROM '{drift_dir}/events.parquet'"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", TS_QUERIES)
+def test_ts_drift_parity(spark, drift_dir, duck_drift, name):
+    q = QUERIES[name]
+    df = q.fn(spark, drift_dir)
+    assert q.oracle is not None
+    problems = compare(df, duck_drift.sql(q.oracle))
+    assert not problems, f"{name} on ts={os.path.basename(drift_dir)}: " + "; ".join(problems)
