@@ -17,8 +17,11 @@ package quacfka.jvm
  * Wire format essentials: a message is a sequence of (key, value) pairs;
  * key = varint `(field_number << 3) | wire_type`; wire types 0=varint,
  * 1=fixed64, 2=length-delimited (strings, bytes, nested messages, packed
- * repeated scalars), 5=fixed32. Unknown fields are skipped; truncated or
- * malformed input raises and the row is dropped.
+ * repeated scalars), 5=fixed32. Unknown fields are skipped, and — per
+ * standard proto parser semantics — a known field arriving with a
+ * mismatched wire type is treated as unknown (value consumed and
+ * discarded, row kept), matching the Python twin exactly. Truncated or
+ * structurally malformed input raises and the row is dropped.
  *
  * The message schema arrives as a compact spec string (one per query,
  * parsed once and cached), e.g.
@@ -207,30 +210,29 @@ object ProtoWire {
     while (r.hasMore) {
       val key = r.readVarint()
       val wt = (key & 7L).toInt
-      val fno = (key >>> 3).toInt
-      val f = spec.lookup(fno)
+      // field numbers are <= 2^29-1 on the wire; keeping the shifted key
+      // as Long before the range check prevents .toInt truncation from
+      // colliding a garbage number onto a real field (the Python twin's
+      // unbounded-int dict lookup simply misses — same net behavior)
+      val fnoL = key >>> 3
+      val f = if (fnoL > 0x1fffffffL) null else spec.lookup(fnoL.toInt)
       (wt: @annotation.switch) match {
         case 0 =>
           val v = r.readVarint()
-          if (f != null) {
-            if (!isVarint(f.tpe)) throw new Malformed(s"field ${f.name}: unexpected varint")
-            put(vals, f, convertVarint(v, f.tpe))
-          }
+          if (f != null && isVarint(f.tpe)) put(vals, f, convertVarint(v, f.tpe))
         case 1 =>
           val raw = r.readLongLE()
-          if (f != null) {
-            if (!isFixed64(f.tpe)) throw new Malformed(s"field ${f.name}: unexpected fixed64")
+          if (f != null && isFixed64(f.tpe))
             put(vals, f, if (f.tpe == DOUBLE) java.lang.Double.longBitsToDouble(raw) else raw)
-          }
         case 5 =>
           val raw = r.readIntLE()
-          if (f != null) {
-            if (!isFixed32(f.tpe)) throw new Malformed(s"field ${f.name}: unexpected fixed32")
+          if (f != null && isFixed32(f.tpe))
             put(vals, f, if (f.tpe == FLOAT) java.lang.Float.intBitsToFloat(raw) else raw)
-          }
         case 2 =>
           val len = r.readVarint()
-          if (len < 0L || len > Int.MaxValue || r.i + len.toInt > r.end)
+          // compare against remaining bytes as Long: r.i + len.toInt can
+          // wrap negative for len near Int.MaxValue and pass a <= check
+          if (len < 0L || len > (r.end - r.i).toLong)
             throw new Malformed("truncated length-delimited")
           val s = r.i
           val n = len.toInt
@@ -242,15 +244,18 @@ object ProtoWire {
             case STRING => put(vals, f, utf8Strict(r.buf, s, n))
             case BYTES => put(vals, f, java.util.Arrays.copyOfRange(r.buf, s, s + n))
             case t =>
-              // packed repeated scalars (custom.go:61 IsPacked)
-              if (!f.repeated) throw new Malformed(s"field ${f.name}: unexpected wire type 2")
-              val sub = new Reader(r.buf, s, s + n)
-              val out = vals(f.index).asInstanceOf[ArrayBuffer[Any]]
-              if (isVarint(t)) while (sub.hasMore) out += convertVarint(sub.readVarint(), t)
-              else if (t == DOUBLE) while (sub.hasMore) out += java.lang.Double.longBitsToDouble(sub.readLongLE())
-              else if (isFixed64(t)) while (sub.hasMore) out += sub.readLongLE()
-              else if (t == FLOAT) while (sub.hasMore) out += java.lang.Float.intBitsToFloat(sub.readIntLE())
-              else while (sub.hasMore) out += sub.readIntLE()
+              // packed repeated scalars (custom.go:61 IsPacked); a
+              // non-repeated scalar with wire type 2 is a mismatch ->
+              // treated as unknown (skip, bytes already consumed)
+              if (f.repeated) {
+                val sub = new Reader(r.buf, s, s + n)
+                val out = vals(f.index).asInstanceOf[ArrayBuffer[Any]]
+                if (isVarint(t)) while (sub.hasMore) out += convertVarint(sub.readVarint(), t)
+                else if (t == DOUBLE) while (sub.hasMore) out += java.lang.Double.longBitsToDouble(sub.readLongLE())
+                else if (isFixed64(t)) while (sub.hasMore) out += sub.readLongLE()
+                else if (t == FLOAT) while (sub.hasMore) out += java.lang.Float.intBitsToFloat(sub.readIntLE())
+                else while (sub.hasMore) out += sub.readIntLE()
+              }
           }
         case _ => throw new Malformed(s"unsupported wire type $wt")
       }

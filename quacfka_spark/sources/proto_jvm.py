@@ -17,15 +17,18 @@ parses and caches. Equivalence of the two decoders is pytest-verified
 (tests/test_proto_jvm.py), including property-based round-trips.
 
 Bad-record semantics (D8): the decode UDF returns NULL for any
-malformed payload (truncation, bad varint, invalid UTF-8, wire-type
-mismatch) and ``decode_protobuf_jvm`` filters those rows — the
-reference logs-and-continues (proto.go:131-145).
+structurally malformed payload (truncation, bad varint, invalid UTF-8)
+and ``decode_protobuf_jvm`` filters those rows — the reference
+logs-and-continues (proto.go:131-145). A known field with a mismatched
+wire type is NOT malformed: both decoders treat it as an unknown field
+(skip the value, keep the row), per standard proto parser semantics.
 """
 
 from __future__ import annotations
 
 import hashlib
 import os
+import weakref
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,8 +43,21 @@ JAR_PATH = os.path.abspath(
 _DECODE_CLASS = "quacfka.jvm.ProtoDecodeUDF"
 _ENCODE_CLASS = "quacfka.jvm.ProtoEncodeUDF"
 
-# per-process registry of (session id, udf name) already registered
-_registered: set[tuple[int, str]] = set()
+# per-process registry of UDF names already registered, keyed weakly by
+# the live session object — id(spark) would be unsafe here because a
+# collected session's address can be reused by a new one, silently
+# skipping registration on the new session
+_registered: "weakref.WeakKeyDictionary[SparkSession, set[str]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _is_registered(spark: SparkSession, name: str) -> bool:
+    return name in _registered.get(spark, ())
+
+
+def _mark_registered(spark: SparkSession, name: str) -> None:
+    _registered.setdefault(spark, set()).add(name)
 
 
 def spec_string(spec: MessageSpec) -> str:
@@ -85,22 +101,20 @@ def register_decoder(spark: SparkSession, spec: MessageSpec) -> tuple[str, str]:
     struct type. Returns (udf_name, spec_string)."""
     s = spec_string(spec)
     name = f"qf_pdec_{_spec_tag(s)}"
-    key = (id(spark), name)
-    if key not in _registered:
+    if not _is_registered(spark, name):
         _add_jar(spark)
         spark.udf.registerJavaFunction(name, _DECODE_CLASS, spec.spark_schema())
-        _registered.add(key)
+        _mark_registered(spark, name)
     return name, s
 
 
 def register_encoder(spark: SparkSession) -> str:
     """Register (once per session) the encode UDF (struct+spec -> bytes)."""
     name = "qf_penc"
-    key = (id(spark), name)
-    if key not in _registered:
+    if not _is_registered(spark, name):
         _add_jar(spark)
         spark.udf.registerJavaFunction(name, _ENCODE_CLASS, T.BinaryType())
-        _registered.add(key)
+        _mark_registered(spark, name)
     return name
 
 

@@ -139,9 +139,11 @@ def _parse_scalar_len(data: bytes, ftype: str):
 
 
 def parse_message(buf: bytes, spec: MessageSpec) -> dict:
-    """Parse one message; unknown fields are skipped (standard proto
-    semantics); truncated/garbage input raises ValueError (D8 callers
-    drop the row)."""
+    """Parse one message; unknown fields are skipped, and a known field
+    arriving with a mismatched wire type is treated as unknown (value
+    consumed and discarded, row kept) — both standard proto parser
+    semantics, byte-identical with the Scala twin. Truncated/garbage
+    input raises ValueError (D8 callers drop the row)."""
     fields = spec.by_number()
     out: dict = {f.name: ([] if f.repeated else None) for f in spec.fields}
     i = 0
@@ -192,7 +194,13 @@ def parse_message(buf: bytes, spec: MessageSpec) -> dict:
             elif f.type in ("string", "bytes"):
                 v = _parse_scalar_len(data, f.type)
                 out[f.name].append(v) if f.repeated else out.__setitem__(f.name, v)
-            elif f.repeated and f.type in _VARINT_TYPES | _FIXED64_TYPES | _FIXED32_TYPES:
+            elif not f.repeated:
+                # wire-type mismatch on a known scalar field: standard
+                # proto parsers treat it as an unknown field — skip the
+                # (already consumed) value, keep the row. Mirrors the
+                # varint/fixed branches above and the Scala twin.
+                continue
+            elif f.type in _VARINT_TYPES | _FIXED64_TYPES | _FIXED32_TYPES:
                 # packed repeated scalars (custom.go:61 IsPacked)
                 j = 0
                 while j < ln:
@@ -213,8 +221,8 @@ def parse_message(buf: bytes, spec: MessageSpec) -> dict:
                             else struct.unpack("<i", data[j : j + 4])[0]
                         )
                         j += 4
-            else:
-                raise ValueError(f"field {f.name}: unexpected wire type 2")
+            # (non-scalar f.type is impossible here: message/string/bytes
+            # handled above, so the remaining branch is packed scalars)
         else:
             raise ValueError(f"unsupported wire type {wt}")
     return out

@@ -203,3 +203,97 @@ def test_auto_fallback_matches_jvm(spark):
     df = spark.createDataFrame([(encode_message(m, MSG),) for m in msgs], "value binary")
     via_auto = decode_protobuf_auto(df, MSG).select("r.user_id")
     assert sorted(r[0] for r in via_auto.collect()) == [0, 1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# decoder-convergence cases: wire-type mismatch, field-number overflow,
+# and length overflow must behave IDENTICALLY in both decoders (round-2
+# ADVICE: the twins previously disagreed, so which rows survived depended
+# on whether the jar was present).
+
+
+def _key(fno: int, wt: int) -> bytearray:
+    out = bytearray()
+    _write_varint_raw(out, (fno << 3) | wt)
+    return out
+
+
+def _write_varint_raw(out: bytearray, val: int) -> None:
+    while True:
+        b = val & 0x7F
+        val >>= 7
+        if val:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _both_decode(spark, payload: bytes, spec: MessageSpec):
+    """Returns (python_result_or_None, jvm_result_or_None) as dicts;
+    None means the row was dropped by that decoder."""
+    try:
+        py = parse_message(payload, spec)
+    except (ValueError, UnicodeDecodeError):
+        py = None
+    df = spark.createDataFrame([(payload,)], "value binary")
+    rows = decode_protobuf_jvm(df, spec).select("r").collect()
+    jvm = _row_to_dict(rows[0]["r"], spec) if rows else None
+    return py, jvm
+
+
+def test_mismatched_wire_types_skip_field_keep_row(spark):
+    """A known field arriving with the wrong wire type is an unknown
+    field (proto-standard): value discarded, row survives, other fields
+    intact — in BOTH decoders."""
+    # user_id (field 2) is int64/varint in MSG; send it three wrong ways,
+    # alongside a valid amount (field 3, double) that must survive
+    good_amount = bytearray(_key(3, 1)) + bytearray(
+        __import__("struct").pack("<d", 2.5)
+    )
+    wrong_fixed64 = bytes(_key(2, 1) + bytearray(8) + good_amount)
+    wrong_fixed32 = bytes(_key(2, 5) + bytearray(4) + good_amount)
+    len_delim = bytearray(_key(2, 2))
+    _write_varint_raw(len_delim, 3)
+    wrong_len = bytes(len_delim + b"abc" + good_amount)
+    for payload in (wrong_fixed64, wrong_fixed32, wrong_len):
+        py, jvm = _both_decode(spark, payload, MSG)
+        assert py is not None and jvm is not None, "row must survive"
+        assert py == jvm
+        assert py["user_id"] is None
+        assert py["amount"] == 2.5
+
+
+def test_mismatched_varint_on_string_field(spark):
+    # tags (field 5) is repeated string; a varint there is a mismatch
+    payload = bytearray(_key(5, 0))
+    _write_varint_raw(payload, 42)
+    payload += _key(2, 0)
+    _write_varint_raw(payload, 7)
+    py, jvm = _both_decode(spark, bytes(payload), MSG)
+    assert py == jvm
+    assert py["tags"] == []
+    assert py["user_id"] == 7
+
+
+def test_field_number_int_truncation_no_collision(spark):
+    """Field number 2^32+2 truncates to 2 in a naive .toInt — it must
+    NOT collide onto real field 2 (user_id); both decoders treat any
+    out-of-range field number as unknown."""
+    payload = bytearray(_key((1 << 32) + 2, 0))
+    _write_varint_raw(payload, 99)
+    payload += _key(2, 0)
+    _write_varint_raw(payload, 7)
+    py, jvm = _both_decode(spark, bytes(payload), MSG)
+    assert py == jvm
+    assert py["user_id"] == 7  # the REAL field 2, not the colliding 99
+
+
+def test_declared_length_int_overflow_drops_row(spark):
+    """len near Int.MaxValue must not wrap the bounds check: both
+    decoders classify it as truncated input and drop the row."""
+    payload = bytearray(_key(9, 2))  # blob, bytes
+    _write_varint_raw(payload, (1 << 31) - 1)
+    payload += b"xx"
+    py, jvm = _both_decode(spark, bytes(payload), MSG)
+    assert py is None and jvm is None
