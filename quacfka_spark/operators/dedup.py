@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from quacfka_spark.catalog import load_views
 from quacfka_spark.functions.text import seeded_md5, shingles
+from quacfka_spark.functions.vector import cosine
 from quacfka_spark.registry import query
 
 # Normalized tokens shared by the shingle-based operators.
@@ -331,83 +332,204 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+_D05_THRESHOLD = 0.35
+_D05_TARGET_BLOCK = 4096  # vectors per block: bounds per-task memory
+_D05_MAX_BLOCKS = 256
+
+
 @query(
     "d05_embedding_cosine",
-    oracle="""
+    oracle=f"""
     SELECT a.vec_id AS i, b.vec_id AS j,
            ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])), 4) AS cos
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= 0.35
+                                 CAST(b.embedding AS DOUBLE[])) >= {_D05_THRESHOLD}
     ORDER BY i, j
     """,
-    doc="Embedding-cosine near-dup pairs (threshold 0.35) via BLOCKED "
-    "all-pairs matrix cosine: vectors hash into B blocks, the B*(B+1)/2 "
-    "block pairs fan out as tasks, and each task computes its block-vs-"
-    "block cosine matrix with vectorized numpy inside mapInPandas (Arrow "
-    "batches). This is the distributed exact-all-pairs pattern: work and "
-    "memory per task are bounded by the block size, the shuffle carries "
-    "each vector B+1 times (not N times), and surviving pairs (>= "
-    "threshold) are the only rows that leave the task. At 100 TB the "
-    "sign-LSH buckets (sim02) pre-filter candidates and this runs per "
-    "bucket.",
+    doc="Embedding-cosine near-dup pairs (threshold 0.35), EXACT blocked "
+    "all-pairs — the oracle baseline that d07's LSH prefilter is "
+    "measured against (the d02/d03 pairing, for vectors). Vectors hash "
+    "into B = ceil(N/4096) blocks; each vector row replicates to the B "
+    "block-pairs it participates in (narrow rows — one vector each, "
+    "never a collected block in a single Spark row, so nothing "
+    "approaches the 2 GB row limit at any N); each (pa, pb) group then "
+    "computes its block-vs-block cosine matrix with vectorized numpy "
+    "inside applyInPandas, where group memory is bounded by 2 blocks "
+    "regardless of table size. Shuffle volume is N*B rows — inherently "
+    "quadratic in N like any exact all-pairs; at 100 TB run d07 "
+    "(sign-LSH candidate prefilter, same verify math) instead.",
 )
 def d05_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     t = load_views(spark, sf_dir)
-    n_blocks = 8
-    e = t["embeddings"].select(
-        "vec_id", "embedding", (F.col("vec_id") % n_blocks).alias("blk")
+    e = t["embeddings"].select("vec_id", "embedding")
+    # planning-time scalar (parquet metadata count): pick B so blocks
+    # hold ~_D05_TARGET_BLOCK vectors independent of N
+    n = e.count()
+    n_blocks = min(_D05_MAX_BLOCKS, max(4, -(-n // _D05_TARGET_BLOCK)))
+    ev = e.select(
+        "vec_id", "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).alias("b"),
     )
-    blocks = e.groupBy("blk").agg(
-        F.collect_list(F.struct("vec_id", "embedding")).alias("rows")
-    )
-    pairs = (
-        blocks.alias("x")
-        .crossJoin(blocks.alias("y"))
-        .filter(F.col("x.blk") <= F.col("y.blk"))
-        .select(
-            (F.col("x.blk") == F.col("y.blk")).alias("same_block"),
-            F.col("x.rows").alias("rows_x"),
-            F.col("y.rows").alias("rows_y"),
+    # replicate each vector to every block-pair involving its block:
+    # pair (b, y) normalized to (min, max) — each of the B pairs per
+    # vector is distinct, so no dedup pass is needed
+    pair_structs = [
+        F.struct(
+            F.least(F.col("b"), F.lit(y)).alias("pa"),
+            F.greatest(F.col("b"), F.lit(y)).alias("pb"),
         )
-        # one block-pair per task: without this, AQE coalesces the
-        # B*(B+1)/2 pair rows onto 1-2 partitions and the matrix work
-        # runs on 1-2 cores (each pair row is only ~MBs; the shuffle is
-        # cheap next to the B/2-fold parallelism it buys)
-        .repartition(n_blocks * (n_blocks + 1) // 2)
-    )
+        for y in range(n_blocks)
+    ]
+    rep = ev.select(
+        "vec_id", "embedding", "b",
+        F.explode(F.array(*pair_structs)).alias("p"),
+    ).select("vec_id", "embedding", "b", F.col("p.pa"), F.col("p.pb"))
 
-    def block_cosine(batches):
+    def block_pair(key, pdf):
         import numpy as np
 
-        for pdf in batches:
-            out_i, out_j, out_c = [], [], []
-            for same, rows_x, rows_y in zip(
-                pdf["same_block"], pdf["rows_x"], pdf["rows_y"]
-            ):
-                ids_x = np.array([r["vec_id"] for r in rows_x])
-                ids_y = np.array([r["vec_id"] for r in rows_y])
-                mx = np.array([r["embedding"] for r in rows_x], dtype="float64")
-                my = np.array([r["embedding"] for r in rows_y], dtype="float64")
-                mx /= np.linalg.norm(mx, axis=1, keepdims=True)
-                my /= np.linalg.norm(my, axis=1, keepdims=True)
-                cos = mx @ my.T
-                if same:
-                    # diagonal block holds both (u,v) and (v,u): keep u<v
-                    cos = np.where(ids_x[:, None] < ids_y[None, :], cos, -2.0)
-                ii, jj = np.nonzero(cos >= 0.35)
-                for a_, b_ in zip(ii, jj):
-                    u, v = int(ids_x[a_]), int(ids_y[b_])
-                    out_i.append(min(u, v))
-                    out_j.append(max(u, v))
-                    out_c.append(round(float(cos[a_, b_]), 4))
-            yield pd.DataFrame({"i": out_i, "j": out_j, "cos": out_c})
+        pa, pb = key
+
+        def mat(sub):
+            ids = sub["vec_id"].to_numpy()
+            m = np.array(sub["embedding"].tolist(), dtype="float64")
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            return ids, m
+
+        empty = pd.DataFrame({"i": [], "j": [], "cos": []})
+        if pa == pb:
+            if len(pdf) == 0:
+                return empty
+            ids_x, mx = mat(pdf)
+            cos = mx @ mx.T
+            # diagonal block holds both (u,v) and (v,u): keep u<v
+            cos = np.where(ids_x[:, None] < ids_x[None, :], cos, -2.0)
+            ids_y = ids_x
+        else:
+            x, y = pdf[pdf["b"] == pa], pdf[pdf["b"] == pb]
+            if len(x) == 0 or len(y) == 0:
+                return empty
+            ids_x, mx = mat(x)
+            ids_y, my = mat(y)
+            cos = mx @ my.T
+        ii, jj = np.nonzero(cos >= _D05_THRESHOLD)
+        u, v = ids_x[ii], ids_y[jj]
+        return pd.DataFrame(
+            {
+                "i": np.minimum(u, v),
+                "j": np.maximum(u, v),
+                "cos": np.round(cos[ii, jj], 4),
+            }
+        )
 
     return (
-        pairs.mapInPandas(block_cosine, schema="i bigint, j bigint, cos double")
+        rep.groupBy("pa", "pb")
+        .applyInPandas(block_pair, schema="i bigint, j bigint, cos double")
+        .orderBy("i", "j")
+    )
+
+
+# --------------------------------------------------------------------------
+_D07_BANDS = 4
+_D07_BITS = 4  # sign bits per band -> 16 leading dims feed the bands
+
+
+def _d07_oracle() -> str:
+    band_selects = []
+    for b in range(_D07_BANDS):
+        chars = " || ".join(
+            f"(CASE WHEN embedding[{b * _D07_BITS + k + 1}] > 0 "
+            "THEN '1' ELSE '0' END)"
+            for k in range(_D07_BITS)
+        )
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band, ({chars}) AS sig FROM embeddings"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+    v AS (
+      SELECT c.i, c.j,
+             list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                    CAST(y.embedding AS DOUBLE[])) AS c
+      FROM cand c JOIN embeddings x ON x.vec_id = c.i
+                  JOIN embeddings y ON y.vec_id = c.j)
+    SELECT i, j, ROUND(c, 4) AS cos FROM v WHERE c >= {_D05_THRESHOLD}
+    ORDER BY i, j
+    """
+
+
+@query(
+    "d07_cosine_lsh_pairs",
+    oracle=_d07_oracle(),
+    doc="Embedding near-dup pairs with a sign-LSH candidate prefilter — "
+    "the 100 TB path that d05 (exact all-pairs) is the oracle baseline "
+    "for, mirroring the d02/d03 text pairing. Each vector derives 4 "
+    "band signatures (4 sign bits per band, axis-aligned projections — "
+    "deterministic across engines, no shared RNG); candidates are pairs "
+    "colliding on ANY band (banded self-join on (band, sig), one "
+    "exchange reused by both sides, exactly the d03 plan shape), then "
+    "exact cosine verifies candidates only. Cost scales with bucket "
+    "collision counts, not N^2: no all-pairs stage anywhere, shuffle "
+    "carries each vector once per band. Recall vs d05 is tunable via "
+    "bands x bits (more bands = higher recall, more candidates); the "
+    "oracle replicates the same deterministic bands, so correctness is "
+    "exact-parity on the prefiltered set.",
+)
+def d07_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    band_sigs = [
+        F.concat(
+            *[
+                F.when(
+                    F.element_at(F.col("embedding"), b * _D07_BITS + k + 1) > 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0"))
+                for k in range(_D07_BITS)
+            ]
+        ).alias(f"band{b}")
+        for b in range(_D07_BANDS)
+    ]
+    # posexplode_outer for the same InferFiltersFromGenerate reason as
+    # _minhash_pairs: an inner Generate re-inlines the signature tree
+    # below the exchange and computes the pipeline once per join side.
+    # Unlike d03 (shingles ride the band shuffle), vectors do NOT ride
+    # here: a candidate pair can collide on up to 4 bands, so carrying
+    # two 64-float arrays per collision row multiplies shuffle bytes and
+    # bloats the dedup hash-agg. The bands shuffle 12-byte (id, band,
+    # sig) rows only; vectors join back AFTER the distinct, once per
+    # surviving candidate.
+    bands = t["embeddings"].select(
+        "vec_id", F.posexplode_outer(F.array(*band_sigs)).alias("band", "sig")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("i"), F.col("b.vec_id").alias("j"))
+        .distinct()
+    )
+    e = t["embeddings"]
+    withv = (
+        cand.join(e.select(F.col("vec_id").alias("i"), F.col("embedding").alias("ei")), "i")
+        .join(e.select(F.col("vec_id").alias("j"), F.col("embedding").alias("ej")), "j")
+    )
+    return (
+        withv.select("i", "j", cosine("ei", "ej").alias("_c"))
+        .filter(F.col("_c") >= _D05_THRESHOLD)
+        .select("i", "j", F.round("_c", 4).alias("cos"))
         .orderBy("i", "j")
     )
 
