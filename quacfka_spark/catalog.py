@@ -67,18 +67,41 @@ def load_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     tune_session(spark)
     dfs: dict[str, DataFrame] = {}
     for name in TABLES:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        for field in df.schema.fields:
-            if field.name != "ts":
-                continue
-            if isinstance(field.dataType, T.LongType):
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            elif not isinstance(field.dataType, T.TimestampType):
-                # TIMESTAMP_NTZ (or any other ts flavor) -> TIMESTAMP;
-                # lossless under the pinned-UTC session timezone.
-                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
         df.createOrReplaceTempView(name)
         dfs[name] = df
     _VIEW_CACHE[key] = dfs
     _LAST_REGISTERED[spark] = sf_dir
     return dfs
+
+
+def normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize a ``ts`` column of any observed fixture flavor to plain
+    TIMESTAMP (see load_views docstring). No-op when absent/already so."""
+    for field in df.schema.fields:
+        if field.name != "ts":
+            continue
+        if isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(field.dataType, T.TimestampType):
+            # TIMESTAMP_NTZ (or any other ts flavor) -> TIMESTAMP;
+            # lossless under the pinned-UTC session timezone.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def stream_events(
+    spark: SparkSession, events_dir: str, **options: str
+) -> DataFrame:
+    """``readStream`` source over a directory of events-fixture parquet
+    with the same ts normalization as the batch views: the on-disk dtype
+    is sniffed from a batch schema read (file-stream sources require a
+    user-supplied schema), then ``normalize_ts`` maps whatever flavor is
+    present to plain TIMESTAMP so streaming window/session operators see
+    the dtype batch queries see. ``options`` pass through to the reader
+    (e.g. ``maxFilesPerTrigger="1"``)."""
+    on_disk = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(on_disk)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return normalize_ts(reader.parquet(events_dir))

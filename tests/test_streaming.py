@@ -20,6 +20,8 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from quacfka_spark.catalog import stream_events
+
 TS = pd.Timestamp
 
 BATCH1 = [
@@ -211,18 +213,13 @@ def test_s01_streaming_batch_equivalence(spark, tmp_path):
     from quacfka_spark.registry import get_queries
 
     sf_dir = "/root/testdata/sf0.001"
-    # events.ts is parquet TIMESTAMP(NANOS): declare it long and convert,
-    # exactly like catalog.load_views does for batch
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
-    # file-stream sources want a directory; symlink the fixture in
+    # file-stream sources want a directory; symlink the fixture in.
+    # stream_events sniffs the on-disk ts flavor and normalizes like
+    # catalog.load_views does for batch.
     stream_dir = tmp_path / "events_stream"
     stream_dir.mkdir()
     os.symlink(f"{sf_dir}/events.parquet", stream_dir / "events.parquet")
-    src = spark.readStream.schema(schema).parquet(str(stream_dir))
-    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = stream_events(spark, str(stream_dir))
     agg = (
         ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
@@ -267,11 +264,20 @@ def test_s03_streaming_session_window_with_watermark(spark, tmp_path):
     os.symlink(f"{sf_dir}/events.parquet", stream_dir / "a_events.parquet")
 
     # sentinel: one event a year past the fixture, lexicographically and
-    # mtime-wise LAST so it forms the final micro-batch
+    # mtime-wise LAST so it forms the final micro-batch. Its ts column
+    # must use the SAME physical type as the fixture file (the stream
+    # reads one directory schema), so derive it from the fixture.
+    ts_type = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    ts_val = pd.Timestamp("2025-06-01")
+    sent_ts = (
+        pa.array([ts_val], ts_type)
+        if pa.types.is_timestamp(ts_type)
+        else pa.array([ts_val.value], pa.int64())
+    )
     sent = pa.table(
         {
             "event_id": pa.array([10**9], pa.int64()),
-            "ts": pa.array([pd.Timestamp("2025-06-01").value], pa.int64()),
+            "ts": sent_ts,
             "user_id": pa.array([-1], pa.int64()),
             "event_type": pa.array(["view"], pa.string()),
             "value": pa.array([0.0], pa.float64()),
@@ -282,16 +288,7 @@ def test_s03_streaming_session_window_with_watermark(spark, tmp_path):
     pq.write_table(sent, sent_path)
     os.utime(sent_path, (time.time() + 60, time.time() + 60))
 
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
-    src = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(str(stream_dir))
-    )
-    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = stream_events(spark, str(stream_dir), maxFilesPerTrigger="1")
     sessions = (
         ev.withWatermark("ts", "0 seconds")
         .groupBy(F.session_window("ts", "5 minutes").alias("win"), "user_id")
@@ -465,15 +462,10 @@ def test_s02_streaming_sliding_window_equivalence(spark, tmp_path):
     from quacfka_spark.registry import get_queries
 
     sf_dir = "/root/testdata/sf0.001"
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
     stream_dir = tmp_path / "events_stream_s02"
     stream_dir.mkdir()
     os.symlink(f"{sf_dir}/events.parquet", stream_dir / "events.parquet")
-    src = spark.readStream.schema(schema).parquet(str(stream_dir))
-    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = stream_events(spark, str(stream_dir))
     agg = (
         ev.groupBy(
             F.window("ts", "1 hour", "30 minutes")
