@@ -49,6 +49,7 @@ HEADLINE = [
     "d01_exact_dedup",
     "d03_minhash_lsh",
     "d05_embedding_cosine",
+    "d07_cosine_lsh_pairs",
     "sim01_bruteforce_topk",
     "sim04_ivf_topk",
     "m02_feature_extract",

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from quacfka_spark.catalog import load_views
 from quacfka_spark.functions.text import seeded_md5, shingles
-from quacfka_spark.functions.vector import cosine
+from quacfka_spark.functions.vector import cosine_batch
 from quacfka_spark.registry import query
 
 # Normalized tokens shared by the shingle-based operators.
@@ -526,8 +526,18 @@ def d07_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(e.select(F.col("vec_id").alias("i"), F.col("embedding").alias("ei")), "i")
         .join(e.select(F.col("vec_id").alias("j"), F.col("embedding").alias("ej")), "j")
     )
+    # batch (Arrow) cosine, not the HOF fold: at candidate volume the
+    # per-row zipped-array allocation is the dominant cost (see
+    # functions.vector.cosine_batch)
+    cos_b = cosine_batch()
     return (
-        withv.select("i", "j", cosine("ei", "ej").alias("_c"))
+        withv.select(
+            "i", "j",
+            cos_b(
+                F.col("ei").cast("array<double>"),
+                F.col("ej").cast("array<double>"),
+            ).alias("_c"),
+        )
         .filter(F.col("_c") >= _D05_THRESHOLD)
         .select("i", "j", F.round("_c", 4).alias("cos"))
         .orderBy("i", "j")
