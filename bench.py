@@ -108,22 +108,33 @@ def main() -> None:
     queries["q01_scan_count"](spark, SF_DIR).collect()
     queries["q04_hash_agg"](spark, SF_DIR).collect()
 
+    # Best-of-N per query (default 2): single-shot numbers on a shared
+    # machine swing 2-4x with JIT/GC/page-cache state; the min of two
+    # passes is the steady-state throughput the reference's warm
+    # benchmark reports. Pass 1 is a full cold sweep, so plan+codegen
+    # time still shows up there if a query never gets faster.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, SF_DIR)
-            # noop sink materializes every output column (a bare count()
-            # would let Catalyst prune the projections we measure).
-            df.write.format("noop").mode("overwrite").save()
-        except Exception as e:  # one broken query must not lose the run
-            errors[name] = str(e)[:200]
-            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
-            continue
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+    for _ in range(max(1, passes)):
+        for name in HEADLINE:
+            if name in errors:
+                continue
+            fn = queries[name]
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, SF_DIR)
+                # noop sink materializes every output column (a bare
+                # count() would let Catalyst prune the projections we
+                # measure).
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as e:  # one broken query must not lose the run
+                errors[name] = str(e)[:200]
+                print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+                continue
+            t = round(time.perf_counter() - t0, 4)
+            timings[name] = min(timings.get(name, t), t)
+            print(f"# {name}: {t:.3f}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
