@@ -6,18 +6,20 @@ BASELINE.md): 398k raw records/s, 806k total rows/s (raw + normalized),
 500 MB/s on 60 CPUs. This module reproduces that pipeline shape on Spark
 and measures the same three numbers:
 
-    bytes at rest  ->  decode (from_json ~ the unmarshal pool, D7)
+    bytes at rest  ->  decode (protobuf wire ~ the unmarshal pool, D7)
                    ->  raw nested table write           (D13)
                    ->  normalized flat table write      (D10 explode)
                    ->  parquet files                    (rotation unit)
 
 Faithfulness notes:
-- The source is a pre-materialized parquet of JSON-encoded nested
-  payload bytes (generation is NOT timed — Kafka is external to the
-  reference's measurement too; it measures consume -> insert).
-- Decode is schema-driven and JVM-side (from_json), the dependency-free
-  stand-in for from_protobuf (no spark-protobuf jar in this env); both
-  are vectorized columnar decodes of the same shape.
+- The source is a pre-materialized parquet of PROTOBUF-encoded nested
+  payload bytes — the reference's actual payload format (README.md:6) —
+  decoded JVM-side by the repo's wire codec (sources/proto_jvm.py),
+  measured 1.8x faster than the JSON twin. When the codec jar cannot
+  load, both generation and decode fall back to JSON (from_json); the
+  report's ``decode`` field records which path ran. Generation is NOT
+  timed — Kafka is external to the reference's measurement too; it
+  measures consume -> insert.
 - The normalizer output reproduces D10 semantics: one row per repeated
   element, scalars duplicated, null row on empty list (explode_outer).
 - Writes are partitioned to the core count (writer tasks ~ the
@@ -40,8 +42,46 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from quacfka_spark.sources.mock import NESTED_SCHEMA, _nested_payload
+from quacfka_spark.sources.proto_wire import Field, MessageSpec
 
 DEFAULT_ROWS = int(os.environ.get("SPARK_GRAFT_INGEST_ROWS", "4000000"))
+
+# protobuf twin of NESTED_SCHEMA (field order == struct field order, as
+# the encoder requires)
+BENCH_SPEC = MessageSpec(
+    [
+        Field(1, "site", "message", message=MessageSpec(
+            [Field(1, "id", "int64"), Field(2, "name", "string")])),
+        Field(2, "user_id", "int64"),
+        Field(3, "amount", "double"),
+        Field(4, "deals", "message", repeated=True, message=MessageSpec(
+            [Field(1, "id", "int64"), Field(2, "kind", "string")])),
+    ]
+)
+
+
+def _codec(spark: SparkSession):
+    """(fmt, encode_column_fn, decode_df_fn): the JVM protobuf wire
+    codec when its jar loads, else the JSON twin. Both decode to the
+    same ``r`` struct shape, so every downstream stage is identical."""
+    from quacfka_spark.sources.kafka import decode_json
+    from quacfka_spark.sources.proto_jvm import (
+        decode_protobuf_jvm,
+        encode_protobuf_jvm,
+        jvm_codec_available,
+    )
+
+    if jvm_codec_available(spark):
+        return (
+            "protobuf-jvm",
+            lambda m: encode_protobuf_jvm(spark, m, BENCH_SPEC),
+            lambda df: decode_protobuf_jvm(df, BENCH_SPEC),
+        )
+    return (
+        "json",
+        lambda m: F.encode(F.to_json(m), "utf-8"),
+        lambda df: decode_json(df, NESTED_SCHEMA),
+    )
 
 # Wall-clock budget for the whole CLI run (bench.py gives the subprocess
 # 420 s). The host VM's effective CPU speed varies by several x between
@@ -54,12 +94,18 @@ BUDGET_S = float(os.environ.get("SPARK_GRAFT_INGEST_BUDGET_S", "300"))
 _CALIB_ROWS = 500_000
 
 
-def _gen_bytes(spark: SparkSession, rows: int, path: str, partitions: int) -> float:
-    """Materialize `rows` JSON-encoded nested messages as a binary-column
-    parquet (the 'Kafka topic at rest'). Returns payload MB."""
+def _gen_bytes(
+    spark: SparkSession, rows: int, path: str, partitions: int, encode=None
+) -> float:
+    """Materialize `rows` encoded nested messages as a binary-column
+    parquet (the 'Kafka topic at rest'). ``encode`` maps the nested
+    struct column to payload bytes (defaults to the JSON twin).
+    Returns payload MB."""
+    if encode is None:
+        encode = lambda m: F.encode(F.to_json(m), "utf-8")  # noqa: E731
     df = (
         spark.range(0, rows, 1, partitions)
-        .select(F.encode(F.to_json(_nested_payload(F.col("id"))), "utf-8").alias("value"))
+        .select(encode(_nested_payload(F.col("id"))).alias("value"))
     )
     df.write.mode("overwrite").parquet(path)
     mb = (
@@ -91,20 +137,19 @@ def run_ingest_bench(
     out_raw = os.path.join(work_dir, "raw")
     out_norm = os.path.join(work_dir, "norm")
     shutil.rmtree(work_dir, ignore_errors=True)
+    fmt, encode, decode = _codec(spark)
 
     # Warm the decode to JIT steady state before timing — the reference
     # reports steady-state 30s samples out of a 5-minute run
     # (metrics.go:101-166), so timing Spark's cold JIT would compare a
-    # cold start to their steady state. The hot path (Jackson parse +
-    # codegen scaffolding) is shared across plans, so a few passes over
+    # cold start to their steady state. The hot path (wire/Jackson parse
+    # + codegen scaffolding) is shared across plans, so a few passes over
     # a small separate slice warm the fresh full-size plan too
     # (measured: 5x500k warm passes take the 4M decode 40s -> 7s).
     warm_rows = min(rows // 8, _CALIB_ROWS) if rows else _CALIB_ROWS
     warm_src = os.path.join(work_dir, "warm")
-    _gen_bytes(spark, warm_rows, warm_src, cores)
-    warm = spark.read.parquet(warm_src).select(
-        F.from_json(F.col("value").cast("string"), NESTED_SCHEMA).alias("r")
-    ).select("r.*")
+    _gen_bytes(spark, warm_rows, warm_src, cores, encode)
+    warm = decode(spark.read.parquet(warm_src)).select("r.*")
     for _ in range(5):
         warm.write.format("noop").mode("overwrite").save()
 
@@ -137,22 +182,21 @@ def run_ingest_bench(
             min(DEFAULT_ROWS, int(rate * target_pass_s) // 100_000 * 100_000),
         )
 
-    mb = _gen_bytes(spark, rows, src, cores)
+    mb = _gen_bytes(spark, rows, src, cores, encode)
 
     def one_pass() -> float:
         t0 = time.perf_counter()
         bytes_df = spark.read.parquet(src)
-        decoded = bytes_df.select(
-            F.from_json(F.col("value").cast("string"), NESTED_SCHEMA).alias("r")
-        ).select("r.*")
+        decoded = decode(bytes_df).select("r.*")
         decoded.write.mode("overwrite").parquet(out_raw)
         # Decode ONCE: the norm table derives from the just-written raw
         # parquet, not from a second decode. Re-deriving norm from the
-        # JSON expression is 10x slower because OptimizeJsonExprs prunes
-        # the schema per extracted field — each flat column becomes its
-        # own from_json and the payload parses ~5x per row (measured
-        # 28.6s vs 2.7s for the read-back at 2M rows). The read-back is
-        # also the 100 TB pattern: columnar, pruned, shuffle-free.
+        # decode expression re-runs it per consumer (for JSON,
+        # OptimizeJsonExprs prunes the schema per extracted field — each
+        # flat column becomes its own from_json and the payload parses
+        # ~5x per row, measured 28.6s vs 2.7s for the read-back at 2M
+        # rows). The read-back is also the 100 TB pattern: columnar,
+        # pruned, shuffle-free.
         raw_back = spark.read.parquet(out_raw)
         # D10 normalizer semantics: flat columns, one row per deal,
         # scalars duplicated, null deal columns when the list is empty.
@@ -196,6 +240,7 @@ def run_ingest_bench(
         "payload_mb": round(mb, 2),
         "cores": cores,
         "passes": passes,
+        "decode": fmt,
     }
 
 
@@ -212,14 +257,14 @@ def run_streaming_ingest_bench(
     exercise the rotation loop like the reference's multi-file run
     (9 files in the published benchmark, README.md:170)."""
     from quacfka_spark.plans.normalizer import NormalizerSpec
-    from quacfka_spark.sources.kafka import decode_json
     from quacfka_spark.streaming import PipelineConfig, StreamingPipeline
 
     cores = spark.sparkContext.defaultParallelism
     src = os.path.join(work_dir, "src")
     out = os.path.join(work_dir, "out")
     shutil.rmtree(work_dir, ignore_errors=True)
-    mb = _gen_bytes(spark, rows, src, cores * epochs)
+    fmt, encode, decode = _codec(spark)
+    mb = _gen_bytes(spark, rows, src, cores * epochs, encode)
 
     def one_pass(i: int) -> tuple[float, dict]:
         source = (
@@ -233,7 +278,7 @@ def run_streaming_ingest_bench(
             PipelineConfig(
                 output_dir=f"{out}_{i}", dest_table="messages", available_now=True
             ),
-            decode=lambda df: decode_json(df, NESTED_SCHEMA),
+            decode=decode,
             normalizer=NormalizerSpec(
                 fields=["r.site.id", "r.user_id", "r.amount", "r.deals.id", "r.deals.kind"],
                 aliases=["site", "user_id", "amount", "deal_id", "deal_kind"],
@@ -260,6 +305,7 @@ def run_streaming_ingest_bench(
         "total_rows_per_second": round(total / elapsed, 2),
         "mb_per_second": round(mb / elapsed, 2),
         "cores": cores,
+        "decode": fmt,
     }
 
 
