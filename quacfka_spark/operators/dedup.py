@@ -485,6 +485,12 @@ def _d07_oracle() -> str:
     "exact-parity on the prefiltered set.",
 )
 def d07_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cosine_lsh_pairs(spark, sf_dir).orderBy("i", "j")
+
+
+def _cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered verified near-dup pairs (i, j, cos) — shared by d07
+    (reported pairs) and d08 (keep-list clustering)."""
     t = load_views(spark, sf_dir)
     band_sigs = [
         F.concat(
@@ -540,7 +546,6 @@ def d07_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("_c") >= _D05_THRESHOLD)
         .select("i", "j", F.round("_c", 4).alias("cos"))
-        .orderBy("i", "j")
     )
 
 
@@ -581,6 +586,19 @@ _D06_ORACLE = f"""
 )
 def d06_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _minhash_pairs(spark, sf_dir).select("i", "j")
+    labels = _label_propagate(pairs)
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def _label_propagate(pairs: DataFrame) -> DataFrame:
+    """Connected components over (i, j) pair rows as iterative min-label
+    propagation — the shared core of d06 (text clusters) and d08 (vector
+    keep-lists). Returns (v, lbl). See d06's doc for the scale notes
+    (localCheckpoint lineage truncation, large-star/small-star swap for
+    adversarial diameters; only a scalar changed-count ever reaches the
+    driver)."""
     edges = (
         pairs.select(F.col("i").alias("a"), F.col("j").alias("b"))
         .union(pairs.select(F.col("j").alias("a"), F.col("i").alias("b")))
@@ -609,6 +627,47 @@ def d06_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    return labels
+
+
+# --------------------------------------------------------------------------
+_D08_ORACLE = f"""
+    WITH RECURSIVE
+    pairs AS (SELECT i, j FROM ({_d07_oracle().replace("ORDER BY i, j", "")})),
+    e AS (SELECT i AS a, j AS b FROM pairs
+          UNION SELECT j AS a, i AS b FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN e e2 ON e2.a = r.b),
+    lbl AS (
+      SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a)
+    SELECT vec_id, cluster_id,
+           (vec_id = cluster_id) AS keep
+    FROM lbl ORDER BY vec_id
+    """
+
+
+@query(
+    "d08_dedup_keep",
+    oracle=_D08_ORACLE,
+    doc="Keep-one-per-cluster decisions over the EMBEDDING near-dup "
+    "graph — the final step of the vector dedup pipeline (d07 prefilter "
+    "-> cosine verify -> cluster -> keep/drop), the same step d06 "
+    "performs for the text pipeline. Clusters are connected components "
+    "of the d07 pairs (shared min-label-propagation core); each vec_id "
+    "gets its cluster's min id and keep = (vec_id == cluster_id) — the "
+    "deterministic keep-the-smallest policy. A training-data pipeline "
+    "anti-joins its corpus against the keep=false rows. Only near-dup "
+    "members appear here (singletons trivially keep), so the result "
+    "scales with duplicates found, not corpus size.",
+)
+def d08_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _cosine_lsh_pairs(spark, sf_dir).select("i", "j")
+    labels = _label_propagate(pairs)
     return labels.select(
-        F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id")
-    ).orderBy("doc_id")
+        F.col("v").alias("vec_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("v") == F.col("lbl")).alias("keep"),
+    ).orderBy("vec_id")
