@@ -85,3 +85,50 @@ def test_ts_drift_parity(spark, drift_dir, duck_drift, name):
     assert q.oracle is not None
     problems = compare(df, duck_drift.sql(q.oracle))
     assert not problems, f"{name} on ts={os.path.basename(drift_dir)}: " + "; ".join(problems)
+
+
+# ---------------------------------------------------------------------------
+# embeddings drift screen: the same class of fixture regeneration that
+# flipped events.ts could plausibly flip embedding to list<double> (or
+# the list to large_list). The vector operators must hash-match their
+# oracles on either flavor.
+
+EMB_QUERIES = (
+    "d05_embedding_cosine",
+    "d07_cosine_lsh_pairs",
+    "sim01_bruteforce_topk",
+    "sim02_lsh_topk",
+)
+
+
+@pytest.fixture(scope="module", params=["f64", "large_list"])
+def emb_drift_dir(request, tmp_path_factory):
+    dst = tmp_path_factory.mktemp(f"emb_{request.param}")
+    for name in TABLES:
+        if name != "embeddings":
+            os.symlink(f"{cf.SMOKE_DIR}/{name}.parquet", dst / f"{name}.parquet")
+    tbl = pq.read_table(f"{cf.SMOKE_DIR}/embeddings.parquet")
+    idx = tbl.schema.get_field_index("embedding")
+    if request.param == "f64":
+        target = pa.list_(pa.float64())
+    else:
+        target = pa.large_list(pa.float32())
+    recast = tbl.column(idx).cast(target)
+    tbl = tbl.set_column(idx, pa.field("embedding", target), recast)
+    pq.write_table(tbl, dst / "embeddings.parquet")
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def duck_emb_drift(emb_drift_dir):
+    con = cf.make_duck(emb_drift_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_embedding_drift_parity(spark, emb_drift_dir, duck_emb_drift, name):
+    q = QUERIES[name]
+    df = q.fn(spark, emb_drift_dir)
+    problems = compare(df, duck_emb_drift.sql(q.oracle))
+    assert not problems, f"{name}: " + "; ".join(problems)
