@@ -1,0 +1,103 @@
+"""End-to-end training-data curation pipeline — the composed use case
+the individual d*/t*/sim* operators exist for.
+
+    documents + embeddings
+      -> text quality scoring (t02 machinery)        keep score >= cut
+      -> exact dedup on content digest (d01 shape)   keep first per digest
+      -> embedding near-dup keep-list (d07 -> d08)   drop keep=false rows
+      -> token accounting (t01 shape)                corpus stats
+
+Every stage is a narrow projection, a hash aggregate, or an id-keyed
+join — no stage shuffles document text except the one exact-dedup
+group-by on a 16-byte digest, and the near-dup stage shuffles only
+(vec_id, band, sig) rows + verified pair ids. That is the 100 TB
+shape: corpus bytes move once (the final write), decisions move as ids.
+
+Run: python examples/training_data_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quacfka_spark.catalog import load_views
+from quacfka_spark.operators.dedup import d08_dedup_keep
+from quacfka_spark.functions.text import tokens
+
+
+def curate(spark: SparkSession, sf_dir: str, quality_cut: float = 0.45) -> DataFrame:
+    """Returns the curated corpus (doc_id, text, quality, n_tokens) after
+    quality filtering, exact dedup, and embedding near-dup removal."""
+    t = load_views(spark, sf_dir)
+    docs = t["documents"]
+
+    # 1. quality score (t02's signals, one projection — scan-bound)
+    tk = tokens("text")
+    n_tokens = F.size(tk).cast("bigint")
+    punct = F.length(F.regexp_replace("text", r"[^\p{Punct}]", ""))
+    stop = F.size(F.expr(
+        "filter(split(lower(text), ' '), "
+        "w -> w IN ('the','a','of','and','to','in','is','it'))"
+    ))
+    quality = (
+        (stop / F.greatest(n_tokens, F.lit(1)))
+        - (punct / F.greatest(F.length("text"), F.lit(1)))
+        + F.least(n_tokens, F.lit(100)) / 100.0
+    )
+    scored = docs.select(
+        "doc_id", "text",
+        F.round(quality, 4).alias("quality"),
+        n_tokens.alias("n_tokens"),
+    ).filter(F.col("quality") >= quality_cut)
+
+    # 2. exact dedup (d01 shape): group by content digest, keep min id —
+    # the shuffle carries the 16-byte digest + id, never the text twice
+    keep_ids = (
+        scored.select("doc_id", F.md5(F.col("text")).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = scored.join(keep_ids, "doc_id")
+
+    # 3. embedding near-dup removal: d08's keep-list names the near-dup
+    # cluster members to DROP (keep=false). Only near-dup members appear
+    # in the list, so the anti-join's build side scales with duplicates
+    # found, not corpus size. documents/embeddings share the id space
+    # (doc_id == vec_id per TESTDATA.md).
+    drop = (
+        d08_dedup_keep(spark, sf_dir)
+        .filter(~F.col("keep"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return deduped.join(drop, "doc_id", "left_anti")
+
+
+def main() -> None:
+    from quacfka_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("training-data-pipeline")
+    t = load_views(spark, sf_dir)
+    n0 = t["documents"].count()
+    corpus = curate(spark, sf_dir)
+    stats = corpus.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    ).collect()[0]
+    print(f"documents in: {n0}")
+    print(
+        f"curated corpus: {stats['docs']} docs, {stats['tokens']} tokens, "
+        f"avg quality {stats['avg_quality']}"
+    )
+
+
+if __name__ == "__main__":
+    main()

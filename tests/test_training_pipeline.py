@@ -1,0 +1,31 @@
+"""The composed curation pipeline (examples/training_data_pipeline.py)
+holds its invariants: quality floor respected, content digests unique,
+and no embedding near-dup cluster member (keep=false) survives."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from examples.training_data_pipeline import curate
+from quacfka_spark.operators.dedup import d08_dedup_keep
+
+import tests.conftest as cf
+
+
+def test_curation_invariants(spark):
+    corpus = curate(spark, cf.SMOKE_DIR).cache()
+    rows = corpus.count()
+    assert 0 < rows < 500  # filters actually fired
+
+    assert corpus.filter(F.col("quality") < 0.45).count() == 0
+
+    digests = corpus.select(F.md5("text").alias("d"))
+    assert digests.distinct().count() == rows
+
+    dropped = (
+        d08_dedup_keep(spark, cf.SMOKE_DIR)
+        .filter(~F.col("keep"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    assert corpus.join(dropped, "doc_id").count() == 0
+    corpus.unpersist()
