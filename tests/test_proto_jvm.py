@@ -297,3 +297,24 @@ def test_declared_length_int_overflow_drops_row(spark):
     payload += b"xx"
     py, jvm = _both_decode(spark, bytes(payload), MSG)
     assert py is None and jvm is None
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(blobs=st.lists(st.binary(min_size=0, max_size=40), min_size=1, max_size=32))
+def test_fuzz_decoder_convergence(spark, blobs):
+    """ARBITRARY byte streams — mostly malformed, some accidentally
+    valid — must produce identical outcomes from both decoders: the same
+    rows survive with the same values. This is the property that makes
+    jar presence invisible to pipelines (decode_protobuf_auto)."""
+    want = []
+    for p in blobs:
+        try:
+            want.append(parse_message(p, MSG))
+        except (ValueError, UnicodeDecodeError):
+            continue
+    df = spark.createDataFrame([(p,) for p in blobs], "value binary")
+    got = [
+        _row_to_dict(r["r"], MSG)
+        for r in decode_protobuf_jvm(df, MSG).select("r").collect()
+    ]
+    assert got == want
