@@ -9,8 +9,10 @@ Reference mapping (SURVEY.md §2a):
 - D14 ``write_raw=False`` = ``WithoutDuckIngestRaw`` (quacfka.go:122-126).
 - D15/D16 rotation: each micro-batch epoch is one rotation unit
   (``trigger_seconds`` ~ rotation duration, quacfka.go:94-104);
-  ``max_records_per_file`` approximates the MB threshold
-  (quacfka.go:82-92 — itself approximate, README.md:182).
+  ``rotate_mb`` enforces the MB threshold with measured bytes-per-record
+  feedback between epochs (the reference's own between-batch size check,
+  duck.go:421-429 / README.md:182); ``max_records_per_file`` is the
+  fixed-count alternative.
 - D17 rotation loop: write -> post-SQL -> publish path -> next epoch,
   with checkpointing replacing manual file reopen (duck.go:252-295).
 - D18 ``SQLRunner``: ordered SQL on each completed epoch, exec mode or
@@ -57,7 +59,15 @@ class PipelineConfig:
     write_raw: bool = True  # D14
     trigger_seconds: int | None = None  # D16
     available_now: bool = False
-    max_records_per_file: int | None = None  # D15 analog
+    max_records_per_file: int | None = None  # D15 fixed-count analog
+    # D15 size-based rotation (duck.go:421-429 checks file MB between
+    # batches; its own check is approximate, README.md:182): target max
+    # parquet file size. The first epoch for a table writes uncapped to
+    # learn its bytes/record; every later epoch caps maxRecordsPerFile
+    # at rotate_mb / measured-bytes-per-record, re-measured each epoch
+    # so schema or payload drift re-adapts. Composes with
+    # max_records_per_file (the tighter cap wins).
+    rotate_mb: float | None = None
     sink_partitions: int | None = None  # D23 (~ duck connections)
     checkpoint_dir: str | None = None
 
@@ -164,13 +174,14 @@ class StreamingPipeline:
         self.metrics = PipelineMetrics()
         self.completed_paths: list[str] = []  # D20 in-process feed
         self._paths_log = os.path.join(config.output_dir, "_completed", "paths.jsonl")
+        self._bytes_per_record: dict[str, float] = {}  # D15 size feedback
         self.query = None
 
     # -- epoch processing (D13/D17/D18/D20/D24) ----------------------------
     def _epoch_dir(self, table: str, epoch_id: int) -> str:
         return os.path.join(self.config.output_dir, table, f"epoch={epoch_id}")
 
-    def _write(self, df: DataFrame, path: str) -> int:
+    def _write(self, df: DataFrame, path: str, table: str) -> int:
         # Row count via Observation: piggybacks on the write job itself
         # (the reference's inline atomic counters, metrics.go:15-60). A
         # separate df.count() would re-run the whole upstream stage —
@@ -182,10 +193,35 @@ class StreamingPipeline:
         if self.config.sink_partitions:
             w = w.repartition(self.config.sink_partitions)
         writer = w.write.mode("append")
-        if self.config.max_records_per_file:
-            writer = writer.option("maxRecordsPerFile", str(self.config.max_records_per_file))
+        cap = self.config.max_records_per_file
+        if self.config.rotate_mb and table in self._bytes_per_record:
+            size_cap = max(
+                1,
+                int(
+                    self.config.rotate_mb
+                    * 1024
+                    * 1024
+                    / self._bytes_per_record[table]
+                ),
+            )
+            cap = min(cap, size_cap) if cap else size_cap
+        if cap:
+            writer = writer.option("maxRecordsPerFile", str(cap))
         writer.parquet(path)
-        return int(obs.get["n"])
+        n = int(obs.get["n"])
+        if self.config.rotate_mb and n:
+            # measure what this epoch actually wrote (the reference's
+            # between-batch size check, duck.go:421-429) and feed the
+            # next epoch's cap. Encoded bytes/record, not in-memory.
+            size = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet")
+            )
+            if size:
+                self._bytes_per_record[table] = size / n
+        return n
 
     def _publish_path(self, path: str, epoch_id: int, table: str) -> None:
         self.completed_paths.append(path)
@@ -213,19 +249,19 @@ class StreamingPipeline:
 
             if self.config.write_raw:
                 p = self._epoch_dir(self.config.dest_table, epoch_id)
-                raw_n = self._write(decoded, p)
+                raw_n = self._write(decoded, p, self.config.dest_table)
                 written.append((self.config.dest_table, p))
 
             if self.normalizer is not None:
                 norm_table = f"{self.config.dest_table}_norm"
                 p = self._epoch_dir(norm_table, epoch_id)
-                norm_n = self._write(self.normalizer.apply(decoded), p)
+                norm_n = self._write(self.normalizer.apply(decoded), p, norm_table)
                 written.append((norm_table, p))
 
             if self.custom is not None:
                 for table, df in self.custom.apply_all(decoded).items():
                     p = self._epoch_dir(table, epoch_id)
-                    custom_n += self._write(df, p)
+                    custom_n += self._write(df, p, table)
                     written.append((table, p))
 
             # D18: post-SQL over the *written* epoch output (the closed

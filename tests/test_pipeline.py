@@ -242,3 +242,68 @@ def test_d19_restart_from_checkpoint_exactly_once(spark, tmp_path):
     # ...and the sink holds each record exactly once across both runs
     raw = spark.read.parquet(os.path.join(out, "m"))
     assert raw.count() == 150
+
+
+def test_d15_size_based_rotation(spark, tmp_path):
+    """D15 size rotation (duck.go:421-429): with rotate_mb set, epoch 1
+    writes uncapped and measures bytes/record; epoch 2's files must then
+    respect the MB threshold (within parquet's footer/row-group slack,
+    like the reference's own approximate check, README.md:182)."""
+    import glob
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+
+    def write_rows(lo, hi):
+        (
+            spark.range(lo, hi)
+            .select(
+                F.encode(F.to_json(_nested_payload(F.col("id"))), "utf-8").alias("value")
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(inp)
+        )
+
+    rotate_mb = 0.02  # ~20 KB files force several rotations per epoch
+    pipe_cfg = PipelineConfig(
+        output_dir=out,
+        dest_table="m",
+        available_now=True,
+        sink_partitions=1,
+        rotate_mb=rotate_mb,
+    )
+
+    def run_once():
+        source = spark.readStream.schema("value binary").parquet(inp)
+        pipe = StreamingPipeline(
+            spark, source, pipe_cfg, decode=lambda df: decode_json(df, NESTED_SCHEMA)
+        )
+        q = pipe.start()
+        q.awaitTermination(120)
+        assert pipe.error() is None
+        return pipe
+
+    write_rows(0, 2000)
+    pipe1 = run_once()
+    assert pipe1._bytes_per_record.get("m"), "epoch 1 must record a size estimate"
+
+    # same pipeline OBJECT continues (state lives on the instance); feed
+    # a second batch through a fresh query on the same checkpoint
+    write_rows(2000, 4000)
+    source = spark.readStream.schema("value binary").parquet(inp)
+    pipe2 = StreamingPipeline(
+        spark, source, pipe_cfg, decode=lambda df: decode_json(df, NESTED_SCHEMA)
+    )
+    pipe2._bytes_per_record.update(pipe1._bytes_per_record)  # carried state
+    q = pipe2.start()
+    q.awaitTermination(120)
+
+    epoch_dirs = sorted(glob.glob(f"{out}/m/epoch=*"))
+    assert len(epoch_dirs) >= 2
+    late_files = glob.glob(f"{epoch_dirs[-1]}/*.parquet")
+    assert len(late_files) > 1, "size cap must have split the epoch"
+    cap_bytes = rotate_mb * 1024 * 1024
+    for f in late_files:
+        # 2x slack: parquet footers + dictionary pages on tiny files
+        assert os.path.getsize(f) <= cap_bytes * 2, (f, os.path.getsize(f))
