@@ -59,6 +59,7 @@ HEADLINE = [
     "x04_time_rollup",
     "t05_term_frequency",
     "q37_range_interval_frame",
+    "q42_latest_per_key",
 ]
 
 
