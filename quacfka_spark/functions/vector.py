@@ -75,8 +75,10 @@ def sign_bucket(a: Column | str, n_bits: int = 8) -> Column:
     into per-bucket searches.
     """
     a = F.col(a) if isinstance(a, str) else a
+    # try_element_at: ANSI element_at throws on short vectors; DuckDB's
+    # list index yields NULL -> ELSE '0', and try_ matches that exactly
     bits = [
-        F.when(F.element_at(a, i + 1) > 0, F.lit("1")).otherwise(F.lit("0"))
+        F.when(F.try_element_at(a, F.lit(i + 1)) > 0, F.lit("1")).otherwise(F.lit("0"))
         for i in range(n_bits)
     ]
     return F.concat(*bits)

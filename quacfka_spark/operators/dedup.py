@@ -495,8 +495,11 @@ def _cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_sigs = [
         F.concat(
             *[
+                # try_element_at, not element_at: ANSI mode throws on
+                # out-of-range, while DuckDB's embedding[k] yields NULL
+                # -> ELSE '0'; try_ gives the same NULL->'0' degradation
                 F.when(
-                    F.element_at(F.col("embedding"), b * _D07_BITS + k + 1) > 0,
+                    F.try_element_at(F.col("embedding"), F.lit(b * _D07_BITS + k + 1)) > 0,
                     F.lit("1"),
                 ).otherwise(F.lit("0"))
                 for k in range(_D07_BITS)
