@@ -606,3 +606,46 @@ def q42_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q43 — skew-safe aggregation (explicit two-phase salt)
+@query(
+    "q43_skew_safe_agg",
+    oracle="""
+    SELECT CASE WHEN user_id % 10 < 3 THEN 0 ELSE user_id END AS user_key,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS s
+    FROM events GROUP BY 1 ORDER BY user_key
+    """,
+    doc="Aggregation under a power-law hot key (a CASE maps ~30% of "
+    "events onto key 0 — the synthetic stand-in for the null-key / "
+    "celebrity-user skew every 100 TB log has). Implemented with the "
+    "engine's two_phase_agg: phase 1 aggregates on (key, deterministic "
+    "salt) so the hot key spreads over 16 tasks, phase 2 merges the 16 "
+    "partials per key. For plain sum/count Spark's own partial "
+    "aggregation gives the same protection — this declared query keeps "
+    "the explicit pattern (needed for collect-style/distinct aggs where "
+    "map-side combine is defeated) oracle-checked. Deterministic salt "
+    "(hash, not rand()) keeps task retries idempotent.",
+)
+def q43_skew_safe_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quacfka_spark.functions.skew import two_phase_agg
+
+    t = load_views(spark, sf_dir)
+    keyed = t["events"].select(
+        F.when(F.col("user_id") % 10 < 3, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("user_key"),
+        "value",
+    )
+    return two_phase_agg(
+        keyed,
+        ["user_key"],
+        [F.count(F.lit(1)).alias("pn"), F.sum("value").alias("ps")],
+        [
+            F.sum("pn").alias("n"),
+            F.round(F.sum("ps"), 2).alias("s"),
+        ],
+        salt_buckets=16,
+    ).orderBy("user_key")

@@ -334,3 +334,12 @@ def test_q42_latest_per_key_group_limit_below_shuffle(plans):
     # below the shuffle in the formatted tree; simpler: both modes exist
     assert len(_re.findall(r"WindowGroupLimit", p)) >= 2
     assert "Partial" in p and "Final" in p
+
+
+def test_q43_two_phase_salt_in_shuffle(plans):
+    """The explicit two-phase agg must shuffle on (key, salt) first —
+    the hot key spreads over salt_buckets tasks — then merge per key."""
+    p = plans("q43_skew_safe_agg")
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    assert any("__salt" in x for x in parts), parts
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) >= 4  # 2 phases x partial/final
