@@ -298,3 +298,60 @@ def sim05_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+# --------------------------------------------------------------------------
+_MQ_QUERIES = 4   # vec_id < 4 are the query batch
+_MQ_TOPK = 5
+
+
+@query(
+    "sim06_multi_query_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < {_MQ_QUERIES}),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qv AS DOUBLE[])) AS c
+      FROM embeddings e, q WHERE e.vec_id >= {_MQ_QUERIES}),
+    ranked AS (
+      SELECT qid, vec_id, c,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY c DESC, vec_id) AS rn
+      FROM scored)
+    SELECT qid, vec_id, ROUND(c, 4) AS cos
+    FROM ranked WHERE rn <= {_MQ_TOPK}
+    ORDER BY qid, cos DESC, vec_id
+    """,
+    doc="BATCHED ANN serving: top-k neighbors for a SET of query vectors "
+    "in one pass (the realistic retrieval shape — queries arrive in "
+    "batches, not one at a time). The query batch broadcasts as an "
+    "array literal column; each corpus row explodes over the K queries "
+    "(K small, corpus-scan bound), scores with the codegen cosine fold, "
+    "and per-query top-k uses ROW_NUMBER <= k — which Catalyst executes "
+    "with WindowGroupLimit in Partial mode BELOW the shuffle, so each "
+    "map task forwards only its local top-k candidates per query: "
+    "shuffle volume is O(tasks x K x k), never O(N). One scan, one "
+    "narrow shuffle, regardless of corpus size.",
+)
+def sim06_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_views(spark, sf_dir)
+    e = t["embeddings"]
+    qrows = e.filter(F.col("vec_id") < _MQ_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    corpus = e.filter(F.col("vec_id") >= _MQ_QUERIES)
+    scored = (
+        corpus.join(F.broadcast(qrows))
+        .select("qid", "vec_id", cosine("embedding", "qv").alias("c"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("vec_id"))
+    return (
+        scored.select("qid", "vec_id", "c", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _MQ_TOPK)
+        .select("qid", "vec_id", F.round("c", 4).alias("cos"))
+        .orderBy("qid", F.col("cos").desc(), "vec_id")
+    )

@@ -343,3 +343,13 @@ def test_q43_two_phase_salt_in_shuffle(plans):
     parts = re.findall(r"hashpartitioning\(([^)]*)\)", p)
     assert any("__salt" in x for x in parts), parts
     assert len(re.findall(r"\(\d+\) HashAggregate", p)) >= 4  # 2 phases x partial/final
+
+
+def test_sim06_multi_query_group_limit_below_shuffle(plans):
+    """Batched ANN must never shuffle N scored rows: WindowGroupLimit in
+    Partial mode below the exchange bounds shuffle volume at
+    O(tasks x K x k); the query batch broadcasts (no corpus shuffle)."""
+    p = plans("sim06_multi_query_topk")
+    assert len(re.findall(r"WindowGroupLimit", p)) >= 2
+    assert "Partial" in p
+    assert "SortMergeJoin" not in p  # query batch broadcasts
