@@ -285,3 +285,106 @@ def t06_chunk_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, chunk_id
         """
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "t07_corpus_mix",
+    oracle="""
+    WITH agg AS (
+      SELECT lang, source, COUNT(*) AS n_docs,
+             -- outer CAST matters: DuckDB SUM(BIGINT) yields HUGEINT,
+             -- which lands in pandas as float64 and breaks value-hash
+             -- parity with Spark's int64 even though values compare ==
+             CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1, 2)
+    SELECT lang, source, n_docs, n_tokens,
+           ROUND(n_docs * 1.0 / SUM(n_docs) OVER (), 4) AS doc_share,
+           ROUND(n_tokens * 1.0 / SUM(n_tokens) OVER (), 4) AS token_share
+    FROM agg ORDER BY lang, source
+    """,
+    doc="Corpus mixture report — the per-(lang, source) doc/token counts "
+    "and corpus shares every training-data pipeline tracks to hit its "
+    "target data mix. One scan with map-side-combined token sums, one "
+    "shuffle to (lang, source); the share window runs over the tiny "
+    "aggregated frame (|langs| x |sources| rows), so the unpartitioned "
+    "SUM() OVER () never sees corpus-sized input.",
+)
+def t07_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_views(spark, sf_dir)
+    agg = (
+        t["documents"]
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens("text")).cast("bigint")).alias("n_tokens"),
+        )
+    )
+    whole = Window.partitionBy()
+    return agg.select(
+        "lang", "source", "n_docs", "n_tokens",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(whole), 4).alias("doc_share"),
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(whole), 4).alias("token_share"),
+    ).orderBy("lang", "source")
+
+
+# --------------------------------------------------------------------------
+_T08_EVAL_SOURCE = "src0"  # the held-out benchmark set
+_T08_MIN_SHARED = 3        # shared distinct 3-gram shingles => contaminated
+
+
+@query(
+    "t08_decontaminate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source,
+                         regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                  FROM documents),
+    sh AS (SELECT doc_id, source,
+           CASE WHEN len(tk) >= 3
+                THEN list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                    for i in range(1, len(tk) - 1)])
+                ELSE [] END AS shs
+           FROM toks),
+    ev AS (SELECT doc_id, unnest(shs) AS s FROM sh WHERE source = '{_T08_EVAL_SOURCE}'),
+    co AS (SELECT doc_id, unnest(shs) AS s FROM sh WHERE source <> '{_T08_EVAL_SOURCE}'),
+    hits AS (SELECT co.doc_id AS doc_id, ev.doc_id AS eval_doc_id,
+                    COUNT(DISTINCT co.s) AS n_shared
+             FROM co JOIN ev ON co.s = ev.s GROUP BY 1, 2)
+    SELECT doc_id, eval_doc_id, n_shared
+    FROM hits WHERE n_shared >= {_T08_MIN_SHARED}
+    ORDER BY doc_id, eval_doc_id
+    """,
+    doc="Benchmark DECONTAMINATION — flag corpus documents that share "
+    ">= 3 distinct 3-gram shingles with the held-out eval set (source "
+    "= src0 stands in for the benchmark): the overlap check run before "
+    "every training corpus ships. Both sides explode to (doc_id, "
+    "shingle) rows and hash-join on the shingle — the standard "
+    "n-gram-inverted-index layout: shuffle is O(total shingles), the "
+    "eval side is tiny and broadcastable, and no doc pairs up with any "
+    "doc it shares zero shingles with (never all-pairs). The sf0.01 "
+    "fixture contains one real 78-shingle contamination pair.",
+)
+def t08_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    docs = t["documents"]
+    sh = docs.select(
+        "doc_id", "source",
+        F.array_distinct(shingles(tokens(F.lower(F.col("text"))))).alias("shs"),
+    )
+    ev = (
+        sh.filter(F.col("source") == _T08_EVAL_SOURCE)
+        .select(F.col("doc_id").alias("eval_doc_id"), F.explode("shs").alias("s"))
+    )
+    co = (
+        sh.filter(F.col("source") != _T08_EVAL_SOURCE)
+        .select("doc_id", F.explode("shs").alias("s"))
+    )
+    return (
+        co.join(F.broadcast(ev), "s")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count_distinct("s").alias("n_shared"))
+        .filter(F.col("n_shared") >= _T08_MIN_SHARED)
+        .orderBy("doc_id", "eval_doc_id")
+    )

@@ -46,11 +46,18 @@ def compare(spark_df, duck_rel) -> list[str]:
     if len(sp) != len(dk):
         problems.append(f"row count differs: spark={len(sp)} duck={len(dk)}")
     a, b = canon_rows(sp), canon_rows(dk)
-    if a != b:
+    # repr-strict, like the driver's value hash: int 5 vs float 5.0
+    # compare == but hash differently, so plain list equality hides
+    # engine dtype skew (e.g. DuckDB SUM(BIGINT) -> HUGEINT -> float64)
+    if repr(a) != repr(b):
         only_spark = [r for r in a if r not in set(map(tuple, b))][:5]
         only_duck = [r for r in b if r not in set(map(tuple, a))][:5]
-        problems.append(
-            f"values differ (cols sorted {sorted(sp.columns)}): "
+        detail = (
             f"spark-only={only_spark} duck-only={only_duck}"
+            if only_spark or only_duck
+            else "values == but reprs differ (dtype skew, e.g. int vs float)"
+        )
+        problems.append(
+            f"values differ (cols sorted {sorted(sp.columns)}): {detail}"
         )
     return problems

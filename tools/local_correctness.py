@@ -79,9 +79,16 @@ def main() -> None:
                 row["oracle_rows"] = len(dk)
                 row["rows_match"] = len(sp) == len(dk)
                 row["schema_match"] = sorted(sp.columns) == sorted(dk.columns)
-                row["hash_match"] = value_hash(canon_rows(sp)) == value_hash(
-                    canon_rows(dk)
-                )
+                a, b = canon_rows(sp), canon_rows(dk)
+                row["hash_match"] = value_hash(a) == value_hash(b)
+                if not row["hash_match"]:
+                    bs = set(b)
+                    row["diff_sample"] = {
+                        "spark_only": [repr(r) for r in a if r not in bs][:3],
+                        "oracle_only": [
+                            repr(r) for r in b if r not in set(a)
+                        ][:3],
+                    }
         except Exception:
             row["err"] = traceback.format_exc()
         report[name] = row
