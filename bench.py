@@ -60,6 +60,10 @@ HEADLINE = [
     "t05_term_frequency",
     "q37_range_interval_frame",
     "q42_latest_per_key",
+    "q43_skew_safe_agg",
+    "t07_corpus_mix",
+    "t08_decontaminate",
+    "sim06_multi_query_topk",
 ]
 
 

@@ -368,18 +368,27 @@ _T08_MIN_SHARED = 3        # shared distinct 3-gram shingles => contaminated
 )
 def t08_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_views(spark, sf_dir)
-    docs = t["documents"]
+    # repartition BEFORE the shingle projection: the fixture is a single
+    # parquet file (scan parallelism 1) and the eval side broadcasts, so
+    # without this narrow text shuffle the entire tokenize->shingle->
+    # join pipeline runs in ONE task (measured 23s -> 1.4s at sf0.1).
+    # At real scale many input files make this a no-op-cost rebalance.
+    docs = t["documents"].repartition(spark.sparkContext.defaultParallelism)
     sh = docs.select(
         "doc_id", "source",
         F.array_distinct(shingles(tokens(F.lower(F.col("text"))))).alias("shs"),
     )
+    # explode_outer, not explode: an inner Generate lets
+    # InferFiltersFromGenerate push a size(shs)>0 filter that re-inlines
+    # the whole shingle tree below it (the d03 regression; null shingle
+    # rows are harmless — they match no join key)
     ev = (
         sh.filter(F.col("source") == _T08_EVAL_SOURCE)
-        .select(F.col("doc_id").alias("eval_doc_id"), F.explode("shs").alias("s"))
+        .select(F.col("doc_id").alias("eval_doc_id"), F.explode_outer("shs").alias("s"))
     )
     co = (
         sh.filter(F.col("source") != _T08_EVAL_SOURCE)
-        .select("doc_id", F.explode("shs").alias("s"))
+        .select("doc_id", F.explode_outer("shs").alias("s"))
     )
     return (
         co.join(F.broadcast(ev), "s")
