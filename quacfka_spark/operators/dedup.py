@@ -595,13 +595,19 @@ def d06_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _label_propagate(pairs: DataFrame) -> DataFrame:
+def _label_propagate(pairs: DataFrame, max_rounds: int = 100) -> DataFrame:
     """Connected components over (i, j) pair rows as iterative min-label
     propagation — the shared core of d06 (text clusters) and d08 (vector
     keep-lists). Returns (v, lbl). See d06's doc for the scale notes
     (localCheckpoint lineage truncation, large-star/small-star swap for
     adversarial diameters; only a scalar changed-count ever reaches the
-    driver)."""
+    driver).
+
+    Runs to CONVERGENCE (changed == 0) — rounds track the component
+    diameter, and LSH near-dup components are near-cliques (2-3 rounds).
+    ``max_rounds`` is a runaway backstop, not an accuracy knob: hitting
+    it raises rather than silently returning half-propagated labels (a
+    20-round cap used to do exactly that on any >20-hop chain)."""
     edges = (
         pairs.select(F.col("i").alias("a"), F.col("j").alias("b"))
         .union(pairs.select(F.col("j").alias("a"), F.col("i").alias("b")))
@@ -613,7 +619,7 @@ def _label_propagate(pairs: DataFrame) -> DataFrame:
         .select("v", F.col("v").alias("lbl"))
         .localCheckpoint()
     )
-    for _ in range(20):  # diameter bound; LSH components converge in 2-3
+    for _ in range(max_rounds):
         prop = edges.join(labels, edges["a"] == labels["v"]).select(
             F.col("b").alias("v"), "lbl"
         )
@@ -628,9 +634,14 @@ def _label_propagate(pairs: DataFrame) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            break
+            edges.unpersist()
+            return labels
     edges.unpersist()
-    return labels
+    raise RuntimeError(
+        f"label propagation did not converge in {max_rounds} rounds — "
+        "component diameter exceeds the backstop; use the large-star/"
+        "small-star contraction variant for long-chain graphs"
+    )
 
 
 # --------------------------------------------------------------------------
