@@ -132,3 +132,51 @@ def test_embedding_drift_parity(spark, emb_drift_dir, duck_emb_drift, name):
     df = q.fn(spark, emb_drift_dir)
     problems = compare(df, duck_emb_drift.sql(q.oracle))
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+# ---------------------------------------------------------------------------
+# documents drift screen: a regenerated fixture could plausibly surface
+# text columns as large_string (arrow's 64-bit-offset flavor). The text
+# operators must hash-match their oracles on that flavor too.
+
+DOC_QUERIES = (
+    "t01_token_count",
+    "t04_fingerprint",
+    "t08_decontaminate",
+    "d01_exact_dedup",
+    "d03_minhash_lsh",
+)
+
+
+@pytest.fixture(scope="module")
+def doc_drift_dir(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("doc_large_string")
+    for name in TABLES:
+        if name != "documents":
+            os.symlink(f"{cf.SMOKE_DIR}/{name}.parquet", dst / f"{name}.parquet")
+    tbl = pq.read_table(f"{cf.SMOKE_DIR}/documents.parquet")
+    schema = pa.schema(
+        [
+            pa.field(f.name, pa.large_string())
+            if pa.types.is_string(f.type)
+            else f
+            for f in tbl.schema
+        ]
+    )
+    pq.write_table(tbl.cast(schema), dst / "documents.parquet")
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def duck_doc_drift(doc_drift_dir):
+    con = cf.make_duck(doc_drift_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_documents_drift_parity(spark, doc_drift_dir, duck_doc_drift, name):
+    q = QUERIES[name]
+    df = q.fn(spark, doc_drift_dir)
+    problems = compare(df, duck_doc_drift.sql(q.oracle))
+    assert not problems, f"{name}: " + "; ".join(problems)
