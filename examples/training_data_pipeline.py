@@ -5,6 +5,7 @@ the individual d*/t*/sim* operators exist for.
       -> text quality scoring (t02 machinery)        keep score >= cut
       -> exact dedup on content digest (d01 shape)   keep first per digest
       -> embedding near-dup keep-list (d07 -> d08)   drop keep=false rows
+      -> benchmark decontamination (t08)             drop eval-overlap docs
       -> token accounting (t01 shape)                corpus stats
 
 Every stage is a narrow projection, a hash aggregate, or an id-keyed
@@ -28,6 +29,7 @@ from pyspark.sql import functions as F
 
 from quacfka_spark.catalog import load_views
 from quacfka_spark.operators.dedup import d08_dedup_keep
+from quacfka_spark.operators.text import t08_decontaminate
 from quacfka_spark.functions.text import tokens
 
 
@@ -76,7 +78,12 @@ def curate(spark: SparkSession, sf_dir: str, quality_cut: float = 0.45) -> DataF
         .filter(~F.col("keep"))
         .select(F.col("vec_id").alias("doc_id"))
     )
-    return deduped.join(drop, "doc_id", "left_anti")
+    cleaned = deduped.join(drop, "doc_id", "left_anti")
+
+    # 4. benchmark decontamination: t08 names corpus docs overlapping the
+    # held-out eval set; they must not ship in a training corpus
+    contaminated = t08_decontaminate(spark, sf_dir).select("doc_id").distinct()
+    return cleaned.join(contaminated, "doc_id", "left_anti")
 
 
 def main() -> None:

@@ -29,3 +29,11 @@ def test_curation_invariants(spark):
     )
     assert corpus.join(dropped, "doc_id").count() == 0
     corpus.unpersist()
+
+
+def test_no_contaminated_doc_survives(spark):
+    from quacfka_spark.operators.text import t08_decontaminate
+
+    corpus = curate(spark, cf.SMOKE_DIR)
+    contaminated = t08_decontaminate(spark, cf.SMOKE_DIR).select("doc_id").distinct()
+    assert corpus.join(contaminated, "doc_id").count() == 0
