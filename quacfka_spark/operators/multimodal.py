@@ -30,6 +30,20 @@ _FRAME_BYTES = 16
 _FRAME_STRIDE = 4
 
 
+def _fanout(df: DataFrame) -> DataFrame:
+    """Spread a Python-UDF stage across the cluster when the source has
+    fewer partitions than cores (single-file fixtures, tiny topics): a
+    mapInPandas over one input file otherwise runs in ONE task (the t08
+    lesson). Conditional on purpose — at real scale input files >> cores
+    and an unconditional repartition would shuffle every payload byte
+    for nothing."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def _with_payload(t: dict) -> DataFrame:
     """documents + binary payload column (utf-8 bytes of text)."""
     return t["documents"].select(
@@ -111,7 +125,7 @@ def _fake_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
 def m02_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_views(spark, sf_dir)
     return (
-        _with_payload(t)
+        _fanout(_with_payload(t))
         .mapInPandas(_fake_decode_batches, schema=_M02_SCHEMA)
         .orderBy("doc_id")
     )
