@@ -180,3 +180,39 @@ def test_documents_drift_parity(spark, doc_drift_dir, duck_doc_drift, name):
     df = q.fn(spark, doc_drift_dir)
     problems = compare(df, duck_doc_drift.sql(q.oracle))
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+# ---------------------------------------------------------------------------
+# orders drift screen: o_orderdate ships as timestamp[us] today; the
+# natural drift is to date32. Extraction/window-order consumers must
+# hash-match on either flavor.
+
+ORD_QUERIES = ("q19_datetime_math", "q28_window_nav")
+
+
+@pytest.fixture(scope="module")
+def orders_drift_dir(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("orders_date32")
+    for name in TABLES:
+        if name != "orders":
+            os.symlink(f"{cf.SMOKE_DIR}/{name}.parquet", dst / f"{name}.parquet")
+    tbl = pq.read_table(f"{cf.SMOKE_DIR}/orders.parquet")
+    idx = tbl.schema.get_field_index("o_orderdate")
+    recast = tbl.column(idx).cast(pa.date32())
+    tbl = tbl.set_column(idx, pa.field("o_orderdate", pa.date32()), recast)
+    pq.write_table(tbl, dst / "orders.parquet")
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def duck_orders_drift(orders_drift_dir):
+    con = cf.make_duck(orders_drift_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORD_QUERIES)
+def test_orders_drift_parity(spark, orders_drift_dir, duck_orders_drift, name):
+    q = QUERIES[name]
+    problems = compare(q.fn(spark, orders_drift_dir), duck_orders_drift.sql(q.oracle))
+    assert not problems, f"{name}: " + "; ".join(problems)
