@@ -119,7 +119,7 @@ def main() -> None:
     # benchmark reports. Pass 1 is a full cold sweep, so plan+codegen
     # time still shows up there if a query never gets faster.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for _ in range(max(1, passes)):
         for name in HEADLINE:
@@ -135,12 +135,30 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
             except Exception as e:  # one broken query must not lose the run
                 errors[name] = str(e)[:200]
+                # a query that succeeded on an earlier pass but errors now
+                # is FAILED, not benchmarked — drop the stale timing so it
+                # can't be double-counted in both queries and errors
+                samples.pop(name, None)
                 print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
                 continue
             t = round(time.perf_counter() - t0, 4)
-            timings[name] = min(timings.get(name, t), t)
+            samples.setdefault(name, []).append(t)
             print(f"# {name}: {t:.3f}s", file=sys.stderr)
 
+    # Headline number stays best-of-N (steady-state throughput on a VM
+    # with 2-4x run-to-run swing), but median/max ride along per query so
+    # a genuine tail regression can't hide behind "variance".
+    import statistics
+
+    timings = {n: min(ts) for n, ts in samples.items()}
+    stats = {
+        n: {
+            "best": min(ts),
+            "median": round(statistics.median(ts), 4),
+            "max": max(ts),
+        }
+        for n, ts in samples.items()
+    }
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -149,6 +167,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "query_stats": stats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "ingest": ingest,
                 "ingest_streaming": ingest_streaming,

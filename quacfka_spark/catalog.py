@@ -100,6 +100,10 @@ def stream_events(
     present to plain TIMESTAMP so streaming window/session operators see
     the dtype batch queries see. ``options`` pass through to the reader
     (e.g. ``maxFilesPerTrigger="1"``)."""
+    # tune_session before the batch schema sniff: on the TIMESTAMP(NANOS)
+    # fixture flavor an untuned external session (nanosAsLong unset)
+    # throws at this read — load_views guards the same way.
+    tune_session(spark)
     on_disk = spark.read.parquet(events_dir).schema
     reader = spark.readStream.schema(on_disk)
     for k, v in options.items():

@@ -16,6 +16,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 TOKEN_RE = r"\S+"
+NORM_TOKEN_RE = "[a-z0-9]+"
 
 
 def tokens(text: Column | str) -> Column:
@@ -25,10 +26,22 @@ def tokens(text: Column | str) -> Column:
     return F.regexp_extract_all(text, F.lit(TOKEN_RE), 0)
 
 
-def shingles(toks: Column, n: int = 3) -> Column:
+def norm_tokens(text: Column | str) -> Column:
+    """Normalized alnum tokens — ``regexp_extract_all(lower(text),
+    '[a-z0-9]+')`` — the tokenizer every shingle-based operator (dedup,
+    decontamination) shares, so punctuation/case in the corpus can never
+    make the Spark shingle set diverge from the oracle's."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(text), F.lit(NORM_TOKEN_RE), 0)
+
+
+def shingles(toks: Column, n: int = 3, short_empty: bool = False) -> Column:
     """Distinct word n-gram shingles: one space-joined string per window
-    of ``n`` consecutive tokens; a doc shorter than ``n`` tokens yields
-    its whole token string as the single shingle.
+    of ``n`` consecutive tokens. A doc shorter than ``n`` tokens yields
+    its whole token string as the single shingle (the dedup-operator
+    convention, so short near-identical docs still pair up) — or, with
+    ``short_empty=True``, an empty array (the decontamination
+    convention: a sub-n-gram doc can't share an n-gram with anything).
 
     Built with sequence+transform (array-valued, no explode here);
     callers explode and shuffle on the shingle only where the algorithm
@@ -39,9 +52,14 @@ def shingles(toks: Column, n: int = 3) -> Column:
         return F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)])
 
     idx = F.sequence(F.lit(0), F.size(toks) - n)
-    return F.when(F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
-        F.array(F.concat_ws(" ", toks))
+    short = (
+        F.array().cast("array<string>")
+        if short_empty
+        else F.array(F.concat_ws(" ", toks))
     )
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(short)
 
 
 def seeded_md5(seed: int, value: Column) -> Column:

@@ -27,12 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quacfka_spark.catalog import load_views
-from quacfka_spark.functions.text import seeded_md5, shingles
+from quacfka_spark.functions.text import norm_tokens, seeded_md5, shingles
 from quacfka_spark.functions.vector import cosine_batch
 from quacfka_spark.registry import query
-
-# Normalized tokens shared by the shingle-based operators.
-_NORM_TOKEN_RE = "[a-z0-9]+"
 
 # DuckDB expression fragments for the shared oracle CTEs.
 _ORACLE_TOKS = (
@@ -49,7 +46,7 @@ _ORACLE_SHINGLES = """
 
 
 def _norm_tokens() -> F.Column:
-    return F.regexp_extract_all(F.lower(F.col("text")), F.lit(_NORM_TOKEN_RE), 0)
+    return norm_tokens("text")
 
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
@@ -422,13 +419,17 @@ def d05_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "i": np.minimum(u, v),
                 "j": np.maximum(u, v),
-                "cos": np.round(cos[ii, jj], 4),
+                "cos": cos[ii, jj],
             }
         )
 
+    # Round in the outer plan with F.round (HALF_UP) — not np.round
+    # (half-to-even) inside block_pair — so d05, d07, and the DuckDB
+    # oracle's ROUND all share one rounding mode on boundary cosines.
     return (
         rep.groupBy("pa", "pb")
         .applyInPandas(block_pair, schema="i bigint, j bigint, cos double")
+        .select("i", "j", F.round("cos", 4).alias("cos"))
         .orderBy("i", "j")
     )
 

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quacfka_spark.catalog import load_views
-from quacfka_spark.functions.text import seeded_md5, shingles, tokens
+from quacfka_spark.functions.text import norm_tokens, seeded_md5, shingles, tokens
 from quacfka_spark.registry import query
 
 # A BPE-ish pre-tokenizer: words, single digits, or single punctuation
@@ -374,9 +374,17 @@ def t08_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join pipeline runs in ONE task (measured 23s -> 1.4s at sf0.1).
     # At real scale many input files make this a no-op-cost rebalance.
     docs = t["documents"].repartition(spark.sparkContext.defaultParallelism)
-    sh = docs.select(
+    # Tokenize with the dedup operators' normalized regex ([a-z0-9]+ on
+    # lowered text) so impl and oracle share one tokenizer — whitespace
+    # tokens only matched the oracle while the fixture text was pure
+    # lowercase alnum (a fixture-drift trap). Token array materialized in
+    # its own projection so the regex isn't re-run per element_at inside
+    # the gram lambda (see dedup._doc_shingles), and short_empty=True
+    # mirrors the oracle's "docs with <3 tokens share nothing" branch.
+    toks = docs.select("doc_id", "source", norm_tokens("text").alias("tk"))
+    sh = toks.select(
         "doc_id", "source",
-        F.array_distinct(shingles(tokens(F.lower(F.col("text"))))).alias("shs"),
+        shingles(F.col("tk"), short_empty=True).alias("shs"),
     )
     # explode_outer, not explode: an inner Generate lets
     # InferFiltersFromGenerate push a size(shs)>0 filter that re-inlines

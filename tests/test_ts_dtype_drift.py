@@ -216,3 +216,77 @@ def test_orders_drift_parity(spark, orders_drift_dir, duck_orders_drift, name):
     q = QUERIES[name]
     problems = compare(q.fn(spark, orders_drift_dir), duck_orders_drift.sql(q.oracle))
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+# ---------------------------------------------------------------------------
+# punctuated-text drift screen: today's fixture text is pure lowercase
+# alnum words — tokenizer mismatches between impl and oracle (\S+ vs
+# [a-z0-9]+) are invisible on it. A regenerated fixture with punctuation
+# or mixed case would surface them as hash mismatches at the driver gate.
+# This rewrites documents.text with per-word punctuation + capitalization
+# (alnum token stream PRESERVED, whitespace token stream changed) plus a
+# few sub-3-token docs to exercise the short-doc shingle branches, and
+# asserts every text/shingle consumer still matches its oracle.
+
+PUNCT_QUERIES = (
+    "t01_token_count",
+    "t04_fingerprint",
+    "t05_term_frequency",
+    "t07_corpus_mix",
+    "t08_decontaminate",
+    "d01_exact_dedup",
+    "d02_ngram_jaccard",
+    "d03_minhash_lsh",
+    "d04_simhash",
+)
+
+_PUNCT = [",", "!", ".", ";", "?"]
+
+
+def _punctuate(doc_id: int, text: str) -> str:
+    if doc_id % 17 == 0:
+        return "Hi!"  # 1 alnum token — short-shingle branch
+    if doc_id % 17 == 5:
+        return "One, two."  # 2 alnum tokens
+    words = text.split(" ")
+    out = []
+    for i, w in enumerate(words):
+        if (doc_id + i) % 3 == 0:
+            w = w.capitalize()
+        if (doc_id + i) % 4 == 0:
+            w = w + _PUNCT[(doc_id + i) % len(_PUNCT)]
+        out.append(w)
+    return " ".join(out)
+
+
+@pytest.fixture(scope="module")
+def punct_dir(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("doc_punct")
+    for name in TABLES:
+        if name != "documents":
+            os.symlink(f"{cf.SMOKE_DIR}/{name}.parquet", dst / f"{name}.parquet")
+    tbl = pq.read_table(f"{cf.SMOKE_DIR}/documents.parquet")
+    ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    new_text = pa.array(
+        [_punctuate(i, t) for i, t in zip(ids, texts)], type=pa.string()
+    )
+    idx = tbl.schema.get_field_index("text")
+    tbl = tbl.set_column(idx, pa.field("text", pa.string()), new_text)
+    pq.write_table(tbl, dst / "documents.parquet")
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def duck_punct(punct_dir):
+    con = cf.make_duck(punct_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", PUNCT_QUERIES)
+def test_punctuated_text_parity(spark, punct_dir, duck_punct, name):
+    q = QUERIES[name]
+    df = q.fn(spark, punct_dir)
+    problems = compare(df, duck_punct.sql(q.oracle))
+    assert not problems, f"{name}: " + "; ".join(problems)
