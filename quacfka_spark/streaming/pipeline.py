@@ -134,7 +134,35 @@ class SQLRunner:
     fn: Callable[[SparkSession, int], None] | None = None
     delete_on_done: bool = False
 
+    # Statement prefixes that run for effect (side-effecting DDL/DML) —
+    # anything else in exec mode is a result-bearing query whose rows
+    # would be materialized ON THE DRIVER by the effect-only .collect(),
+    # an unbounded-memory trap at scale. The reference's exec mode has
+    # the same effect-only contract (duck.go:70-72: "queries that
+    # aggregate to another table as well as EXPORT/COPY TO statements").
+    _EFFECT_PREFIXES = (
+        "insert", "create", "replace", "drop", "alter", "truncate",
+        "delete", "update", "merge", "copy", "export", "cache",
+        "uncache", "refresh", "set", "msck", "analyze", "optimize",
+        "vacuum", "with",  # WITH ... INSERT (CTE-prefixed DML)
+    )
+
+    def __post_init__(self) -> None:
+        for q in self.queries:
+            self._check_effect_only(q)
+
+    def _check_effect_only(self, q: str) -> None:
+        if self.exec and not q.lstrip().lower().startswith(self._EFFECT_PREFIXES):
+            raise ValueError(
+                "SQLRunner(exec=True) statements run for effect only; "
+                f"got a result-bearing statement {q.strip()[:60]!r}. "
+                "Use INSERT/CREATE/COPY-style SQL, or exec=False with "
+                "fn=... to consume results yourself."
+            )
+
     def add_queries(self, queries: list[str]) -> None:
+        for q in queries:
+            self._check_effect_only(q)
         self.queries.extend(queries)
 
     def run(self, spark: SparkSession, epoch_id: int) -> None:

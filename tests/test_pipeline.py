@@ -307,3 +307,25 @@ def test_d15_size_based_rotation(spark, tmp_path):
     for f in late_files:
         # 2x slack: parquet footers + dictionary pages on tiny files
         assert os.path.getsize(f) <= cap_bytes * 2, (f, os.path.getsize(f))
+
+
+def test_sqlrunner_exec_mode_rejects_result_bearing_sql():
+    """Exec mode is effect-only (duck.go:70-72): a bare SELECT would be
+    silently collect()ed onto the driver — unbounded memory at scale —
+    so both the constructor and add_queries reject it up front."""
+    with pytest.raises(ValueError, match="effect only"):
+        SQLRunner(exec=True, queries=["SELECT * FROM messages_norm"])
+    runner = SQLRunner(exec=True)
+    with pytest.raises(ValueError, match="effect only"):
+        runner.add_queries(["  select count(*) from messages"])
+    assert runner.queries == []
+    # effect statements still accepted, case/whitespace-insensitively
+    runner.add_queries(
+        [
+            "CREATE OR REPLACE TEMP VIEW v AS SELECT 1 AS x",
+            "  insert overwrite directory '/tmp/x' using parquet select * from v",
+        ]
+    )
+    assert len(runner.queries) == 2
+    # exec=False (callback mode) never guards: fn issues its own queries
+    SQLRunner(exec=False, queries=["SELECT 1"])
