@@ -41,6 +41,7 @@ HEADLINE = [
     "q27_cube_grouping",
     "q28_window_nav",
     "q30_percentile",
+    "q30p_approx_percentile_only",
     "q34_higher_order_array",
     "s01_tumbling_window",
     "s03_session_window",
@@ -48,6 +49,7 @@ HEADLINE = [
     "t04_fingerprint",
     "d01_exact_dedup",
     "d03_minhash_lsh",
+    "d03p_minhash_xxhash_pairs",
     "d05_embedding_cosine",
     "d07_cosine_lsh_pairs",
     "sim01_bruteforce_topk",

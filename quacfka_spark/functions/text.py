@@ -64,7 +64,14 @@ def shingles(toks: Column, n: int = 3, short_empty: bool = False) -> Column:
 
 def seeded_md5(seed: int, value: Column) -> Column:
     """Family of portable hash functions indexed by an integer seed:
-    ``md5(seed || '|' || value)`` — identical in Spark and DuckDB."""
+    ``md5(seed || '|' || value)`` — identical in Spark and DuckDB.
+
+    ``seed`` must be a Python int: passing a Column (e.g. transform's
+    index variable via the two-arg-lambda trap) would stringify the
+    Column OBJECT into the literal and silently change the hash family.
+    """
+    if not isinstance(seed, int):
+        raise TypeError(f"seed must be a Python int, got {type(seed).__name__}")
     return F.md5(F.concat(F.lit(str(seed)), F.lit("|"), value))
 
 

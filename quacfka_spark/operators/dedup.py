@@ -159,13 +159,27 @@ _MINHASH_N = 12  # hash functions
 _BAND_SIZE = 3  # rows per band -> 4 bands
 
 
-def _minhash_cols() -> list[F.Column]:
+def _minhash_cols(family: str = "md5") -> list[F.Column]:
     """12 minhashes, each an array fold over the shingle array — computed
-    in one projection, no explode, no shuffle."""
-    return [
-        F.array_min(F.transform(F.col("shs"), lambda s, i=i: seeded_md5(i, s))).alias(f"mh{i}")
-        for i in range(_MINHASH_N)
-    ]
+    in one projection, no explode, no shuffle.
+
+    ``family="md5"`` is the portable oracle-checkable hash;
+    ``family="xxhash64"`` is the production swap the module docstring
+    promises (seeded native 64-bit hash, no hex-string materialization —
+    same operator shape, ~an order of magnitude cheaper per shingle).
+    """
+    # NB: the seed must be closed over via a factory function, never the
+    # `lambda s, i=i:` default-arg idiom — a two-parameter callable makes
+    # pyspark build transform's (element, index) form, silently binding
+    # the "seed" to the ARRAY INDEX lambda variable instead of the int.
+    def mh(i: int) -> F.Column:
+        if family == "xxhash64":
+            return F.array_min(
+                F.transform(F.col("shs"), lambda s: F.xxhash64(F.lit(i), s))
+            )
+        return F.array_min(F.transform(F.col("shs"), lambda s: seeded_md5(i, s)))
+
+    return [mh(i).alias(f"mh{i}") for i in range(_MINHASH_N)]
 
 
 # Shared by d03 (pairs) and d06 (clusters-over-pairs): the full MinHash
@@ -221,18 +235,31 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_pairs(
+    spark: SparkSession, sf_dir: str, family: str = "md5"
+) -> DataFrame:
     """Jaccard-verified LSH candidate pairs (i, j, _j) — the shared core
-    of d03 (reported pairs) and d06 (duplicate clusters)."""
+    of d03 (reported pairs), d06 (duplicate clusters) and d03x (the
+    xxhash64 production variant)."""
     sh = _doc_shingles(spark, sf_dir)
-    sigs = sh.select("doc_id", "shs", *_minhash_cols())
+    sigs = sh.select("doc_id", "shs", *_minhash_cols(family))
     n_bands = _MINHASH_N // _BAND_SIZE
-    band_sigs = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"mh{b * _BAND_SIZE + k}") for k in range(_BAND_SIZE)])
-        ).alias(f"band{b}")
-        for b in range(n_bands)
-    ]
+    if family == "xxhash64":
+        # band signature = one native hash over the 3 bigint minhashes —
+        # no hex concat, the band shuffle key is 8 bytes not 32.
+        band_sigs = [
+            F.xxhash64(
+                *[F.col(f"mh{b * _BAND_SIZE + k}") for k in range(_BAND_SIZE)]
+            ).alias(f"band{b}")
+            for b in range(n_bands)
+        ]
+    else:
+        band_sigs = [
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh{b * _BAND_SIZE + k}") for k in range(_BAND_SIZE)])
+            ).alias(f"band{b}")
+            for b in range(n_bands)
+        ]
     # (doc_id, shs, band, sig) via posexplode of the band-signature array;
     # both self-join sides shuffle on (band, sig) -> one reused exchange.
     # posexplode_OUTER, not posexplode: bs always has exactly n_bands
@@ -261,6 +288,53 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = F.size(F.array_intersect("shs_i", "shs_j"))
     jac = common / (F.size("shs_i") + F.size("shs_j") - common)
     return cand.select("i", "j", jac.alias("_j")).filter(F.col("_j") >= 0.7)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "d03p_minhash_xxhash_pairs",
+    oracle=None,
+    doc="d03's production hash family: MinHash+LSH with seeded xxhash64 "
+    "instead of md5 — identical plan shape (signature folds in one "
+    "projection, one reused band exchange, Jaccard verify on candidates "
+    "only) but native 64-bit hashes end to end: no hex strings "
+    "materialize and the band shuffle key is 8 bytes, which is why this "
+    "is the 100 TB configuration. xxhash64 has no DuckDB builtin, so "
+    "this key has no SQL oracle (rows-only driver check); its "
+    "correctness rides on d03x_minhash_xxhash, which oracle-checks the "
+    "verified pair set against the md5 family's.",
+)
+def d03p_minhash_xxhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _minhash_pairs(spark, sf_dir, family="xxhash64")
+        .select("i", "j", F.round(F.col("_j"), 4).alias("jaccard"))
+        .orderBy("i", "j")
+    )
+
+
+@query(
+    "d03x_minhash_xxhash",
+    oracle="SELECT CAST(1 AS INTEGER) AS ok",
+    doc="Self-verifying agreement check for the xxhash64 production "
+    "family (q06 pattern — different hash families can't hash-match an "
+    "engine-specific oracle): both families' Jaccard-VERIFIED pair sets "
+    "(threshold 0.7) must agree to >= 95% set-Jaccard. Verify-stage "
+    "precision is exact in both (candidates are re-scored with true "
+    "Jaccard), so any disagreement is LSH recall on boundary pairs — "
+    "bounded here, and empirically zero on the fixtures.",
+)
+def d03x_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    md5_pairs = _minhash_pairs(spark, sf_dir).select("i", "j")
+    xx_pairs = _minhash_pairs(spark, sf_dir, family="xxhash64").select("i", "j")
+    inter = md5_pairs.intersect(xx_pairs)
+    union = md5_pairs.union(xx_pairs).distinct()
+    agg = union.agg(F.count(F.lit(1)).alias("n_union")).crossJoin(
+        inter.agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ok = ((F.col("n_union") - F.col("n_inter")) <= 0.05 * F.col("n_union")).cast(
+        "int"
+    )
+    return agg.select(ok.alias("ok"))
 
 
 # --------------------------------------------------------------------------

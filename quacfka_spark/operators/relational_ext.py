@@ -213,6 +213,63 @@ def q30_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q30p — the sketch path alone, benched against q30's exact plan
+@query(
+    "q30p_approx_percentile_only",
+    oracle=None,
+    doc="q30's production configuration: approx_percentile only (t-digest "
+    "sketch, constant memory per group, bounded-size shuffle rows) — the "
+    "plan you run at 100 TB where exact percentile_cont's per-group "
+    "value buffering is a straight OOM. No SQL oracle (sketch results "
+    "are engine-specific; rows-only driver check): its accuracy is "
+    "oracle-checked by q30x_approx_percentile's within-1% flag.",
+)
+def q30p_approx_percentile_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10_000)).alias(
+                "median_qty"
+            ),
+            F.approx_percentile(
+                "l_extendedprice", F.lit(0.9), F.lit(10_000)
+            ).alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q30x — the 100 TB percentile path, self-verified (q06 pattern)
+@query(
+    "q30x_approx_percentile",
+    oracle="SELECT CAST(1 AS INTEGER) AS ok",
+    doc="approx_percentile — the constant-memory sketch q30's docstring "
+    "declares as the 100 TB path (exact percentile_cont buffers every "
+    "per-group value; the sketch shuffles a bounded digest). Sketches "
+    "can't hash-match an exact oracle, so the declared check is the q06 "
+    "self-verifying pattern: every group's approx p50/p90 must land "
+    "within 1% of the exact interpolated percentile, folded to one "
+    "boolean the oracle agrees on.",
+)
+def q30x_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    acc = 10_000  # 1/acc relative rank error bound
+    agg = t["lineitem"].groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(acc)).alias("aq"),
+        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(acc)).alias("ap"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("eq"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("ep"),
+    )
+    within = (F.abs(F.col("aq") - F.col("eq")) <= 0.01 * F.abs(F.col("eq"))) & (
+        F.abs(F.col("ap") - F.col("ep")) <= 0.01 * F.abs(F.col("ep"))
+    )
+    return agg.agg(F.min(within.cast("int")).alias("ok"))
+
+
+# --------------------------------------------------------------------------
 # Q31 — decimal arithmetic (SURVEY §1.2: DecimalType required)
 @query(
     "q31_decimal_agg",
