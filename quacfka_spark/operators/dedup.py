@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from quacfka_spark.catalog import load_views
 from quacfka_spark.functions.text import norm_tokens, seeded_md5, shingles
 from quacfka_spark.functions.vector import cosine_batch
+from quacfka_spark.plans.spread import spread_for_cpu
 from quacfka_spark.registry import query
 
 # DuckDB expression fragments for the shared oracle CTEs.
@@ -50,16 +51,12 @@ def _norm_tokens() -> F.Column:
 
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Repartition to full core count before CPU-heavy per-row work.
-
-    The fixture tables are single parquet files -> one input split; a
-    shingle/hash pipeline would otherwise run on 1 of N cores. At
-    cluster scale the same principle holds: a CPU-bound expression stage
-    should be spread to total parallelism even when the scan has fewer
-    splits (the shuffle moves KBs of text per row, the expressions burn
-    orders of magnitude more CPU than that move costs).
-    """
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    """Fan a CPU-heavy expression stage out to full core count when (and
+    only when) the scan behind it is under-split — single-file fixtures
+    run the whole shingle/hash pipeline on 1 of N cores otherwise, while
+    an already-parallel scan (many files) skips the exchange entirely.
+    See plans/spread.py for the decision rule."""
+    return spread_for_cpu(df)
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

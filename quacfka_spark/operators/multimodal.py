@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quacfka_spark.catalog import load_views
+from quacfka_spark.plans.spread import spread_for_cpu
 from quacfka_spark.registry import query
 
 _FRAME_BYTES = 16
@@ -32,16 +33,13 @@ _FRAME_STRIDE = 4
 
 def _fanout(df: DataFrame) -> DataFrame:
     """Spread a Python-UDF stage across the cluster when the source has
-    fewer partitions than cores (single-file fixtures, tiny topics): a
+    fewer splits than cores (single-file fixtures, tiny topics): a
     mapInPandas over one input file otherwise runs in ONE task (the t08
     lesson). Conditional on purpose — at real scale input files >> cores
     and an unconditional repartition would shuffle every payload byte
-    for nothing."""
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 <= target:
-        return df.repartition(target)
-    return df
+    for nothing. Decision is file-count metadata (plans/spread.py), not
+    df.rdd.getNumPartitions(), which eagerly built the RDD plan per call."""
+    return spread_for_cpu(df)
 
 
 def _with_payload(t: dict) -> DataFrame:

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from quacfka_spark.catalog import load_views
 from quacfka_spark.functions.text import norm_tokens, seeded_md5, shingles, tokens
+from quacfka_spark.plans.spread import spread_for_cpu
 from quacfka_spark.registry import query
 
 # A BPE-ish pre-tokenizer: words, single digits, or single punctuation
@@ -189,12 +190,8 @@ def t03_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_views(spark, sf_dir)
     tk = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
-    # single-file fixture -> spread the md5-heavy projection across cores
-    d = (
-        t["documents"]
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", tk.alias("tk"))
-    )
+    # under-split scan -> spread the md5-heavy projection across cores
+    d = spread_for_cpu(t["documents"]).select("doc_id", tk.alias("tk"))
     # min over md5(shingle) computed as an array fold — no explode/shuffle.
     min_fp = F.array_min(F.transform(shingles(F.col("tk")), lambda s: F.md5(s)))
     return d.select(
@@ -368,12 +365,12 @@ _T08_MIN_SHARED = 3        # shared distinct 3-gram shingles => contaminated
 )
 def t08_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_views(spark, sf_dir)
-    # repartition BEFORE the shingle projection: the fixture is a single
-    # parquet file (scan parallelism 1) and the eval side broadcasts, so
-    # without this narrow text shuffle the entire tokenize->shingle->
-    # join pipeline runs in ONE task (measured 23s -> 1.4s at sf0.1).
-    # At real scale many input files make this a no-op-cost rebalance.
-    docs = t["documents"].repartition(spark.sparkContext.defaultParallelism)
+    # conditional fan-out BEFORE the shingle projection: on a single-file
+    # fixture (scan parallelism 1, eval side broadcasts) the entire
+    # tokenize->shingle->join pipeline otherwise runs in ONE task
+    # (measured 23s -> 1.4s at sf0.1); on an already-parallel scan the
+    # helper skips the exchange (plans/spread.py).
+    docs = spread_for_cpu(t["documents"])
     # Tokenize with the dedup operators' normalized regex ([a-z0-9]+ on
     # lowered text) so impl and oracle share one tokenizer — whitespace
     # tokens only matched the oracle while the fixture text was pure
