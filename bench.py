@@ -58,6 +58,7 @@ HEADLINE = [
     "m03_frame_sample",
     "x01_asof_join",
     "x03_range_band_join",
+    "x06_bucketed_join_agg",
     "x04_time_rollup",
     "t05_term_frequency",
     "q37_range_interval_frame",

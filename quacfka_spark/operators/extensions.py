@@ -272,3 +272,92 @@ def x05_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.*")
         .orderBy("column_name")
     )
+
+
+# --------------------------------------------------------------------------
+# x06 — the one-time-shuffle-at-ingest layout strategy, demonstrated
+_BUCKETS = 8
+
+
+def _ensure_cobucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders/customer co-bucketed on the customer key (once per
+    (catalog, sf_dir)) — the ingest-time layout write_bucketed
+    advertises. Existence is checked against the session catalog, not a
+    module cache: bucket specs live in the in-memory catalog and a fresh
+    session must rewrite them. Returns the two managed-table names."""
+    import hashlib
+
+    from quacfka_spark.layout import write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    names = (f"orders_bkt_{tag}", f"customer_bkt_{tag}")
+    if not all(spark.catalog.tableExists(n) for n in names):
+        # a previous session's warehouse dirs survive on disk while the
+        # in-memory catalog entries don't — clear stale locations or
+        # saveAsTable refuses with LOCATION_ALREADY_EXISTS
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for n in names:
+            if not spark.catalog.tableExists(n):
+                shutil.rmtree(f"{wh}/{n}", ignore_errors=True)
+        t = load_views(spark, sf_dir)
+        write_bucketed(
+            t["orders"].withColumnRenamed("o_custkey", "custkey"),
+            names[0],
+            ["custkey"],
+            buckets=_BUCKETS,
+        )
+        write_bucketed(
+            t["customer"].withColumnRenamed("c_custkey", "custkey"),
+            names[1],
+            ["custkey"],
+            buckets=_BUCKETS,
+        )
+    return names
+
+
+@query(
+    "x06_bucketed_join_agg",
+    oracle="""
+    SELECT c.c_custkey AS custkey,
+           c.c_mktsegment AS mktsegment,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total_spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2 ORDER BY custkey
+    """,
+    doc="Q8's join+agg run over CO-BUCKETED tables (layout.py): orders "
+    "and customer are hash-bucketed on the customer key at write time, "
+    "so the fact-to-dim join needs NO exchange on either side and the "
+    "per-customer aggregate reuses the same bucket distribution — the "
+    "only shuffle-ish node left is the final presentation sort. At "
+    "100 TB this converts the every-query shuffle of the fact table "
+    "into a one-time cost paid at ingest; "
+    "tests/test_plans.py::test_x06_bucketed_plan_has_no_hash_exchange "
+    "pins the zero-Exchange plan with broadcast disabled (the big-big "
+    "configuration). The oracle runs the same query on the unbucketed "
+    "views — layout must never change results.",
+)
+def x06_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders_t, customer_t = _ensure_cobucketed(spark, sf_dir)
+    o = spark.table(orders_t).select("custkey", "o_orderkey", "o_totalprice")
+    c = spark.table(customer_t).select("custkey", "c_mktsegment")
+    return (
+        c.join(o, "custkey", "left")
+        .groupBy("custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+        .select(
+            "custkey",
+            F.col("c_mktsegment").alias("mktsegment"),
+            "n_orders",
+            "total_spend",
+        )
+        .orderBy("custkey")
+    )

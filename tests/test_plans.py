@@ -353,3 +353,24 @@ def test_sim06_multi_query_group_limit_below_shuffle(plans):
     assert len(re.findall(r"WindowGroupLimit", p)) >= 2
     assert "Partial" in p
     assert "SortMergeJoin" not in p  # query batch broadcasts
+
+
+def test_x06_bucketed_plan_has_no_hash_exchange(spark):
+    """x06 joins and aggregates over co-bucketed tables: with broadcast
+    disabled (the big-big configuration bucketing exists for) the plan
+    must contain a SortMergeJoin and ZERO hash exchanges — bucket i of
+    both sides meets in task i, and the groupBy reuses the same
+    distribution. Only the final presentation sort may repartition."""
+    qs = get_queries()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            qs["x06_bucketed_join_agg"](spark, SF).explain("formatted")
+        p = buf.getvalue()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+    assert re.search(r"\(\d+\) SortMergeJoin", p), p
+    assert "Exchange hashpartitioning" not in p, p
