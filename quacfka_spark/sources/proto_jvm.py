@@ -53,7 +53,21 @@ _registered: "weakref.WeakKeyDictionary[SparkSession, set[str]]" = (
 
 
 def _is_registered(spark: SparkSession, name: str) -> bool:
-    return name in _registered.get(spark, ())
+    if name in _registered.get(spark, ()):
+        return True
+    # The python-side cache is keyed by the SparkSession WRAPPER object;
+    # streaming foreachBatch hands each epoch a fresh wrapper around the
+    # same JVM session, so identity-keyed lookups miss every batch and
+    # re-registration (ADD JAR + registerJavaFunction, several py4j
+    # round trips) became a measurable per-epoch tax. The catalog check
+    # asks the JVM session itself, which IS stable across epochs.
+    try:
+        if spark.catalog.functionExists(name):
+            _mark_registered(spark, name)
+            return True
+    except Exception:
+        pass
+    return False
 
 
 def _mark_registered(spark: SparkSession, name: str) -> None:

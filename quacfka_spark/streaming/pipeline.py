@@ -263,14 +263,31 @@ class StreamingPipeline:
         # The consumed count (pre-decode input rows, D24) piggybacks on
         # the first sink job via an Observation BELOW the decode — a
         # separate count() job per epoch cost a full extra pass over the
-        # batch bytes. The decoded frame is persisted, so the observed
-        # node executes exactly once (the first write fills the cache;
-        # later sinks read it).
+        # batch bytes.
         consumed_obs = Observation()
         observed = batch_df.observe(consumed_obs, F.count(F.lit(1)).alias("n"))
         decoded = self.decode(observed) if self.decode else observed
-        decoded = decoded.persist()
-        to_unpersist = [decoded]
+        # Downstream-source strategy: with the raw sink ON, this epoch's
+        # raw parquet IS the cache — decode runs exactly once (inside the
+        # raw write) and norm/custom derive from a columnar, pruned,
+        # shuffle-free read-back of the just-written files, the same
+        # shape the batch ingest path uses. persist() of the decoded
+        # rows (the previous strategy) materializes fat deserialized
+        # rows a second time in executor memory and was the main
+        # streaming-vs-batch throughput gap; it remains only as the
+        # fallback when the raw sink is toggled off (D14) but derived
+        # tables still need the batch more than once.
+        derived_sinks = (self.normalizer is not None) + (
+            len(self.custom.transforms) if self.custom is not None else 0
+        )
+        use_readback = self.config.write_raw and derived_sinks > 0
+        decoded_consumers = int(self.config.write_raw) + (
+            0 if use_readback else derived_sinks
+        )
+        to_unpersist = []
+        if decoded_consumers > 1:
+            decoded = decoded.persist()
+            to_unpersist.append(decoded)
         try:
             raw_n = norm_n = custom_n = 0
             written: list[tuple[str, str]] = []  # (table, path)
@@ -280,14 +297,18 @@ class StreamingPipeline:
                 raw_n = self._write(decoded, p, self.config.dest_table)
                 written.append((self.config.dest_table, p))
 
+            derived_src = (
+                self.spark.read.parquet(written[0][1]) if use_readback else decoded
+            )
+
             if self.normalizer is not None:
                 norm_table = f"{self.config.dest_table}_norm"
                 p = self._epoch_dir(norm_table, epoch_id)
-                norm_n = self._write(self.normalizer.apply(decoded), p, norm_table)
+                norm_n = self._write(self.normalizer.apply(derived_src), p, norm_table)
                 written.append((norm_table, p))
 
             if self.custom is not None:
-                for table, df in self.custom.apply_all(decoded).items():
+                for table, df in self.custom.apply_all(derived_src).items():
                     p = self._epoch_dir(table, epoch_id)
                     custom_n += self._write(df, p, table)
                     written.append((table, p))
