@@ -286,6 +286,52 @@ def t06_chunk_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @query(
+    "t09_chunk_split_builtin",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+    c AS (
+      SELECT doc_id, g.i AS chunk_id,
+             array_to_string(tk[g.i * {_CHUNK} + 1 : (g.i + 1) * {_CHUNK}], ' ')
+               AS chunk,
+             LEAST({_CHUNK}, len(tk) - g.i * {_CHUNK}) AS n_tokens
+      FROM toks,
+           UNNEST(generate_series(0, CAST(ceil(len(tk) / {_CHUNK}.0) AS INT) - 1))
+             AS g(i))
+    SELECT doc_id, chunk_id, chunk, n_tokens
+    FROM c ORDER BY doc_id, chunk_id
+    """,
+    doc="t06's chunking as pure Catalyst built-ins — the pattern to COPY "
+    "at 100 TB (t06 exists to test the UDTF extension point, not as the "
+    "chunking recipe): tokenize once, sequence() the chunk indexes, "
+    "posexplode, slice+concat_ws per chunk. Everything stays in "
+    "whole-stage codegen — no Python workers, no Arrow transfer — and "
+    "the Generate is a narrow map in the scan stage; the only exchange "
+    "is the final presentation sort. Same oracle as t06.",
+)
+def t09_chunk_split_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    toks = spread_for_cpu(t["documents"]).select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    idx = F.sequence(F.lit(0), F.ceil(F.size("tk") / F.lit(_CHUNK)).cast("int") - 1)
+    chunks = toks.select(
+        "doc_id",
+        F.size("tk").alias("n"),
+        "tk",
+        F.posexplode(idx).alias("chunk_id", "i"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.concat_ws(" ", F.slice("tk", F.col("i") * _CHUNK + 1, _CHUNK)).alias(
+            "chunk"
+        ),
+        F.least(F.lit(_CHUNK), F.col("n") - F.col("i") * _CHUNK).alias("n_tokens"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+# --------------------------------------------------------------------------
+@query(
     "t07_corpus_mix",
     oracle="""
     WITH agg AS (
