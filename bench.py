@@ -66,6 +66,7 @@ HEADLINE = [
     "q43_skew_safe_agg",
     "t07_corpus_mix",
     "t08_decontaminate",
+    "t09_chunk_split_builtin",
     "sim06_multi_query_topk",
 ]
 
