@@ -609,8 +609,13 @@ def _cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # batch (Arrow) cosine, not the HOF fold: at candidate volume the
     # per-row zipped-array allocation is the dominant cost (see
-    # functions.vector.cosine_batch)
-    cos_b = cosine_batch()
+    # functions.vector.cosine_batch). asNondeterministic is an optimizer
+    # fence, not a semantic claim: without it PushDownPredicate
+    # substitutes the _c alias into the threshold filter and the Arrow
+    # UDF evaluates TWICE per candidate (two ArrowEvalPython nodes in
+    # the plan — caught by the plan audit). The fence keeps one
+    # evaluation feeding both the filter and the rounded output.
+    cos_b = cosine_batch().asNondeterministic()
     return (
         withv.select(
             "i", "j",

@@ -374,3 +374,13 @@ def test_x06_bucketed_plan_has_no_hash_exchange(spark):
         )
     assert re.search(r"\(\d+\) SortMergeJoin", p), p
     assert "Exchange hashpartitioning" not in p, p
+
+
+def test_d07_verify_udf_evaluates_once(plans):
+    """The Arrow cosine verify must appear as exactly ONE ArrowEvalPython
+    node: without the asNondeterministic optimizer fence,
+    PushDownPredicate substitutes the _c alias into the threshold filter
+    and the UDF runs twice per candidate pair (measured ~2x verify cost
+    at sf0.1)."""
+    p = plans("d07_cosine_lsh_pairs")
+    assert p.count("ArrowEvalPython (") == 1, p
