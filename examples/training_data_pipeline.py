@@ -4,6 +4,7 @@ the individual d*/t*/sim* operators exist for.
     documents + embeddings
       -> text quality scoring (t02 machinery)        keep score >= cut
       -> exact dedup on content digest (d01 shape)   keep first per digest
+      -> text near-dup (MinHash+LSH, xxhash64)       drop non-representatives
       -> embedding near-dup keep-list (d07 -> d08)   drop keep=false rows
       -> benchmark decontamination (t08)             drop eval-overlap docs
       -> token accounting (t01 shape)                corpus stats
@@ -28,7 +29,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quacfka_spark.catalog import load_views
-from quacfka_spark.operators.dedup import d08_dedup_keep
+from quacfka_spark.operators.dedup import (
+    _label_propagate,
+    _minhash_pairs,
+    d08_dedup_keep,
+)
 from quacfka_spark.operators.text import t08_decontaminate
 from quacfka_spark.functions.text import tokens
 
@@ -68,7 +73,20 @@ def curate(spark: SparkSession, sf_dir: str, quality_cut: float = 0.45) -> DataF
     )
     deduped = scored.join(keep_ids, "doc_id")
 
-    # 3. embedding near-dup removal: d08's keep-list names the near-dup
+    # 3. text near-dup removal (MinHash+LSH) in the PRODUCTION config:
+    # the seeded-xxhash64 family (d03p shape — native 64-bit hashes,
+    # 8-byte band shuffle keys; the md5 family exists for oracle
+    # parity), clustered by min-label propagation, keep the cluster
+    # representative (min id) and drop the rest.
+    text_pairs = _minhash_pairs(spark, sf_dir, family="xxhash64").select("i", "j")
+    text_drop = (
+        _label_propagate(text_pairs)
+        .filter(F.col("v") != F.col("lbl"))  # non-representatives
+        .select(F.col("v").alias("doc_id"))
+    )
+    deduped = deduped.join(text_drop, "doc_id", "left_anti")
+
+    # 4. embedding near-dup removal: d08's keep-list names the near-dup
     # cluster members to DROP (keep=false). Only near-dup members appear
     # in the list, so the anti-join's build side scales with duplicates
     # found, not corpus size. documents/embeddings share the id space
@@ -80,7 +98,7 @@ def curate(spark: SparkSession, sf_dir: str, quality_cut: float = 0.45) -> DataF
     )
     cleaned = deduped.join(drop, "doc_id", "left_anti")
 
-    # 4. benchmark decontamination: t08 names corpus docs overlapping the
+    # 5. benchmark decontamination: t08 names corpus docs overlapping the
     # held-out eval set; they must not ship in a training corpus
     contaminated = t08_decontaminate(spark, sf_dir).select("doc_id").distinct()
     return cleaned.join(contaminated, "doc_id", "left_anti")
