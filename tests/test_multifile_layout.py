@@ -34,6 +34,7 @@ MULTIFILE_QUERIES = (
     "t01_token_count",
     "t04_fingerprint",
     "t08_decontaminate",
+    "t09_chunk_split_builtin",
     "d01_exact_dedup",
     "d02_ngram_jaccard",
     "d03_minhash_lsh",

@@ -143,6 +143,7 @@ DOC_QUERIES = (
     "t01_token_count",
     "t04_fingerprint",
     "t08_decontaminate",
+    "t09_chunk_split_builtin",
     "d01_exact_dedup",
     "d03_minhash_lsh",
 )
@@ -234,6 +235,7 @@ PUNCT_QUERIES = (
     "t05_term_frequency",
     "t07_corpus_mix",
     "t08_decontaminate",
+    "t09_chunk_split_builtin",
     "d01_exact_dedup",
     "d02_ngram_jaccard",
     "d03_minhash_lsh",
