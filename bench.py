@@ -68,6 +68,9 @@ HEADLINE = [
     "t08_decontaminate",
     "t09_chunk_split_builtin",
     "sim06_multi_query_topk",
+    "t10_pii_scrub",
+    "t11_repetition_rules",
+    "d09_chunk_freq_dedup",
 ]
 
 

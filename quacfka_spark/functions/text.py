@@ -62,6 +62,22 @@ def shingles(toks: Column, n: int = 3, short_empty: bool = False) -> Column:
     ).otherwise(short)
 
 
+def grams(toks: Column, n: int) -> Column:
+    """All word n-grams IN ORDER and WITH MULTIPLICITY — unlike
+    ``shingles()``, which dedups for set-similarity signatures. This is
+    the primitive for repetition metrics (t11: how often does the same
+    n-gram recur inside one doc) where multiplicity IS the signal.
+    A doc with fewer than ``n`` tokens yields an empty array."""
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)])
+
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def seeded_md5(seed: int, value: Column) -> Column:
     """Family of portable hash functions indexed by an integer seed:
     ``md5(seed || '|' || value)`` — identical in Spark and DuckDB.

@@ -762,3 +762,117 @@ def d08_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("cluster_id"),
         (F.col("v") == F.col("lbl")).alias("keep"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# d09: cross-corpus repeated-chunk removal (C4-style, Raffel et al. 2020
+# arXiv:1910.10683 §2.2 — "discard all but one of any three-sentence span
+# occurring more than once in the data set"). The fixture text has no
+# sentence boundaries, so the span unit is a fixed 3-token chunk; the
+# operator shape (chunk -> global frequency -> drop frequent chunks ->
+# reassemble) is identical for sentence or line units.
+_D09_CHUNK = 3       # tokens per span
+_D09_MAX_FREQ = 2    # spans seen >= 3 times corpus-wide are boilerplate
+
+
+@query(
+    "d09_chunk_freq_dedup",
+    oracle=f"""
+    WITH toks AS ({_ORACLE_TOKS}),
+    ex AS (
+      SELECT doc_id,
+             unnest(range(CAST(ceil(len(tk) / {_D09_CHUNK}.0) AS BIGINT)))
+               AS i, tk
+      FROM toks),
+    ch AS (
+      SELECT doc_id, i AS chunk_id,
+             array_to_string(
+               tk[i * {_D09_CHUNK} + 1 : i * {_D09_CHUNK} + {_D09_CHUNK}],
+               ' ') AS chunk
+      FROM ex),
+    f AS (
+      SELECT doc_id, chunk_id, chunk,
+             COUNT(*) OVER (PARTITION BY chunk) AS freq
+      FROM ch),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(COUNT(*) FILTER (freq > {_D09_MAX_FREQ}) AS BIGINT)
+               AS n_dropped,
+             md5(array_to_string(
+               list(chunk ORDER BY chunk_id) FILTER (freq <= {_D09_MAX_FREQ}),
+               ' ')) AS kept_md5
+      FROM f GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(a.n_chunks, 0) AS n_chunks,
+           COALESCE(a.n_dropped, 0) AS n_dropped,
+           COALESCE(a.kept_md5, md5('')) AS kept_md5
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="C4-style boilerplate removal: split every doc into fixed "
+    "3-token spans, count each span's frequency across the WHOLE corpus, "
+    "drop spans seen more than twice, reassemble the surviving text "
+    "(md5 digest of it) with per-doc dropped counts.",
+)
+def d09_chunk_freq_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): the corpus-wide span frequency is a window
+    count partitioned on md5(chunk) — ONE exchange keyed on the 16-byte
+    digest (never the span text; the chunk string rides along only to
+    reassemble), fan-in bounded by span popularity exactly like d01's
+    digest group-by. Reassembly is a second exchange on doc_id with
+    map-side partial collect. No explode survives an exchange un-aggregated:
+    rows shuffled are (doc_id, chunk_id, chunk, digest) — ~corpus token
+    count / chunk size, the same order as the t09 chunking scan."""
+    t = load_views(spark, sf_dir)
+    docs = _spread(spark, t["documents"])
+    toks = docs.select("doc_id", norm_tokens("text").alias("tk"))
+    idx = F.sequence(
+        F.lit(0), F.ceil(F.size("tk") / F.lit(_D09_CHUNK)).cast("int") - 1
+    )
+    chunks = toks.select(
+        "doc_id", F.posexplode(idx).alias("chunk_id", "i"), "tk"
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.concat_ws(
+            " ", F.slice("tk", F.col("i") * _D09_CHUNK + 1, _D09_CHUNK)
+        ).alias("chunk"),
+    )
+    from pyspark.sql.window import Window
+
+    freq = chunks.withColumn(
+        "freq", F.count("*").over(Window.partitionBy(F.md5("chunk")))
+    )
+    agg = freq.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.count_if(F.col("freq") > _D09_MAX_FREQ).cast("bigint").alias("n_dropped"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("freq") <= _D09_MAX_FREQ,
+                                F.struct("chunk_id", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s.chunk,
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+    return (
+        t["documents"]
+        .select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quacfka_spark.catalog import load_views
-from quacfka_spark.functions.text import norm_tokens, seeded_md5, shingles, tokens
+from quacfka_spark.functions.text import grams, norm_tokens, seeded_md5, shingles, tokens
 from quacfka_spark.plans.spread import spread_for_cpu
 from quacfka_spark.registry import query
 
@@ -447,4 +447,235 @@ def t08_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("s").alias("n_shared"))
         .filter(F.col("n_shared") >= _T08_MIN_SHARED)
         .orderBy("doc_id", "eval_doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (t10). The fixture corpus carries no PII, so the operator
+# runs on a DETERMINISTIC enrichment of each row (an email / phone / IPv4
+# appended from doc_id+source — identically derived in the oracle): the
+# regexes get real matches to count and mask, and fixture drift cannot
+# silently turn the screen into a no-op. The reference treats payloads as
+# opaque bytes (kafka.go:151); redaction is a batch curation stage a
+# training-data pipeline layers on top.
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+@query(
+    "t10_pii_scrub",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             text || ' contact doc' || CAST(doc_id AS VARCHAR) || '@'
+                  || source || '.net call 555-01'
+                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                  || ' from 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+               AS r
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(r, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+             CAST(len(regexp_extract_all(r, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+             CAST(len(regexp_extract_all(r, '{_PII_IP}')) AS BIGINT) AS n_ip,
+             regexp_replace(regexp_replace(regexp_replace(r,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+      FROM raw)
+    SELECT doc_id, n_email, n_phone, n_ip,
+           md5(scrubbed) AS scrub_md5,
+           CAST(len(regexp_extract_all(scrubbed, '{_PII_EMAIL}'))
+              + len(regexp_extract_all(scrubbed, '{_PII_PHONE}'))
+              + len(regexp_extract_all(scrubbed, '{_PII_IP}')) AS BIGINT)
+             AS n_residual
+    FROM m ORDER BY doc_id
+    """,
+    doc="Regex PII detection + masking (email, phone, IPv4) over a "
+    "deterministically PII-enriched text column; n_residual==0 is the "
+    "self-verifying 'nothing survived the mask' check. Pure codegen "
+    "regexp expressions — one scan, no shuffle, no Python.",
+)
+def t10_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): each doc is touched exactly once by a
+    chain of JVM regexp expressions inside whole-stage codegen — the
+    cost is a linear scan, embarrassingly parallel, no exchange at all
+    (the ORDER BY is presentation-only). Masking BEFORE any dedup /
+    tokenize stage keeps PII out of every downstream shuffle file."""
+    t = load_views(spark, sf_dir)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".net call 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" from 10.2."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("r"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IP,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+
+    def n_matches(col, pat):
+        return F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("bigint")
+
+    return (
+        t["documents"]
+        .select("doc_id", raw.alias("r"))
+        .select(
+            "doc_id",
+            n_matches(F.col("r"), _PII_EMAIL).alias("n_email"),
+            n_matches(F.col("r"), _PII_PHONE).alias("n_phone"),
+            n_matches(F.col("r"), _PII_IP).alias("n_ip"),
+            scrubbed.alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_email",
+            "n_phone",
+            "n_ip",
+            F.md5("s").alias("scrub_md5"),
+            (
+                n_matches(F.col("s"), _PII_EMAIL)
+                + n_matches(F.col("s"), _PII_PHONE)
+                + n_matches(F.col("s"), _PII_IP)
+            ).alias("n_residual"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition / quality rules (t11) — the Gopher-style (Rae et al. 2021,
+# arXiv:2112.11446 table A1) per-document filters every LLM pretraining
+# pipeline runs: word-count bounds, mean-word-length band, top-bigram
+# fraction, duplicate-trigram fraction. Thresholds are tuned to SPLIT the
+# fixture corpus (both keep outcomes occur), so parity exercises both
+# branches of every rule.
+_T11_MIN_WORDS, _T11_MAX_WORDS = 50, 100_000
+_T11_WLEN_LO, _T11_WLEN_HI = 3.0, 10.0
+_T11_TOP2_MAX = 0.06
+_T11_DUP3_MAX = 0.02
+
+
+@query(
+    "t11_repetition_rules",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+      FROM documents),
+    base AS (
+      SELECT doc_id, tk,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             list_sum(list_transform(tk, t -> len(t))) * 1.0 / len(tk)
+               AS mwl,
+             [array_to_string(tk[i+1:i+3], ' ') FOR i IN range(len(tk)-2)]
+               AS tgs
+      FROM toks),
+    dup AS (
+      SELECT doc_id, n_words, mwl,
+             CASE WHEN len(tgs) = 0 THEN 0.0
+                  ELSE 1 - len(list_distinct(tgs)) * 1.0 / len(tgs)
+             END AS dup3
+      FROM base),
+    bg AS (
+      SELECT doc_id,
+             unnest([array_to_string(tk[i+1:i+2], ' ')
+                     FOR i IN range(len(tk)-1)]) AS b
+      FROM toks),
+    bgc AS (SELECT doc_id, b, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+    topf AS (
+      SELECT doc_id, MAX(n) * 1.0 / SUM(n) AS top2 FROM bgc GROUP BY 1)
+    SELECT d.doc_id, d.n_words,
+           ROUND(d.mwl, 4) AS mean_wlen,
+           ROUND(COALESCE(t.top2, 0.0), 4) AS top2_frac,
+           ROUND(d.dup3, 4) AS dup3_frac,
+           (d.n_words BETWEEN {_T11_MIN_WORDS} AND {_T11_MAX_WORDS})
+             AS ok_words,
+           (d.mwl BETWEEN {_T11_WLEN_LO} AND {_T11_WLEN_HI}) AS ok_wlen,
+           (COALESCE(t.top2, 0.0) <= {_T11_TOP2_MAX}) AS ok_top2,
+           (d.dup3 <= {_T11_DUP3_MAX}) AS ok_dup3,
+           ((d.n_words BETWEEN {_T11_MIN_WORDS} AND {_T11_MAX_WORDS})
+            AND (d.mwl BETWEEN {_T11_WLEN_LO} AND {_T11_WLEN_HI})
+            AND (COALESCE(t.top2, 0.0) <= {_T11_TOP2_MAX})
+            AND (d.dup3 <= {_T11_DUP3_MAX})) AS keep
+    FROM dup d LEFT JOIN topf t USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="Gopher-style repetition/quality rules: word-count bounds, "
+    "mean-word-length band, top-bigram fraction, duplicate-trigram "
+    "fraction, combined keep flag. Flags computed from UNROUNDED values "
+    "on both sides (rounding only in the reported columns).",
+)
+def t11_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): n_words / mean-word-length / dup-trigram
+    fraction are pure array expressions in the scan stage (zero
+    shuffle; the trigram array never explodes — distinct-vs-total is
+    size(array_distinct(g))/size(g) per row). Only the top-bigram mode
+    needs aggregation: explode -> count per (doc_id, bigram) -> max/sum
+    per doc — both aggs partial map-side, the exchange keyed on
+    (doc_id, bigram) so one hot document cannot skew a reducer beyond
+    its own bigram vocabulary. The join back to the per-doc metrics is
+    doc_id-to-doc_id, co-partitioned with the second agg's output."""
+    t = load_views(spark, sf_dir)
+    toks = spread_for_cpu(t["documents"]).select(
+        "doc_id", norm_tokens("text").alias("tk")
+    )
+    tgs = grams(F.col("tk"), 3)
+    base = toks.select(
+        "doc_id",
+        "tk",
+        F.size("tk").cast("bigint").alias("n_words"),
+        (
+            F.aggregate(
+                "tk", F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+            )
+            * F.lit(1.0)
+            / F.size("tk")
+        ).alias("mwl"),
+        F.when(F.size(tgs) == 0, F.lit(0.0))
+        .otherwise(
+            F.lit(1) - F.size(F.array_distinct(tgs)) * F.lit(1.0) / F.size(tgs)
+        )
+        .alias("dup3"),
+    )
+    bgc = (
+        base.select("doc_id", F.explode(grams(F.col("tk"), 2)).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("n"))
+    )
+    topf = bgc.groupBy("doc_id").agg(
+        (F.max("n") * F.lit(1.0) / F.sum("n")).alias("top2")
+    )
+    top2 = F.coalesce(F.col("top2"), F.lit(0.0))
+    ok_words = F.col("n_words").between(_T11_MIN_WORDS, _T11_MAX_WORDS)
+    ok_wlen = F.col("mwl").between(_T11_WLEN_LO, _T11_WLEN_HI)
+    ok_top2 = top2 <= _T11_TOP2_MAX
+    ok_dup3 = F.col("dup3") <= _T11_DUP3_MAX
+    return (
+        base.drop("tk")
+        .join(topf, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round("mwl", 4).alias("mean_wlen"),
+            F.round(top2, 4).alias("top2_frac"),
+            F.round("dup3", 4).alias("dup3_frac"),
+            ok_words.alias("ok_words"),
+            ok_wlen.alias("ok_wlen"),
+            ok_top2.alias("ok_top2"),
+            ok_dup3.alias("ok_dup3"),
+            (ok_words & ok_wlen & ok_top2 & ok_dup3).alias("keep"),
+        )
+        .orderBy("doc_id")
     )

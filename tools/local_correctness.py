@@ -18,6 +18,7 @@ Cited from COVERAGE.md; exit code 1 if any key is red.
 from __future__ import annotations
 
 import argparse
+import re
 import hashlib
 import json
 import os
@@ -32,6 +33,12 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default="CORRECTNESS_local_r4.json")
     ap.add_argument("--cpus", type=int, default=os.cpu_count() or 8)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="regex: check only matching keys (iteration aid; the "
+        "emitted report then covers the subset, so don't commit it)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -58,7 +65,10 @@ def main() -> None:
         return hashlib.md5(repr(rows).encode()).hexdigest()
 
     report: dict[str, dict] = {}
+    only = re.compile(args.only) if args.only else None
     for name in sorted(QUERIES):
+        if only and not only.search(name):
+            continue
         q = QUERIES[name]
         row: dict = {
             "rows_match": None,
