@@ -71,6 +71,7 @@ HEADLINE = [
     "t10_pii_scrub",
     "t11_repetition_rules",
     "d09_chunk_freq_dedup",
+    "sim07_pq_topk",
 ]
 
 

@@ -355,3 +355,237 @@ def sim06_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id", F.round("c", 4).alias("cos"))
         .orderBy("qid", F.col("cos").desc(), "vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (sim07) — Jégou et al. 2011, "Product Quantization
+# for Nearest Neighbor Search". Deterministic codebooks (first _PQ_K
+# vectors' subvectors stand in for trained k-means centers, the sim04
+# convention) keep the whole pipeline — encode, ADC lookup, top-k — SQL
+# expressible and oracle-checkable.
+_PQ_M = 8     # subspaces
+_PQ_DSUB = 8  # dims per subspace (fixture embeddings are 64-d)
+_PQ_K = 16    # codewords per subspace -> a 4-bit code, 8 B per vector
+_PQ_SHORTLIST = 50  # ADC candidates re-ranked by exact cosine
+
+
+@query(
+    "sim07_pq_topk",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+    e AS (
+      SELECT vec_id,
+             [x / sqrt(list_sum([y * y FOR y IN v0])) FOR x IN v0] AS v
+      FROM e0),
+    sv AS (
+      SELECT vec_id, CAST(t.s AS INTEGER) AS sub,
+             v[t.s * {_PQ_DSUB} + 1 : t.s * {_PQ_DSUB} + {_PQ_DSUB}] AS svec
+      FROM e, range({_PQ_M}) t(s)),
+    cb0 AS (
+      SELECT CAST(vec_id AS INTEGER) AS code, sub, svec AS cw
+      FROM sv WHERE vec_id < {_PQ_K}),
+    dist0 AS (
+      SELECT s.vec_id, s.sub, c.code,
+             list_sum([(s.svec[i] - c.cw[i]) * (s.svec[i] - c.cw[i])
+                       FOR i IN generate_series(1, {_PQ_DSUB})]) AS d
+      FROM sv s JOIN cb0 c USING (sub)),
+    assign0 AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d, code) AS rn
+        FROM dist0) WHERE rn = 1),
+    cbx AS (
+      SELECT a.sub, a.code, t.i, ROUND(AVG(s.svec[t.i]), 6) AS c
+      FROM assign0 a
+      JOIN sv s USING (vec_id, sub), range(1, {_PQ_DSUB} + 1) t(i)
+      GROUP BY a.sub, a.code, t.i),
+    cb AS (SELECT sub, code, list(c ORDER BY i) AS cw
+           FROM cbx GROUP BY sub, code),
+    dist AS (
+      SELECT s.vec_id, s.sub, c.code,
+             list_sum([(s.svec[i] - c.cw[i]) * (s.svec[i] - c.cw[i])
+                       FOR i IN generate_series(1, {_PQ_DSUB})]) AS d
+      FROM sv s JOIN cb c USING (sub)),
+    code AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d, code) AS rn
+        FROM dist) WHERE rn = 1),
+    lut AS (
+      SELECT sub, code, d AS qd FROM dist WHERE vec_id = {_QUERY_VEC_ID}),
+    adc AS (
+      SELECT co.vec_id, list_sum(list(l.qd ORDER BY co.sub)) AS adist
+      FROM code co JOIN lut l USING (sub, code) GROUP BY co.vec_id),
+    sel AS (
+      SELECT vec_id, ROUND(adist, 4) AS adist FROM adc
+      WHERE vec_id <> {_QUERY_VEC_ID}
+      ORDER BY ROUND(adist, 4), vec_id LIMIT {_PQ_SHORTLIST}),
+    q AS (SELECT v0 AS qv FROM e0 WHERE vec_id = {_QUERY_VEC_ID}),
+    exact AS (
+      SELECT e0.vec_id
+      FROM e0, q WHERE e0.vec_id <> {_QUERY_VEC_ID}
+      ORDER BY ROUND(list_cosine_similarity(e0.v0, q.qv), 4) DESC, e0.vec_id
+      LIMIT 10)
+    SELECT s.vec_id, s.adist,
+           ROUND(list_cosine_similarity(e0.v0, q.qv), 4) AS cos,
+           s.vec_id IN (SELECT vec_id FROM exact) AS in_exact_topk
+    FROM sel s JOIN e0 USING (vec_id), q
+    ORDER BY cos DESC, s.vec_id LIMIT 10
+    """,
+    doc="Product-quantization ANN (train + shortlist + re-rank): vectors "
+    "are L2-normalized so asymmetric L2 distance ranks like cosine, "
+    "codebooks = one deterministic Lloyd round (seed: first 16 vectors' "
+    "subvectors; refine: per-(sub,code) mean of assigned subvectors, "
+    "rounded to 6dp for engine parity), 8 subspaces x 16 codewords "
+    "(4-bit codes, 8 B/vector vs 256 B raw). ADC via a 128-entry query "
+    "lookup table shortlists 50 candidates; exact cosine on the raw "
+    "vectors re-ranks them to the final top-10.",
+)
+def sim07_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): PQ is THE memory-bound ANN layout — codes
+    are 8 bytes/vector (32x smaller than the fp32 embedding), so the
+    ADC scan streams codes, never vectors. Here: the codebook (128
+    rows) and the query lookup table (128 rows) are broadcast; encoding
+    is a broadcast join + map-side partial min per (vec_id, sub) — the
+    only exchange before top-k carries (vec_id, sub, code), and the
+    argmin collapses map-side exactly like sim04's assignment. ADC is a
+    broadcast lookup join + one agg keyed on vec_id whose fold runs in
+    fixed sub order (deterministic fp summation, matching the oracle's
+    ordered list_sum). The shortlist is TakeOrderedAndProject on the
+    rounded distance; the exact-cosine re-rank touches only the 50
+    shortlisted vectors (raw embeddings join back by vec_id). At rest,
+    codes would be materialized once at ingest and every query reuses
+    them — encode cost amortizes across the query stream. Vectors are
+    L2-normalized before quantization, so asymmetric L2 on codes ranks
+    like cosine (||a-b||^2 = 2 - 2cos on unit vectors); the re-rank
+    cosine runs on the RAW embedding, same as sim01."""
+    t = load_views(spark, sf_dir)
+    e = t["embeddings"]
+    # L2-normalize with the same sequential folds the oracle uses.
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                "embedding",
+                lambda y: y.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+    )
+    en = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / norm).alias("v"),
+    )
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda s: F.slice("v", s * _PQ_DSUB + 1, _PQ_DSUB),
+    )
+    sv = en.select("vec_id", F.posexplode(subs).alias("sub", "svec"))
+
+    def l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    cb0 = (
+        sv.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").cast("int").alias("code"), "sub",
+                F.col("svec").alias("cw"))
+    )
+    dist0 = sv.join(F.broadcast(cb0), "sub").select(
+        "vec_id", "sub", "code", l2sq(F.col("svec"), F.col("cw")).alias("d")
+    )
+    assign0 = (
+        dist0.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("d", "code")).alias("m"))
+        .select("vec_id", "sub", F.col("m.code").alias("code"))
+    )
+    # One Lloyd refinement round: codeword <- mean of its assigned
+    # subvectors, as _PQ_DSUB parallel AVG aggregates (the sim05 shape —
+    # one exchange keyed (sub, code), partial sums map-side, never an
+    # exploded dim row before the agg). Coordinates round to 6dp so the
+    # trained codebook is bit-identical across engines despite
+    # order-nondeterministic partial summation.
+    cb = (
+        assign0.join(sv, ["vec_id", "sub"])
+        .groupBy("sub", "code")
+        .agg(
+            *[
+                F.round(F.avg(F.try_element_at("svec", F.lit(i + 1))), 6).alias(
+                    f"c{i}"
+                )
+                for i in range(_PQ_DSUB)
+            ]
+        )
+        .select(
+            "sub",
+            "code",
+            F.array(*[F.col(f"c{i}") for i in range(_PQ_DSUB)]).alias("cw"),
+        )
+    )
+    dist = sv.join(F.broadcast(cb), "sub").select(
+        "vec_id", "sub", "code", l2sq(F.col("svec"), F.col("cw")).alias("d")
+    )
+    # argmin(d) with smaller-code tie-break: partial+final min of a
+    # (d, code) struct — collapses map-side, no window, no second join.
+    codes = (
+        dist.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("d", "code")).alias("m"))
+        .select("vec_id", "sub", F.col("m.code").alias("code"))
+    )
+    lut = (
+        dist.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("sub", "code", F.col("d").alias("qd"))
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("sub", "qd"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x.qd,
+            ).alias("adist")
+        )
+    )
+    sel = (
+        adc.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .select("vec_id", F.round("adist", 4).alias("adist"))
+        .orderBy("adist", "vec_id")
+        .limit(_PQ_SHORTLIST)
+    )
+    q = _query_row(t)
+    # self-verifying recall flag: which of the PQ winners are in the
+    # EXACT cosine top-10 (sim01's result) — the driver's value-hash
+    # then certifies the measured recall, not just the PQ arithmetic.
+    exact = (
+        e.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine("embedding", "q"), 4).alias("c"))
+        .orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.lit(True).alias("hit"))
+    )
+    return (
+        F.broadcast(sel)
+        .join(e, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "adist", F.round(cosine("embedding", "q"), 4).alias("cos"))
+        .join(F.broadcast(exact), "vec_id", "left")
+        .select(
+            "vec_id",
+            "adist",
+            "cos",
+            F.coalesce("hit", F.lit(False)).alias("in_exact_topk"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )

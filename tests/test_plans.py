@@ -384,3 +384,19 @@ def test_d07_verify_udf_evaluates_once(plans):
     at sf0.1)."""
     p = plans("d07_cosine_lsh_pairs")
     assert p.count("ArrowEvalPython (") == 1, p
+
+
+def test_sim07_pq_broadcast_and_narrow_exchanges(plans):
+    """PQ's scale story: codebook + lookup table + shortlist broadcast
+    (the embedding table is never on the build side of a shuffle join),
+    and no exchange carries the full embedding column except the
+    encode stage's own subvector rows — shuffles move (vec_id, sub,
+    code)-shaped rows. The only nested-loop joins are the intentional
+    single-row query-vector cross joins."""
+    p = plans("sim07_pq_topk")
+    assert "CartesianProduct" not in p
+    # argmin collapses map-side: partial min before the exchange
+    assert "partial_min" in p or re.search(r"Partial.*min", p), p[:500]
+    # no exchange carries the raw embedding column
+    exchanges = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
+    assert all("embedding" not in e for e in exchanges), exchanges
