@@ -2,7 +2,10 @@
 the individual d*/t*/sim* operators exist for.
 
     documents + embeddings
+      -> PII masking (t10 regexes)                   rewrite text in place
       -> text quality scoring (t02 machinery)        keep score >= cut
+      -> repetition rules (t11, Gopher-style)        drop keep=false docs
+      -> boilerplate screen (d09 chunk frequency)    drop >30%-boilerplate docs
       -> exact dedup on content digest (d01 shape)   keep first per digest
       -> text near-dup (MinHash+LSH, xxhash64)       drop non-representatives
       -> embedding near-dup keep-list (d07 -> d08)   drop keep=false rows
@@ -34,15 +37,39 @@ from quacfka_spark.operators.dedup import (
     _minhash_pairs,
     d08_dedup_keep,
 )
-from quacfka_spark.operators.text import t08_decontaminate
+from quacfka_spark.operators.dedup import d09_chunk_freq_dedup
+from quacfka_spark.operators.text import (
+    _PII_EMAIL,
+    _PII_IP,
+    _PII_PHONE,
+    t08_decontaminate,
+    t11_repetition_rules,
+)
 from quacfka_spark.functions.text import tokens
 
 
 def curate(spark: SparkSession, sf_dir: str, quality_cut: float = 0.45) -> DataFrame:
     """Returns the curated corpus (doc_id, text, quality, n_tokens) after
-    quality filtering, exact dedup, and embedding near-dup removal."""
+    PII masking, quality/repetition filtering, exact + near dedup, and
+    decontamination."""
     t = load_views(spark, sf_dir)
-    docs = t["documents"]
+
+    # 0. PII masking FIRST (t10's regexes on the real text — no
+    # enrichment here; that exists only so the oracle key has matches to
+    # verify): masked before any tokenize/dedup stage, so PII never
+    # reaches a shuffle file or a downstream corpus.
+    docs = t["documents"].withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+                _PII_IP,
+                "<IP>",
+            ),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+    )
 
     # 1. quality score (t02's signals, one projection — scan-bound)
     tk = tokens("text")
@@ -62,6 +89,27 @@ def curate(spark: SparkSession, sf_dir: str, quality_cut: float = 0.45) -> DataF
         F.round(quality, 4).alias("quality"),
         n_tokens.alias("n_tokens"),
     ).filter(F.col("quality") >= quality_cut)
+
+    # 1b. Gopher-style repetition rules (t11): drop docs failing the
+    # word-count / word-length / top-bigram / dup-trigram bands. The
+    # operator emits per-doc flags; the pipeline consumes ids only.
+    rep_drop = (
+        t11_repetition_rules(spark, sf_dir)
+        .filter(~F.col("keep"))
+        .select("doc_id")
+    )
+    scored = scored.join(rep_drop, "doc_id", "left_anti")
+
+    # 1c. boilerplate screen (d09): docs where >30% of 3-token spans are
+    # corpus-wide boilerplate are template junk — drop whole docs here
+    # (C4 drops the spans; at the doc granularity this pipeline keeps
+    # text immutable after the PII rewrite).
+    boiler_drop = (
+        d09_chunk_freq_dedup(spark, sf_dir)
+        .filter(F.col("n_dropped") * 1.0 / F.greatest("n_chunks", F.lit(1)) > 0.3)
+        .select("doc_id")
+    )
+    scored = scored.join(boiler_drop, "doc_id", "left_anti")
 
     # 2. exact dedup (d01 shape): group by content digest, keep min id —
     # the shuffle carries the 16-byte digest + id, never the text twice
