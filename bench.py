@@ -72,6 +72,8 @@ HEADLINE = [
     "t11_repetition_rules",
     "d09_chunk_freq_dedup",
     "sim07_pq_topk",
+    "x07_partition_pruned_rollup",
+    "s07_funnel_join",
 ]
 
 

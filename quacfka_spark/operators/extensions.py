@@ -361,3 +361,74 @@ def x06_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# x07: partition-pruned rollup — write_partitioned's demonstration key,
+# the directory-pruning sibling of x06's bucketing demo. The events
+# fixture is rewritten ONCE per (session, sf_dir) partitioned by
+# event_type; the filtered rollup then scans only the matching
+# directory (PartitionFilters in the plan — tests/test_plans.py).
+
+
+def _ensure_partitioned(spark: SparkSession, sf_dir: str) -> str:
+    """Write events partitioned by event_type (once per (tmp, sf_dir));
+    returns the parquet path. The ts column is normalized to plain
+    TIMESTAMP at write time so the partitioned copy reads identically
+    under every fixture flavor."""
+    import hashlib
+    import os
+    from urllib.parse import urlparse
+
+    from quacfka_spark.layout import write_partitioned
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # under the session's warehouse dir, like x06's bucketed tables —
+    # the layout artifacts live wherever the engine's managed data does
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    path = os.path.join(wh, f"qs_events_part_{tag}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        t = load_views(spark, sf_dir)
+        write_partitioned(t["events"], path, ["event_type"])
+    return path
+
+
+@query(
+    "x07_partition_pruned_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Hourly rollup of one event type over a directory-partitioned "
+    "copy of events (layout.write_partitioned at ingest): the "
+    "event_type predicate prunes at the DIRECTORY level — the scan "
+    "reads ~1/|event_types| of the data before a single row is "
+    "decoded. Results identical to the unpartitioned oracle; layout "
+    "must never change results.",
+)
+def x07_partition_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): partition pruning is the cheapest scan
+    reduction there is — a catalog/listing operation, zero I/O on
+    non-matching partitions. The rollup itself is one partial-agg
+    exchange on (event_type, hour) over the pruned scan. Partition
+    column choice: low-cardinality filter keys (event date, type,
+    region); never high-cardinality ids (small-file explosion —
+    bucketing is the id-key tool, x06)."""
+    path = _ensure_partitioned(spark, sf_dir)
+    ev = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type", "hour_ts")
+    )

@@ -1,4 +1,5 @@
-"""Streaming operators in batch-equivalent form — SURVEY.md §2b S1-S6.
+"""Streaming operators in batch-equivalent form — SURVEY.md §2b S1-S6
+(plus S7, the stream-stream interval join, beyond survey scope).
 
 The reference's streaming semantics are count/wall-clock batching only
 (/root/reference/proto.go:148); event time is merely carried as a column
@@ -137,3 +138,64 @@ def s05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # S4 (watermark/late data) and S6 (arbitrary stateful agg) have no batch
 # oracle — they are engine-level tests in tests/test_streaming.py, per
 # SURVEY.md §2b ("engine-level test ... no batch oracle").
+
+
+# --------------------------------------------------------------------------
+# S7 — stream-stream interval join, batch-equivalent form. The real
+# streaming twin (two watermarked streams, time-interval condition,
+# bounded state) runs in tests/test_streaming.py::
+# test_s7_stream_stream_interval_join; this key hash-checks the JOIN
+# SEMANTICS the streaming query computes: the view -> purchase funnel
+# within a 30-minute attribution window per user.
+@query(
+    "s07_funnel_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+           CAST(p.ts AS VARCHAR) AS purchase_ts
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
+    ORDER BY purchase_id, view_id
+    """,
+    doc="Stream-stream interval join semantics (funnel attribution: "
+    "each purchase matched to same-user views in the prior 30 min) in "
+    "batch form — an equi join on user_id with the interval as a "
+    "residual predicate, exactly the condition the watermarked "
+    "streaming twin evaluates against bounded state.",
+)
+def s07_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): the join is HASH-keyed on user_id — the
+    interval is a residual filter, never a nested-loop condition — so
+    both sides shuffle once on the same key (or co-locate if events are
+    bucketed by user at rest, the x06 layout). In the streaming form
+    the same plan holds against state stores: watermarks bound each
+    side's state to the 30-minute window, so state size tracks the
+    event rate, not history."""
+    t = load_views(spark, sf_dir)
+    ev = t["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    return (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "purchase_id",
+            "view_id",
+            "user_id",
+            F.col("p_ts").cast("string").alias("purchase_ts"),
+        )
+        .orderBy("purchase_id", "view_id")
+    )

@@ -400,3 +400,15 @@ def test_sim07_pq_broadcast_and_narrow_exchanges(plans):
     # no exchange carries the raw embedding column
     exchanges = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
     assert all("embedding" not in e for e in exchanges), exchanges
+
+
+def test_x07_partition_pruning_reaches_scan(plans):
+    """The event_type predicate must prune at the DIRECTORY level: the
+    parquet scan carries it as a PartitionFilters entry (listing-time
+    pruning, zero I/O on other event types), not as a post-scan Filter
+    over all partitions."""
+    p = plans("x07_partition_pruned_rollup")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "event_type" in m.group(1), p[:800]
+    # and the agg is partial before the exchange (map-side combine)
+    assert "partial_count" in p or re.search(r"HashAggregate.*partial", p)
