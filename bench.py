@@ -74,6 +74,7 @@ HEADLINE = [
     "sim07_pq_topk",
     "x07_partition_pruned_rollup",
     "s07_funnel_join",
+    "q44_hll_sketch",
 ]
 
 

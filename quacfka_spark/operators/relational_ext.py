@@ -706,3 +706,68 @@ def q43_skew_safe_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         salt_buckets=16,
     ).orderBy("user_key")
+
+
+# --------------------------------------------------------------------------
+# q44 — mergeable HLL sketches (Apache DataSketches, Spark 3.5+ builtins).
+# q06 tests approx_count_distinct as a black box; this key exercises the
+# PATTERN that matters at 100 TB: per-shard sketches built independently
+# (here keyed by a synthetic shard = o_orderkey % 16), persisted/merged
+# with hll_union_agg, estimated once at the end. That two-level shape is
+# how distinct counts compose across partitions, days, or tables without
+# ever re-scanning raw data — the sketch is the aggregate state.
+@query(
+    "q44_hll_sketch",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_nd,
+           CAST(1 AS INTEGER) AS ok
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="Two-level mergeable distinct-count: shard-local hll_sketch_agg "
+    "-> hll_union_agg -> estimate, per order status. The hash compares "
+    "exact_nd plus the self-verifying ok flag (estimate within 5% of "
+    "exact — the q06 pattern; the raw estimate is engine-specific).",
+)
+def q44_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): level 1 runs inside each shard with NO
+    cross-shard traffic (partial aggregation of (status, shard));
+    level 2 shuffles only the ~KB binary sketches, one per (status,
+    shard) — never row-level data. HLL union is commutative and
+    associative, so the estimate is independent of shard count or
+    merge order: the same code path handles per-day rollups merged
+    into months, or per-table sketches merged across sources. The
+    exact count_distinct rides along here only to power the ok flag."""
+    t = load_views(spark, sf_dir)
+    shards = (
+        t["orders"]
+        .select(
+            "o_orderstatus",
+            (F.col("o_orderkey") % 16).alias("shard"),
+            "o_custkey",
+        )
+        .groupBy("o_orderstatus", "shard")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    )
+    merged = shards.groupBy("o_orderstatus").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_nd")
+    )
+    exact = (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(F.count_distinct("o_custkey").cast("bigint").alias("exact_nd"))
+    )
+    return (
+        exact.join(merged, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "exact_nd",
+            (
+                F.abs(F.col("approx_nd") - F.col("exact_nd"))
+                <= 0.05 * F.col("exact_nd")
+            )
+            .cast("int")
+            .alias("ok"),
+        )
+        .orderBy("o_orderstatus")
+    )

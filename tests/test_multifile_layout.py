@@ -35,12 +35,16 @@ MULTIFILE_QUERIES = (
     "t04_fingerprint",
     "t08_decontaminate",
     "t09_chunk_split_builtin",
+    "t10_pii_scrub",
+    "t11_repetition_rules",
     "d01_exact_dedup",
     "d02_ngram_jaccard",
     "d03_minhash_lsh",
     "d04_simhash",
     "d05_embedding_cosine",
     "d07_cosine_lsh_pairs",
+    "d09_chunk_freq_dedup",
+    "sim07_pq_topk",
     "m02_feature_extract",
     "m03_frame_sample",
     "q07_inner_join",

@@ -144,8 +144,11 @@ DOC_QUERIES = (
     "t04_fingerprint",
     "t08_decontaminate",
     "t09_chunk_split_builtin",
+    "t10_pii_scrub",
+    "t11_repetition_rules",
     "d01_exact_dedup",
     "d03_minhash_lsh",
+    "d09_chunk_freq_dedup",
 )
 
 
@@ -236,10 +239,13 @@ PUNCT_QUERIES = (
     "t07_corpus_mix",
     "t08_decontaminate",
     "t09_chunk_split_builtin",
+    "t10_pii_scrub",
+    "t11_repetition_rules",
     "d01_exact_dedup",
     "d02_ngram_jaccard",
     "d03_minhash_lsh",
     "d04_simhash",
+    "d09_chunk_freq_dedup",
 )
 
 _PUNCT = [",", "!", ".", ";", "?"]
