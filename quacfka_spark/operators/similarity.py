@@ -25,6 +25,7 @@ from pyspark.sql.functions import pandas_udf
 
 from quacfka_spark.catalog import load_views
 from quacfka_spark.functions.vector import cosine, sign_bucket
+from quacfka_spark.plans.spread import spread_for_cpu
 from quacfka_spark.registry import query
 
 _QUERY_VEC_ID = 0
@@ -462,6 +463,12 @@ def sim07_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine runs on the RAW embedding, same as sim01."""
     t = load_views(spark, sf_dir)
     e = t["embeddings"]
+    # conditional fan-out BEFORE the per-subvector projections: the
+    # in-row argmin has no exchange of its own, so on a single-file
+    # fixture the whole train/encode pipeline would otherwise run in ONE
+    # task (the t08 serialization trap; spread skips the exchange when
+    # the scan is already parallel)
+    es = spread_for_cpu(e)
     # L2-normalize with the same sequential folds the oracle uses.
     norm = F.sqrt(
         F.aggregate(
@@ -473,7 +480,7 @@ def sim07_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, z: acc + z,
         )
     )
-    en = e.select(
+    en = es.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double") / norm).alias("v"),
     )
@@ -495,28 +502,48 @@ def sim07_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, z: acc + z,
         )
 
-    cb0 = (
-        sv.filter(F.col("vec_id") < _PQ_K)
-        .select(F.col("vec_id").cast("int").alias("code"), "sub",
-                F.col("svec").alias("cw"))
+    def pack(cb_df):
+        # one row per sub holding ALL its codewords, sorted by code —
+        # broadcast rows, so the argmin below runs with zero join fan-out
+        return cb_df.groupBy("sub").agg(
+            F.array_sort(
+                F.collect_list(F.struct("code", "cw"))
+            ).alias("cbs")
+        )
+
+    def argmin_code(cbs):
+        # IN-ROW argmin over the packed codeword array: struct (d, code)
+        # array_min orders by distance then code — the same tie-break as
+        # the oracle's ROW_NUMBER ORDER BY d, code, but with no N x K
+        # row explosion and no argmin exchange at all.
+        return F.array_min(
+            F.transform(
+                cbs,
+                lambda c: F.struct(
+                    l2sq(F.col("svec"), c["cw"]).alias("d"),
+                    c["code"].alias("code"),
+                ),
+            )
+        )["code"]
+
+    cb0 = pack(
+        sv.filter(F.col("vec_id") < _PQ_K).select(
+            "sub",
+            F.col("vec_id").cast("int").alias("code"),
+            F.col("svec").alias("cw"),
+        )
     )
-    dist0 = sv.join(F.broadcast(cb0), "sub").select(
-        "vec_id", "sub", "code", l2sq(F.col("svec"), F.col("cw")).alias("d")
-    )
-    assign0 = (
-        dist0.groupBy("vec_id", "sub")
-        .agg(F.min(F.struct("d", "code")).alias("m"))
-        .select("vec_id", "sub", F.col("m.code").alias("code"))
+    assign0 = sv.join(F.broadcast(cb0), "sub").select(
+        "vec_id", "sub", "svec", argmin_code(F.col("cbs")).alias("code")
     )
     # One Lloyd refinement round: codeword <- mean of its assigned
     # subvectors, as _PQ_DSUB parallel AVG aggregates (the sim05 shape —
-    # one exchange keyed (sub, code), partial sums map-side, never an
-    # exploded dim row before the agg). Coordinates round to 6dp so the
-    # trained codebook is bit-identical across engines despite
-    # order-nondeterministic partial summation.
+    # ONE exchange keyed (sub, code); the subvector rides the assign
+    # projection, so no join back to sv is needed). Coordinates round to
+    # 6dp so the trained codebook is bit-identical across engines
+    # despite order-nondeterministic partial summation.
     cb = (
-        assign0.join(sv, ["vec_id", "sub"])
-        .groupBy("sub", "code")
+        assign0.groupBy("sub", "code")
         .agg(
             *[
                 F.round(F.avg(F.try_element_at("svec", F.lit(i + 1))), 6).alias(
@@ -530,20 +557,24 @@ def sim07_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "code",
             F.array(*[F.col(f"c{i}") for i in range(_PQ_DSUB)]).alias("cw"),
         )
+        # persist the TRAINED CODEBOOK (bounded: M x K = 128 rows, a
+        # dimension table) — it feeds three downstream plans (encode,
+        # lookup table, and their broadcasts), each of which would
+        # otherwise re-execute the whole train pipeline as its own job
+        .persist()
     )
-    dist = sv.join(F.broadcast(cb), "sub").select(
-        "vec_id", "sub", "code", l2sq(F.col("svec"), F.col("cw")).alias("d")
+    codes = sv.join(F.broadcast(pack(cb)), "sub").select(
+        "vec_id", "sub", argmin_code(F.col("cbs")).alias("code")
     )
-    # argmin(d) with smaller-code tie-break: partial+final min of a
-    # (d, code) struct — collapses map-side, no window, no second join.
-    codes = (
-        dist.groupBy("vec_id", "sub")
-        .agg(F.min(F.struct("d", "code")).alias("m"))
-        .select("vec_id", "sub", F.col("m.code").alias("code"))
+    # query lookup table: the query row's distances to every refined
+    # codeword — 128 rows, computed on the tiny cb side
+    qsv = sv.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        "sub", F.col("svec").alias("qsv")
     )
-    lut = (
-        dist.filter(F.col("vec_id") == _QUERY_VEC_ID)
-        .select("sub", "code", F.col("d").alias("qd"))
+    lut = cb.join(F.broadcast(qsv), "sub").select(
+        "sub",
+        "code",
+        l2sq(F.col("qsv"), F.col("cw")).alias("qd"),
     )
     adc = (
         codes.join(F.broadcast(lut), ["sub", "code"])

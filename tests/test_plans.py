@@ -388,17 +388,21 @@ def test_d07_verify_udf_evaluates_once(plans):
 
 def test_sim07_pq_broadcast_and_narrow_exchanges(plans):
     """PQ's scale story: codebook + lookup table + shortlist broadcast
-    (the embedding table is never on the build side of a shuffle join),
-    and no exchange carries the full embedding column except the
-    encode stage's own subvector rows — shuffles move (vec_id, sub,
-    code)-shaped rows. The only nested-loop joins are the intentional
-    single-row query-vector cross joins."""
+    (the embedding table is never on the build side of a shuffle join)
+    and the codeword argmin computed IN-ROW over the packed broadcast
+    codebook — array_min in a projection, with NO per-(vec_id, sub)
+    argmin exchange and no N x K row explosion. The only shuffles left
+    are the Lloyd-round codeword means and the final ADC sum, both
+    keyed on narrow (sub, code)/(vec_id) rows; no exchange carries the
+    raw embedding column."""
     p = plans("sim07_pq_topk")
     assert "CartesianProduct" not in p
-    # argmin collapses map-side: partial min before the exchange
-    assert "partial_min" in p or re.search(r"Partial.*min", p), p[:500]
-    # no exchange carries the raw embedding column
+    # in-row argmin: array_min over the packed codebook in a Project
+    assert "array_min" in p, p[:500]
     exchanges = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
+    # no argmin exchange keyed (vec_id, sub) survives
+    assert not any(re.match(r"vec_id#\d+L?, sub#", e) for e in exchanges), exchanges
+    # no exchange carries the raw embedding column
     assert all("embedding" not in e for e in exchanges), exchanges
 
 
