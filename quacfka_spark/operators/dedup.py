@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quacfka_spark.catalog import load_views
-from quacfka_spark.functions.text import norm_tokens, seeded_md5, shingles
+from quacfka_spark.functions.text import norm_tokens, shingles
 from quacfka_spark.functions.vector import cosine_batch
 from quacfka_spark.plans.spread import spread_for_cpu
 from quacfka_spark.registry import query
@@ -41,7 +41,12 @@ _ORACLE_SHINGLES = """
            CASE WHEN len(tk) >= 3
                 THEN list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
                                     for i in generate_series(1, len(tk)-2)])
-                ELSE [array_to_string(tk, ' ')] END AS shs
+                -- COALESCE: DuckDB array_to_string([]) is NULL while
+                -- Spark concat_ws of an empty array is '' — a
+                -- zero-token doc's single whole-doc shingle must be ''
+                -- in both engines (empty docs pair with each other,
+                -- the short-doc dedup convention)
+                ELSE [COALESCE(array_to_string(tk, ' '), '')] END AS shs
     FROM toks
 """
 
@@ -181,20 +186,20 @@ def _minhash_cols(family: str = "md5") -> list[F.Column]:
     """12 minhashes, each an array fold over the shingle array — computed
     in one projection, no explode, no shuffle.
 
-    ``family="md5"`` is the portable oracle-checkable family: ONE md5
-    per shingle, split into two 28-bit halves (h1, h2) that seed the 12
-    functions as ``h_i = h1 + (i+1) * h2`` — the Kirsch–Mitzenmacher
-    two-hash construction (also standard for Bloom filters), which cuts
-    digest work 12x vs an md5 per seed while staying bit-identical in
-    DuckDB (``('0x' || substr(md5(s), ...))::BIGINT`` == Spark
-    ``conv(substring(md5(s), ...), 16, 10)``; max value
-    2^28 + 12*2^28 < 2^33, no bigint overflow under ANSI mode).
+    ``family="md5"`` is the portable oracle-checkable family: the
+    Broder-style affine construction over ONE 32-bit base hash per
+    shingle — ``h_i(x) = (A_i*x + B_i) mod p`` with the fixed _MH_A/_MH_B
+    constants and p = _MH_PRIME (see the constants comment above for why
+    affine-mod, not naive linear combos) — which cuts digest work 12x vs
+    an md5 per seed while staying bit-identical in DuckDB
+    (``('0x' || substr(md5(s), 1, 8))::BIGINT`` == Spark
+    ``conv(substring(md5(s), 1, 8), 16, 10)``).
     ``family="xxhash64"`` is the production swap the module docstring
     promises (seeded native 64-bit hash, no hex-string materialization —
     same operator shape, cheaper still per shingle).
 
-    The caller must provide ``h1``/``h2`` array columns for the md5
-    family (from :func:`_minhash_base`) so the digest computes once.
+    The caller must provide the ``hx`` base-hash array column for the
+    md5 family (from :func:`_minhash_base`) so the digest computes once.
     """
     # NB: the seed must be closed over via a factory function, never the
     # `lambda s, i=i:` default-arg idiom — a two-parameter callable makes
@@ -893,9 +898,16 @@ def d09_chunk_freq_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_views(spark, sf_dir)
     docs = _spread(spark, t["documents"])
     toks = docs.select("doc_id", norm_tokens("text").alias("tk"))
-    idx = F.sequence(
-        F.lit(0), F.ceil(F.size("tk") / F.lit(_D09_CHUNK)).cast("int") - 1
-    )
+    # guard the zero-token doc: sequence(0, ceil(0/3)-1) = sequence(0,-1)
+    # yields [0,-1] in Spark (descending step) — two PHANTOM chunks —
+    # while the oracle's range(0) is empty; an empty array here drops
+    # the doc from posexplode so it takes the oracle's COALESCE path
+    idx = F.when(
+        F.size("tk") > 0,
+        F.sequence(
+            F.lit(0), F.ceil(F.size("tk") / F.lit(_D09_CHUNK)).cast("int") - 1
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     chunks = toks.select(
         "doc_id", F.posexplode(idx).alias("chunk_id", "i"), "tk"
     ).select(

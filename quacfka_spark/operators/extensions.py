@@ -388,7 +388,15 @@ def _ensure_partitioned(spark: SparkSession, sf_dir: str) -> str:
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     path = os.path.join(wh, f"qs_events_part_{tag}")
     marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
+    src = os.path.join(sf_dir, "events.parquet")
+    # staleness guard (the x06 "previous session's dirs survive on disk"
+    # hazard): a partitioned copy older than the source fixture means
+    # the fixture was regenerated in place — rewrite, don't reuse
+    fresh = os.path.exists(marker) and (
+        not os.path.exists(src)
+        or os.path.getmtime(marker) >= os.path.getmtime(src)
+    )
+    if not fresh:
         t = load_views(spark, sf_dir)
         write_partitioned(t["events"], path, ["event_type"])
     return path

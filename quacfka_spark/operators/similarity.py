@@ -446,21 +446,23 @@ _PQ_SHORTLIST = 50  # ADC candidates re-ranked by exact cosine
 def sim07_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale design (100 TB): PQ is THE memory-bound ANN layout — codes
     are 8 bytes/vector (32x smaller than the fp32 embedding), so the
-    ADC scan streams codes, never vectors. Here: the codebook (128
-    rows) and the query lookup table (128 rows) are broadcast; encoding
-    is a broadcast join + map-side partial min per (vec_id, sub) — the
-    only exchange before top-k carries (vec_id, sub, code), and the
-    argmin collapses map-side exactly like sim04's assignment. ADC is a
-    broadcast lookup join + one agg keyed on vec_id whose fold runs in
-    fixed sub order (deterministic fp summation, matching the oracle's
-    ordered list_sum). The shortlist is TakeOrderedAndProject on the
-    rounded distance; the exact-cosine re-rank touches only the 50
-    shortlisted vectors (raw embeddings join back by vec_id). At rest,
-    codes would be materialized once at ingest and every query reuses
-    them — encode cost amortizes across the query stream. Vectors are
-    L2-normalized before quantization, so asymmetric L2 on codes ranks
-    like cosine (||a-b||^2 = 2 - 2cos on unit vectors); the re-rank
-    cosine runs on the RAW embedding, same as sim01."""
+    ADC scan streams codes, never vectors. Here: each sub's 16
+    codewords pack into ONE broadcast array row and the codeword argmin
+    is computed IN-ROW (array_min over a transform) — no N x K row
+    explosion and no argmin exchange at all, for training assignment
+    and encoding alike (plan-asserted). The trained codebook (128 rows,
+    a dimension table) persists so encode / lookup-table / broadcast
+    consumers don't each re-run the train pipeline. ADC is a broadcast
+    lookup join + one agg keyed on vec_id whose fold runs in fixed sub
+    order (deterministic fp summation, matching the oracle's ordered
+    list_sum). The shortlist is TakeOrderedAndProject on the rounded
+    distance; the exact-cosine re-rank touches only the 50 shortlisted
+    vectors (raw embeddings join back by vec_id). At rest, codes would
+    be materialized once at ingest and every query reuses them — encode
+    cost amortizes across the query stream. Vectors are L2-normalized
+    before quantization, so asymmetric L2 on codes ranks like cosine
+    (||a-b||^2 = 2 - 2cos on unit vectors); the re-rank cosine runs on
+    the RAW embedding, same as sim01."""
     t = load_views(spark, sf_dir)
     e = t["embeddings"]
     # conditional fan-out BEFORE the per-subvector projections: the
@@ -560,7 +562,10 @@ def sim07_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # persist the TRAINED CODEBOOK (bounded: M x K = 128 rows, a
         # dimension table) — it feeds three downstream plans (encode,
         # lookup table, and their broadcasts), each of which would
-        # otherwise re-execute the whole train pipeline as its own job
+        # otherwise re-execute the whole train pipeline as its own job.
+        # Not a leak across calls: CacheManager dedupes by analyzed
+        # plan, so repeated invocations on the same sf_dir reuse ONE
+        # cache entry (observed "already cached" on the second call)
         .persist()
     )
     codes = sv.join(F.broadcast(pack(cb)), "sub").select(

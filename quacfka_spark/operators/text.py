@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quacfka_spark.catalog import load_views
-from quacfka_spark.functions.text import grams, norm_tokens, seeded_md5, shingles, tokens
+from quacfka_spark.functions.text import grams, norm_tokens, shingles, tokens
 from quacfka_spark.plans.spread import spread_for_cpu
 from quacfka_spark.registry import query
 
@@ -175,10 +175,10 @@ def t03_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(CASE WHEN len(tk) >= 3
                     THEN list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
                                         for i in generate_series(1, len(tk)-2)])
-                    ELSE [array_to_string(tk, ' ')] END) AS s
+                    ELSE [COALESCE(array_to_string(tk, ' '), '')] END) AS s
       FROM toks)
     SELECT t.doc_id,
-           md5(array_to_string(t.tk, ' ')) AS full_fp,
+           md5(COALESCE(array_to_string(t.tk, ' '), '')) AS full_fp,
            MIN(md5(g.s)) AS min_shingle_fp
     FROM toks t JOIN sh g ON g.doc_id = t.doc_id
     GROUP BY t.doc_id, t.tk ORDER BY t.doc_id
@@ -577,8 +577,9 @@ _T11_DUP3_MAX = 0.02
     base AS (
       SELECT doc_id, tk,
              CAST(len(tk) AS BIGINT) AS n_words,
-             list_sum(list_transform(tk, t -> len(t))) * 1.0 / len(tk)
-               AS mwl,
+             CASE WHEN len(tk) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(tk, t -> len(t))) * 1.0
+                       / len(tk) END AS mwl,
              [array_to_string(tk[i+1:i+3], ' ') FOR i IN range(len(tk)-2)]
                AS tgs
       FROM toks),
@@ -636,13 +637,19 @@ def t11_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "tk",
         F.size("tk").cast("bigint").alias("n_words"),
-        (
+        # zero-token guard: Spark's 0*1.0/0 is NaN and DuckDB's
+        # list_sum([]) is NULL — pin BOTH engines to 0.0 (which also
+        # fails the word-length band, so keep=false deterministically)
+        F.when(
+            F.size("tk") > 0,
             F.aggregate(
                 "tk", F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
             )
             * F.lit(1.0)
-            / F.size("tk")
-        ).alias("mwl"),
+            / F.size("tk"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mwl"),
         F.when(F.size(tgs) == 0, F.lit(0.0))
         .otherwise(
             F.lit(1) - F.size(F.array_distinct(tgs)) * F.lit(1.0) / F.size(tgs)

@@ -38,6 +38,7 @@ any other parquet read.
 
 from __future__ import annotations
 
+import re
 import json
 import os
 import threading
@@ -144,15 +145,37 @@ class SQLRunner:
         "insert", "create", "replace", "drop", "alter", "truncate",
         "delete", "update", "merge", "copy", "export", "cache",
         "uncache", "refresh", "set", "msck", "analyze", "optimize",
-        "vacuum", "with",  # WITH ... INSERT (CTE-prefixed DML)
+        "vacuum",
     )
+    # keywords that make a CTE-prefixed (WITH ...) statement effectful —
+    # a bare "WITH c AS (...) SELECT" is still result-bearing
+    _EFFECT_WORDS = ("insert", "create", "replace", "merge", "delete",
+                     "update", "copy", "export")
 
     def __post_init__(self) -> None:
         for q in self.queries:
             self._check_effect_only(q)
 
+    @staticmethod
+    def _strip_comments(q: str) -> str:
+        """Drop leading line comments so commented DML isn't rejected."""
+        lines = q.lstrip().splitlines()
+        while lines and lines[0].lstrip().startswith("--"):
+            lines.pop(0)
+        return "\n".join(lines).lstrip()
+
     def _check_effect_only(self, q: str) -> None:
-        if self.exec and not q.lstrip().lower().startswith(self._EFFECT_PREFIXES):
+        if not self.exec:
+            return
+        body = self._strip_comments(q).lower()
+        ok = body.startswith(self._EFFECT_PREFIXES)
+        if body.startswith("with"):
+            # CTE prefix: effectful only if a DML/DDL keyword follows the
+            # CTE definitions somewhere (WITH ... INSERT INTO ...); a
+            # plain WITH ... SELECT would materialize on the driver
+            words = set(re.findall(r"[a-z]+", body))
+            ok = any(w in words for w in self._EFFECT_WORDS)
+        if not ok:
             raise ValueError(
                 "SQLRunner(exec=True) statements run for effect only; "
                 f"got a result-bearing statement {q.strip()[:60]!r}. "

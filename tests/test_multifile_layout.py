@@ -130,3 +130,27 @@ def test_t08_plan_has_no_double_exchange_on_parallel_scan(spark, multi_dir):
         assert "RoundRobinPartitioning" not in plan, plan
     else:
         assert "RoundRobinPartitioning" in plan, plan
+
+
+def test_spread_counts_splits_not_files(spark):
+    """A single LARGE splittable file scans as many partitions; counting
+    it as 1 file would force the redundant full-payload repartition the
+    helper exists to avoid. Simulated by shrinking maxPartitionBytes so
+    the one-file fixture counts as many splits."""
+    from quacfka_spark.catalog import load_views
+
+    saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+        docs = load_views(spark, "/root/testdata/sf0.01")["documents"]
+        n_files = len(docs.inputFiles())
+        plan = (
+            spread_for_cpu(docs.select("doc_id", "text"))
+            ._jdf.queryExecution()
+            .toString()
+        )
+        if n_files == 1:
+            # one file, but dozens of 1k splits -> no rebalance exchange
+            assert "RoundRobinPartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", saved)

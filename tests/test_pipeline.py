@@ -329,3 +329,19 @@ def test_sqlrunner_exec_mode_rejects_result_bearing_sql():
     assert len(runner.queries) == 2
     # exec=False (callback mode) never guards: fn issues its own queries
     SQLRunner(exec=False, queries=["SELECT 1"])
+
+
+def test_sqlrunner_exec_mode_cte_and_comment_handling():
+    """The guard must see through syntax disguises: a CTE-prefixed bare
+    SELECT (WITH c AS (...) SELECT ...) is still result-bearing, a
+    CTE-prefixed INSERT is effectful, and leading line comments must
+    not hide (or falsely condemn) the real statement."""
+    with pytest.raises(ValueError, match="effect only"):
+        SQLRunner(exec=True, queries=["WITH c AS (SELECT 1) SELECT * FROM c"])
+    SQLRunner(
+        exec=True,
+        queries=["WITH c AS (SELECT 1 AS x) INSERT INTO t SELECT * FROM c"],
+    )
+    SQLRunner(exec=True, queries=["-- nightly rollup\nINSERT INTO t VALUES (1)"])
+    with pytest.raises(ValueError, match="effect only"):
+        SQLRunner(exec=True, queries=["-- looks harmless\nSELECT 1"])

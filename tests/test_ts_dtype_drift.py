@@ -256,6 +256,9 @@ def _punctuate(doc_id: int, text: str) -> str:
         return "Hi!"  # 1 alnum token — short-shingle branch
     if doc_id % 17 == 5:
         return "One, two."  # 2 alnum tokens
+    if doc_id % 17 == 11:
+        return "?!..."  # ZERO alnum tokens — the d09 phantom-chunk /
+        # t11 NaN-vs-NULL mean-word-length trap
     words = text.split(" ")
     out = []
     for i, w in enumerate(words):
