@@ -75,6 +75,7 @@ HEADLINE = [
     "x07_partition_pruned_rollup",
     "s07_funnel_join",
     "q44_hll_sketch",
+    "t12_sequence_pack",
 ]
 
 

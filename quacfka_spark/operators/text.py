@@ -686,3 +686,75 @@ def t11_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (t12) — the training-data step after chunking: pack
+# the document stream into fixed-capacity context windows (the
+# "concatenate-and-chop" packing used for LLM pretraining batches). Each
+# doc is assigned the sequence id its first token lands in when docs are
+# concatenated per source in doc_id order; offset is its position inside
+# that sequence, and crosses_boundary marks docs straddling a cut.
+_T12_CAPACITY = 128  # tokens per packed training sequence
+
+
+@query(
+    "t12_sequence_pack",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM n)
+    SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // {_T12_CAPACITY} AS BIGINT) AS seq_id,
+           CAST((cum - n_tokens) % {_T12_CAPACITY} AS BIGINT) AS offset,
+           ((cum - n_tokens) % {_T12_CAPACITY} + n_tokens > {_T12_CAPACITY})
+             AS crosses_boundary
+    FROM c ORDER BY source, doc_id
+    """,
+    doc="Concatenate-and-chop sequence packing: per-source running token "
+    "cumsum assigns every doc its packed-sequence id, in-sequence "
+    "offset, and a boundary-straddle flag — the pack map a pretraining "
+    "pipeline materializes before writing training batches.",
+)
+def t12_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): packing is inherently sequential WITHIN a
+    stream, so the stream is the parallelism unit — the window
+    partitions by source (at real scale: by (source, shard), with
+    shards sized so one fits an executor), giving one exchange keyed on
+    the stream id and a linear scan within it. No global order exists
+    or is needed: each stream packs independently, exactly like
+    per-worker packing in a training-data loader. The doc body never
+    enters the window — only (doc_id, source, n_tokens) rows shuffle."""
+    from pyspark.sql.window import Window
+
+    t = load_views(spark, sf_dir)
+    n = t["documents"].select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        n.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(start / _T12_CAPACITY).cast("bigint").alias("seq_id"),
+            (start % _T12_CAPACITY).cast("bigint").alias("offset"),
+            ((start % _T12_CAPACITY) + F.col("n_tokens") > _T12_CAPACITY).alias(
+                "crosses_boundary"
+            ),
+        )
+        .orderBy("source", "doc_id")
+    )

@@ -146,6 +146,7 @@ DOC_QUERIES = (
     "t09_chunk_split_builtin",
     "t10_pii_scrub",
     "t11_repetition_rules",
+    "t12_sequence_pack",
     "d01_exact_dedup",
     "d03_minhash_lsh",
     "d09_chunk_freq_dedup",
@@ -241,6 +242,7 @@ PUNCT_QUERIES = (
     "t09_chunk_split_builtin",
     "t10_pii_scrub",
     "t11_repetition_rules",
+    "t12_sequence_pack",
     "d01_exact_dedup",
     "d02_ngram_jaccard",
     "d03_minhash_lsh",
