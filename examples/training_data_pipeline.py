@@ -65,16 +65,18 @@ def _masked_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
     from urllib.parse import urlparse
 
     from quacfka_spark.catalog import TABLES
+    from quacfka_spark.layout import artifact_fresh
 
+    # abspath BEFORE tagging/linking: a relative sf_dir would both fork
+    # the md5 tag and store relative symlink targets that resolve
+    # against the warehouse dir (broken links)
+    sf_dir = os.path.abspath(sf_dir)
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     dst = os.path.join(wh, f"qs_masked_{tag}")
     marker = os.path.join(dst, "documents.parquet", "_SUCCESS")
     src = os.path.join(sf_dir, "documents.parquet")
-    fresh = os.path.exists(marker) and (
-        os.path.getmtime(marker) >= os.path.getmtime(src)
-    )
-    if not fresh:
+    if not artifact_fresh(marker, src):
         os.makedirs(dst, exist_ok=True)
         t = load_views(spark, sf_dir)
         masked = t["documents"].withColumn(
@@ -94,8 +96,13 @@ def _masked_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
         )
         for name in TABLES:
             link = os.path.join(dst, f"{name}.parquet")
-            if name != "documents" and not os.path.exists(link):
-                os.symlink(os.path.join(sf_dir, f"{name}.parquet"), link)
+            if name == "documents":
+                continue
+            # lexists, not exists: a BROKEN symlink (exists False) must
+            # be repaired, not tripped over with FileExistsError
+            if os.path.lexists(link):
+                os.unlink(link)
+            os.symlink(os.path.join(sf_dir, f"{name}.parquet"), link)
     return dst
 
 

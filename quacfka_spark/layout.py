@@ -76,3 +76,19 @@ def cobucketed_join(
     Catalyst already prefers the exchange-free SMJ when specs match.)
     """
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def artifact_fresh(marker: str, source: str) -> bool:
+    """Shared stale-artifact rule for derived layout copies (x07's
+    partitioned events, the example's masked corpus): the artifact is
+    reusable iff its completion marker exists and is at least as new as
+    the source fixture it was derived from. A MISSING source counts as
+    fresh (nothing to re-derive from; the copy is the best data we
+    have) — the x06 'previous session's dirs survive on disk' hazard,
+    one rule, one place."""
+    import os
+
+    return os.path.exists(marker) and (
+        not os.path.exists(source)
+        or os.path.getmtime(marker) >= os.path.getmtime(source)
+    )

@@ -380,23 +380,20 @@ def _ensure_partitioned(spark: SparkSession, sf_dir: str) -> str:
     import os
     from urllib.parse import urlparse
 
-    from quacfka_spark.layout import write_partitioned
+    from quacfka_spark.layout import artifact_fresh, write_partitioned
 
+    sf_dir = os.path.abspath(sf_dir)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     # under the session's warehouse dir, like x06's bucketed tables —
     # the layout artifacts live wherever the engine's managed data does
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     path = os.path.join(wh, f"qs_events_part_{tag}")
-    marker = os.path.join(path, "_SUCCESS")
-    src = os.path.join(sf_dir, "events.parquet")
     # staleness guard (the x06 "previous session's dirs survive on disk"
     # hazard): a partitioned copy older than the source fixture means
     # the fixture was regenerated in place — rewrite, don't reuse
-    fresh = os.path.exists(marker) and (
-        not os.path.exists(src)
-        or os.path.getmtime(marker) >= os.path.getmtime(src)
-    )
-    if not fresh:
+    if not artifact_fresh(
+        os.path.join(path, "_SUCCESS"), os.path.join(sf_dir, "events.parquet")
+    ):
         t = load_views(spark, sf_dir)
         write_partitioned(t["events"], path, ["event_type"])
     return path

@@ -147,35 +147,69 @@ class SQLRunner:
         "uncache", "refresh", "set", "msck", "analyze", "optimize",
         "vacuum",
     )
-    # keywords that make a CTE-prefixed (WITH ...) statement effectful —
-    # a bare "WITH c AS (...) SELECT" is still result-bearing
-    _EFFECT_WORDS = ("insert", "create", "replace", "merge", "delete",
-                     "update", "copy", "export")
+    # statement keywords that can follow a CTE prologue at depth 0 —
+    # used to locate the statement proper after "WITH name AS (...), ..."
+    _STMT_KEYWORDS = frozenset(
+        {"select", "values", "table", "from"}  # result-bearing forms
+        | {"insert", "create", "replace", "merge", "delete", "update",
+           "copy", "export"}
+    )
 
     def __post_init__(self) -> None:
         for q in self.queries:
             self._check_effect_only(q)
 
-    @staticmethod
-    def _strip_comments(q: str) -> str:
-        """Drop leading line comments so commented DML isn't rejected."""
-        lines = q.lstrip().splitlines()
-        while lines and lines[0].lstrip().startswith("--"):
-            lines.pop(0)
-        return "\n".join(lines).lstrip()
+    @classmethod
+    def _top_level_keyword(cls, q: str) -> str | None:
+        """The statement's first DEPTH-0 keyword, skipping string
+        literals, -- and /* */ comments, and parenthesized bodies: for a
+        plain statement that is its first word; for a WITH statement it
+        is the keyword after the CTE definitions (so "WITH c AS
+        (SELECT ...) SELECT" resolves to select, and a 'delete' inside a
+        string literal or a CTE body can never masquerade as the
+        statement's verb)."""
+        depth = 0
+        i, n = 0, len(q)
+        words: list[str] = []
+        while i < n:
+            c = q[i]
+            if c == "'":
+                i += 1
+                while i < n and q[i] != "'":
+                    i += 1
+                i += 1
+            elif q.startswith("--", i):
+                nl = q.find("\n", i)
+                i = n if nl < 0 else nl + 1
+            elif q.startswith("/*", i):
+                e = q.find("*/", i)
+                i = n if e < 0 else e + 2
+            elif c == "(":
+                depth += 1
+                i += 1
+            elif c == ")":
+                depth = max(0, depth - 1)
+                i += 1
+            elif depth == 0 and (c.isalpha() or c == "_"):
+                m = re.match(r"[A-Za-z_][A-Za-z_0-9]*", q[i:])
+                words.append(m.group(0).lower())
+                i += len(m.group(0))
+            else:
+                i += 1
+        if not words:
+            return None
+        if words[0] != "with":
+            return words[0]
+        for w in words[1:]:  # skip CTE names / AS / RECURSIVE / commas
+            if w in cls._STMT_KEYWORDS:
+                return w
+        return None
 
     def _check_effect_only(self, q: str) -> None:
         if not self.exec:
             return
-        body = self._strip_comments(q).lower()
-        ok = body.startswith(self._EFFECT_PREFIXES)
-        if body.startswith("with"):
-            # CTE prefix: effectful only if a DML/DDL keyword follows the
-            # CTE definitions somewhere (WITH ... INSERT INTO ...); a
-            # plain WITH ... SELECT would materialize on the driver
-            words = set(re.findall(r"[a-z]+", body))
-            ok = any(w in words for w in self._EFFECT_WORDS)
-        if not ok:
+        kw = self._top_level_keyword(q)
+        if kw not in self._EFFECT_PREFIXES:
             raise ValueError(
                 "SQLRunner(exec=True) statements run for effect only; "
                 f"got a result-bearing statement {q.strip()[:60]!r}. "

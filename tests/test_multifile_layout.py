@@ -139,18 +139,23 @@ def test_spread_counts_splits_not_files(spark):
     the one-file fixture counts as many splits."""
     from quacfka_spark.catalog import load_views
 
+    from quacfka_spark.plans.spread import _est_splits
+
     saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
         spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
         docs = load_views(spark, "/root/testdata/sf0.01")["documents"]
-        n_files = len(docs.inputFiles())
-        plan = (
-            spread_for_cpu(docs.select("doc_id", "text"))
-            ._jdf.queryExecution()
-            .toString()
-        )
-        if n_files == 1:
-            # one file, but dozens of 1k splits -> no rebalance exchange
+        files = docs.inputFiles()
+        proj = docs.select("doc_id", "text")
+        plan = spread_for_cpu(proj)._jdf.queryExecution().toString()
+        # derive the expected branch from the SAME estimate the helper
+        # uses, so the assertion holds on any core count (a 128-core
+        # host legitimately spreads a 64-split scan)
+        splits = _est_splits(proj, files)
+        target = spark.sparkContext.defaultParallelism
+        if len(files) == 1 and splits * 2 > target:
+            # one file, but many 1k splits -> no rebalance exchange
             assert "RoundRobinPartitioning" not in plan, plan
+            assert splits > len(files)  # the case the file-count rule got wrong
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", saved)

@@ -345,3 +345,33 @@ def test_sqlrunner_exec_mode_cte_and_comment_handling():
     SQLRunner(exec=True, queries=["-- nightly rollup\nINSERT INTO t VALUES (1)"])
     with pytest.raises(ValueError, match="effect only"):
         SQLRunner(exec=True, queries=["-- looks harmless\nSELECT 1"])
+
+
+def test_sqlrunner_guard_sees_through_literals_and_block_comments():
+    """The top-level-keyword scanner: effect words inside string
+    literals or CTE bodies must NOT legitimize a result-bearing CTE
+    query; block comments must not condemn an effectful one."""
+    with pytest.raises(ValueError, match="effect only"):
+        SQLRunner(
+            exec=True,
+            queries=[
+                "WITH c AS (SELECT * FROM events WHERE action = 'delete') "
+                "SELECT * FROM c"
+            ],
+        )
+    with pytest.raises(ValueError, match="effect only"):
+        # 'insert' only inside the CTE body (depth 1) — still a SELECT
+        SQLRunner(
+            exec=True,
+            queries=[
+                "WITH c AS (SELECT 1 AS insert_count) SELECT * FROM c "
+                "-- insert later"
+            ],
+        )
+    SQLRunner(exec=True, queries=["/* nightly rollup */ INSERT INTO t VALUES (1)"])
+    SQLRunner(
+        exec=True,
+        queries=[
+            "WITH RECURSIVE r AS (SELECT 1) INSERT INTO t SELECT * FROM r"
+        ],
+    )
