@@ -17,8 +17,10 @@ Scale design (100 TB):
   banding) is the scale path: the shuffle key is the band signature, so
   join fan-out is bounded by bucket size, and the exact Jaccard verify
   runs only on candidate pairs.
-- All hashing is md5 (portable, oracle-checkable). At production scale
-  swap ``xxhash64`` — same shapes, ~10x cheaper.
+- Portable hashing is md5-seeded (oracle-checkable): minhash runs ONE
+  md5 per shingle and derives its 12 functions as affine maps of the
+  32-bit base hash (see _MH_A/_MH_B). At production scale swap
+  ``xxhash64`` (d03p/d03x) — same shapes, cheaper still per shingle.
 """
 
 from __future__ import annotations
