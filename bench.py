@@ -76,6 +76,7 @@ HEADLINE = [
     "s07_funnel_join",
     "q44_hll_sketch",
     "t12_sequence_pack",
+    "m05_binary_piecewise_dedup",
 ]
 
 

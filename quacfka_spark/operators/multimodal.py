@@ -234,3 +234,89 @@ def m04_modality_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+# --------------------------------------------------------------------------
+# m05: binary near-dup via piecewise digests — the media-dedup stage of
+# a multimodal pipeline. Forensic-style block hashing (the ssdeep/CTPH
+# idea reduced to fixed blocks): digest 4 fixed slices of each payload,
+# candidate-pair on any shared slice digest, near-dup when >=3 of 4
+# slices agree; exact flags byte-identical payloads. Works on OPAQUE
+# bytes — no decode, so it applies to any modality before codecs run.
+_M05_PIECES = 4
+_M05_PIECE_HEX = 64  # hex chars per slice = 32 bytes
+_M05_MIN_SHARED = 3
+
+
+@query(
+    "m05_binary_piecewise_dedup",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, hex(CAST(text AS BLOB)) AS h FROM documents),
+    pieces AS (
+      SELECT doc_id, md5(h) AS full_md5, t.i,
+             substr(h, CAST(t.i AS INTEGER) * {_M05_PIECE_HEX} + 1,
+                    {_M05_PIECE_HEX}) AS pc
+      FROM p, range({_M05_PIECES}) t(i)),
+    np AS (SELECT doc_id, full_md5, i, md5(pc) AS pmd5
+           FROM pieces WHERE pc <> ''),
+    pairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j,
+             CAST(COUNT(*) AS BIGINT) AS n_shared,
+             (a.full_md5 = b.full_md5) AS exact
+      FROM np a JOIN np b
+        ON a.i = b.i AND a.pmd5 = b.pmd5 AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 4)
+    SELECT i, j, n_shared, exact FROM pairs
+    WHERE n_shared >= {_M05_MIN_SHARED}
+    ORDER BY i, j
+    """,
+    doc="Binary near-dup pairs via piecewise digests: 4 fixed 32-byte "
+    "slices per payload, md5 each, pair on shared slice digests, keep "
+    "pairs agreeing on >= 3 slices; exact marks byte-identical "
+    "payloads. Opaque-bytes dedup — runs before any codec.",
+)
+def m05_binary_piecewise_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB of media): the payload never shuffles — the
+    projection reduces each blob to 4 slice digests + one full digest
+    (~80 bytes/row), the self-join is HASH-keyed on (slice_idx, digest)
+    with fan-out bounded by digest-collision group size (true dup
+    clusters), and the pair group-by carries ids only. Same shuffle
+    discipline as d03's bands, applied to binary content. Empty slices
+    (payloads shorter than a slice boundary) are dropped before the
+    join so short blobs can't pair on shared emptiness."""
+    t = load_views(spark, sf_dir)
+    h = F.hex(F.col("payload"))
+    base = _fanout(_with_payload(t)).select(
+        "doc_id",
+        F.md5(h).alias("full_md5"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(h, i * _M05_PIECE_HEX + 1, _M05_PIECE_HEX)
+                    for i in range(_M05_PIECES)
+                ]
+            )
+        ).alias("i_piece", "pc"),
+    )
+    np_ = base.filter(F.col("pc") != "").select(
+        "doc_id", "full_md5", "i_piece", F.md5("pc").alias("pmd5")
+    )
+    a, b = np_.alias("a"), np_.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.i_piece") == F.col("b.i_piece"))
+            & (F.col("a.pmd5") == F.col("b.pmd5"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("i"),
+            F.col("b.doc_id").alias("j"),
+            (F.col("a.full_md5") == F.col("b.full_md5")).alias("exact"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= _M05_MIN_SHARED)
+        .select("i", "j", "n_shared", "exact")
+        .orderBy("i", "j")
+    )
