@@ -34,16 +34,26 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity; NULL when either vector has zero norm."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; NULL when either vector has zero norm.
+
+    try_divide, not `/`: under ANSI mode (the Spark 4 default) a plain
+    division throws DIVIDE_BY_ZERO on a zero-norm vector; try_divide
+    yields NULL, which is both the documented convention here and what
+    a >= threshold filter should see (never a fake similarity).
+    """
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_batch():
     """Arrow-vectorized batch cosine (pandas_udf over two array<double>
-    columns) for HIGH-VOLUME verify stages: the expression `cosine` above
-    allocates a zipped array per row inside the fold, which dominates
-    once a stage evaluates hundreds of thousands of pairs (measured 5x
-    slower than this batch form on 455k pairs in d07). Keep `cosine` for
+    columns) for HIGH-VOLUME row-wise verify stages: the expression
+    `cosine` above allocates a zipped array per row inside the fold,
+    which dominates once a stage evaluates hundreds of thousands of
+    pairs (measured 5x slower than this batch form on 455k pairs when
+    d07 still materialized candidate rows; d07 has since moved to
+    bucket-local numpy verify and no longer row-verifies at all, but
+    this stays the right tool when pairs arrive pre-materialized, e.g.
+    re-scoring an existing candidate table). Keep `cosine` for
     low-volume paths where staying inside whole-stage codegen matters
     (e.g. sim01's scan fold); use this where pair volume is the cost.
     Built lazily: pandas_udf parses the return type via the active

@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 
 from quacfka_spark.catalog import load_views
 from quacfka_spark.functions.text import norm_tokens, shingles
-from quacfka_spark.functions.vector import cosine_batch
 from quacfka_spark.plans.spread import spread_for_cpu
 from quacfka_spark.registry import query
 
@@ -581,6 +580,7 @@ def d05_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _D07_BANDS = 4
 _D07_BITS = 4  # sign bits per band -> 16 leading dims feed the bands
+_D07_CHUNK = 1024  # cosine-matrix row chunk inside a bucket verify task
 
 
 def _d07_oracle() -> str:
@@ -619,15 +619,17 @@ def _d07_oracle() -> str:
     "the 100 TB path that d05 (exact all-pairs) is the oracle baseline "
     "for, mirroring the d02/d03 text pairing. Each vector derives 4 "
     "band signatures (4 sign bits per band, axis-aligned projections — "
-    "deterministic across engines, no shared RNG); candidates are pairs "
-    "colliding on ANY band (banded self-join on (band, sig), one "
-    "exchange reused by both sides, exactly the d03 plan shape), then "
-    "exact cosine verifies candidates only. Cost scales with bucket "
-    "collision counts, not N^2: no all-pairs stage anywhere, shuffle "
-    "carries each vector once per band. Recall vs d05 is tunable via "
-    "bands x bits (more bands = higher recall, more candidates); the "
-    "oracle replicates the same deterministic bands, so correctness is "
-    "exact-parity on the prefiltered set.",
+    "deterministic across engines, no shared RNG); pairs colliding on "
+    "ANY band are verified by exact cosine, bucket-locally: one shuffle "
+    "on (band, sig) with the vector riding (N x BANDS rows total — "
+    "independent of how many candidates the buckets imply), then a "
+    "chunked numpy matmul per bucket inside applyInPandas, with the "
+    "min-band trick replacing a DISTINCT for pairs that collide in "
+    "several buckets (see _cosine_lsh_pairs). No join, no candidate-"
+    "pair materialization, no all-pairs stage anywhere. Recall vs d05 "
+    "is tunable via bands x bits (more bands = higher recall, more "
+    "verify work); the oracle replicates the same deterministic bands, "
+    "so correctness is exact-parity on the prefiltered set.",
 )
 def d07_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cosine_lsh_pairs(spark, sf_dir).orderBy("i", "j")
@@ -635,7 +637,34 @@ def d07_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered verified near-dup pairs (i, j, cos) — shared by d07
-    (reported pairs) and d08 (keep-list clustering)."""
+    (reported pairs) and d08 (keep-list clustering).
+
+    Bucket-local verify: vectors ride the band shuffle (each vector is
+    exchanged exactly BANDS times), then every (band, sig) bucket
+    verifies its own pairs with one vectorized numpy matmul inside
+    applyInPandas. This replaces the earlier narrow-row design (band
+    self-join -> DISTINCT -> two vector join-backs -> Arrow cosine UDF)
+    after profiling at sf0.1 showed candidate precision of ~0.4% at the
+    0.35 threshold: the join materialized ~500k candidate pair rows, a
+    455k-row DISTINCT hash-agg, and a ~0.5 GB Arrow transfer to verify
+    down to ~2k surviving pairs. Here shuffle volume is N x BANDS rows
+    (vector payload included) REGARDLESS of candidate count — the
+    quadratic term never leaves the bucket's numpy matrices, and it is
+    chunked (_D07_CHUNK rows of the cosine matrix at a time) so task
+    memory stays O(bucket x chunk), not O(bucket^2).
+
+    Pairs colliding in several buckets are deduplicated with the
+    min-band trick instead of a DISTINCT: the full signature array rides
+    along, and a pair is emitted only by the FIRST band on which its
+    signatures agree — no second shuffle anywhere. Degenerate buckets
+    (a signature shared by a large fraction of the corpus) are the
+    classic LSH skew risk and the single-task ceiling here; the
+    production mitigations are more bits per band (smaller buckets) or
+    salting the bucket key and unioning the salt-crossing band, neither
+    needed at test scale.
+    """
+    import pandas as pd
+
     t = load_views(spark, sf_dir)
     band_sigs = [
         F.concat(
@@ -652,53 +681,61 @@ def _cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"band{b}")
         for b in range(_D07_BANDS)
     ]
-    # posexplode_outer for the same InferFiltersFromGenerate reason as
-    # _minhash_pairs: an inner Generate re-inlines the signature tree
-    # below the exchange and computes the pipeline once per join side.
-    # Unlike d03 (shingles ride the band shuffle), vectors do NOT ride
-    # here: a candidate pair can collide on up to 4 bands, so carrying
-    # two 64-float arrays per collision row multiplies shuffle bytes and
-    # bloats the dedup hash-agg. The bands shuffle 12-byte (id, band,
-    # sig) rows only; vectors join back AFTER the distinct, once per
-    # surviving candidate.
-    bands = t["embeddings"].select(
-        "vec_id", F.posexplode_outer(F.array(*band_sigs)).alias("band", "sig")
+    # NULL embeddings can never verify (oracle: list_cosine_similarity
+    # with a NULL side is NULL -> WHERE false), and a null row only ever
+    # pairs with itself — dropping them pre-shuffle is output-equivalent
+    # and keeps the pandas matrix rectangular.
+    e = t["embeddings"].filter(F.col("embedding").isNotNull())
+    bands = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        F.array(*band_sigs).alias("sigs"),
+    ).select(
+        "vec_id", "embedding", "sigs",
+        F.posexplode_outer(F.col("sigs")).alias("band", "sig"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("i"), F.col("b.vec_id").alias("j"))
-        .distinct()
-    )
-    e = t["embeddings"]
-    withv = (
-        cand.join(e.select(F.col("vec_id").alias("i"), F.col("embedding").alias("ei")), "i")
-        .join(e.select(F.col("vec_id").alias("j"), F.col("embedding").alias("ej")), "j")
-    )
-    # batch (Arrow) cosine, not the HOF fold: at candidate volume the
-    # per-row zipped-array allocation is the dominant cost (see
-    # functions.vector.cosine_batch). asNondeterministic is an optimizer
-    # fence, not a semantic claim: without it PushDownPredicate
-    # substitutes the _c alias into the threshold filter and the Arrow
-    # UDF evaluates TWICE per candidate (two ArrowEvalPython nodes in
-    # the plan — caught by the plan audit). The fence keeps one
-    # evaluation feeding both the filter and the rounded output.
-    cos_b = cosine_batch().asNondeterministic()
+
+    def bucket_verify(key, pdf):
+        import numpy as np
+
+        band = key[0]
+        empty = pd.DataFrame({"i": pd.Series(dtype="int64"),
+                              "j": pd.Series(dtype="int64"),
+                              "cos": pd.Series(dtype="float64")})
+        m = len(pdf)
+        if m < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.array(pdf["embedding"].tolist(), dtype="float64")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sigm = np.array(pdf["sigs"].tolist())  # m x BANDS of '0101' strings
+        out = []
+        for lo in range(0, m, _D07_CHUNK):
+            hi = min(lo + _D07_CHUNK, m)
+            with np.errstate(invalid="ignore"):
+                cos = mat[lo:hi] @ mat.T  # chunk x m
+                keep = cos >= _D05_THRESHOLD  # NaN (zero-norm) -> False
+            keep &= ids[lo:hi, None] < ids[None, :]
+            # min-band dedup: emit only if no EARLIER band already
+            # collided for this pair (argmax finds the first agreeing
+            # band; equality at `band` holds by bucket construction)
+            if band > 0:
+                eq = sigm[lo:hi, None, :] == sigm[None, :, :]
+                keep &= eq.argmax(axis=2) == band
+            ii, jj = np.nonzero(keep)
+            if len(ii):
+                out.append(
+                    pd.DataFrame(
+                        {"i": ids[lo + ii], "j": ids[jj], "cos": cos[ii, jj]}
+                    )
+                )
+        return pd.concat(out) if out else empty
+
     return (
-        withv.select(
-            "i", "j",
-            cos_b(
-                F.col("ei").cast("array<double>"),
-                F.col("ej").cast("array<double>"),
-            ).alias("_c"),
-        )
-        .filter(F.col("_c") >= _D05_THRESHOLD)
-        .select("i", "j", F.round("_c", 4).alias("cos"))
+        bands.groupBy("band", "sig")
+        .applyInPandas(bucket_verify, schema="i bigint, j bigint, cos double")
+        .select("i", "j", F.round("cos", 4).alias("cos"))
     )
 
 

@@ -301,26 +301,23 @@ def test_d05_no_collected_block_rows(plans):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
-def test_d07_lsh_join_is_hash_never_bnlj(plans):
-    """d07's candidate stage must be an equi hash/sort-merge join on
-    (band, sig) — an all-pairs or nested-loop plan would defeat the
-    prefilter's purpose. Vectors must NOT ride the band shuffle: the
-    exchanged band rows carry (vec_id, band, sig) only; embeddings join
-    back after the distinct."""
+def test_d07_bucket_local_verify_single_exchange(plans):
+    """d07's verify is bucket-local: exactly ONE hashpartitioning
+    exchange keyed on (band, sig) feeding one applyInPandas node — no
+    join, no DISTINCT hash-agg, no candidate-pair rows ever shuffled.
+    An all-pairs or nested-loop plan would defeat the prefilter's
+    purpose; a reappearing join or distinct means the old
+    candidate-materializing shape regressed."""
     p = plans("d07_cosine_lsh_pairs")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
-    # the self-join is HASH-keyed on (band, sig) — broadcast at small SF,
-    # shuffled SMJ/SHJ at scale; either way the keys must be the bands,
-    # with vec_id< as a residual condition only
     import re as _re
 
-    assert _re.search(r"keys \[2\]: \[band#\d+, sig#\d+\]", p) or _re.search(
-        r"hashpartitioning\(band#\d+, sig#\d+", p
-    ), "band self-join lost its (band, sig) equi keys"
-    # vectors do not ride any shuffle: hashpartitioning exchanges (the
-    # distinct + verify-join shuffles) carry narrow id rows only
     exchanges = _re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
-    assert all("embedding" not in e for e in exchanges)
+    band_exchanges = [e for e in exchanges if "band#" in e and "sig#" in e]
+    assert len(band_exchanges) == 1, exchanges
+    # formatted plans print each node twice (tree line + detail section)
+    assert len(_re.findall(r"\(\d+\) FlatMapGroupsInPandas", p)) == 1, p
+    assert "Join" not in p and "HashAggregate" not in p, p
 
 
 def test_q42_latest_per_key_group_limit_below_shuffle(plans):
@@ -376,14 +373,19 @@ def test_x06_bucketed_plan_has_no_hash_exchange(spark):
     assert "Exchange hashpartitioning" not in p, p
 
 
-def test_d07_verify_udf_evaluates_once(plans):
-    """The Arrow cosine verify must appear as exactly ONE ArrowEvalPython
-    node: without the asNondeterministic optimizer fence,
-    PushDownPredicate substitutes the _c alias into the threshold filter
-    and the UDF runs twice per candidate pair (measured ~2x verify cost
-    at sf0.1)."""
+def test_d07_vectors_exchanged_bands_times_only(plans):
+    """The single band exchange carries each vector exactly BANDS times
+    (the posexplode fan-out) and nothing downstream re-shuffles the
+    vector payload — shuffle volume is N x BANDS rows independent of
+    candidate count, the property that makes d07 the 100 TB path."""
     p = plans("d07_cosine_lsh_pairs")
-    assert p.count("ArrowEvalPython (") == 1, p
+    import re as _re
+
+    exchanges = _re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
+    # only the one (band, sig) exchange exists at all
+    assert len(exchanges) == 1, exchanges
+    # and the verify stage is pandas-grouped, not a per-row Arrow UDF
+    assert "ArrowEvalPython" not in p, p
 
 
 def test_sim07_pq_broadcast_and_narrow_exchanges(plans):

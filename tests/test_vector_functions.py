@@ -1,0 +1,76 @@
+"""Unit tests for the vector expression/UDF primitives.
+
+cosine (codegen fold) and cosine_batch (Arrow pandas_udf) are two
+implementations of the same math for different volume regimes; they must
+agree to double precision on real vectors and share the same degenerate
+conventions (zero-norm -> non-finite/NULL, never a fake 0.0 similarity).
+cosine_batch is library surface for pre-materialized pair tables (d07's
+verify moved to bucket-local numpy), so this file is its coverage.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from quacfka_spark.functions.vector import cosine, cosine_batch, dot, sign_bucket
+
+
+def _pairs_df(spark):
+    rows = [
+        ([1.0, 2.0, 3.0], [1.0, 2.0, 3.0]),
+        ([1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),
+        ([1.0, 2.0, -3.0], [-4.0, 0.5, 9.0]),
+        ([0.0, 0.0, 0.0], [1.0, 2.0, 3.0]),  # zero-norm left side
+    ]
+    return spark.createDataFrame(rows, "a array<double>, b array<double>")
+
+
+def test_cosine_batch_matches_expression_cosine(spark):
+    df = _pairs_df(spark)
+    got = df.select(
+        cosine("a", "b").alias("expr"),
+        cosine_batch()(F.col("a"), F.col("b")).alias("batch"),
+    ).collect()
+    for r in got:
+        if r["expr"] is None:
+            # zero-norm: expression yields NULL, batch yields NaN — both
+            # fail a >= threshold filter identically
+            assert r["batch"] is None or math.isnan(r["batch"])
+        else:
+            assert abs(r["expr"] - r["batch"]) < 1e-12
+
+
+def test_cosine_batch_on_fixture_embeddings(spark):
+    from tests.conftest import SMOKE_DIR
+
+    e = spark.read.parquet(f"{SMOKE_DIR}/embeddings.parquet").limit(50)
+    pairs = (
+        e.select(F.col("vec_id").alias("i"), F.col("embedding").cast("array<double>").alias("ea"))
+        .crossJoin(
+            e.select(F.col("vec_id").alias("j"), F.col("embedding").cast("array<double>").alias("eb"))
+        )
+        .filter(F.col("i") < F.col("j"))
+    )
+    got = pairs.select(
+        cosine("ea", "eb").alias("expr"),
+        cosine_batch()(F.col("ea"), F.col("eb")).alias("batch"),
+    ).collect()
+    assert len(got) == 50 * 49 // 2
+    for r in got:
+        assert abs(r["expr"] - r["batch"]) < 1e-9
+
+
+def test_dot_and_sign_bucket_conventions(spark):
+    df = spark.createDataFrame(
+        [([1.0, -2.0, 3.0],), ([0.5],)], "a array<double>"
+    )
+    got = df.select(
+        dot("a", "a").alias("d"),
+        sign_bucket("a", n_bits=4).alias("sb"),
+    ).collect()
+    assert abs(got[0]["d"] - 14.0) < 1e-12
+    assert got[0]["sb"] == "1010"
+    # short vector: try_element_at past the end -> '0', like DuckDB NULL
+    assert got[1]["sb"] == "1000"
