@@ -77,6 +77,8 @@ HEADLINE = [
     "q44_hll_sketch",
     "t12_sequence_pack",
     "m05_binary_piecewise_dedup",
+    "t13_url_filter",
+    "x08_mix_resample",
 ]
 
 

@@ -437,3 +437,73 @@ def x07_partition_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_ts")
     )
+
+
+# --------------------------------------------------------------------------
+# x08: temperature-flattened mixture resampling — the multilingual /
+# multi-source mixing step of a pretraining pipeline (exponential
+# smoothing of source shares, XLM-R style: Conneau et al. 2020
+# arXiv:1911.02116 §3.1, alpha-smoothed sampling p_l^alpha). Each
+# language's keep-rate is derived FROM THE DATA (its token share), then
+# applied with the same deterministic md5-fraction sampler as x02, so
+# the operator is reproducible under retries and bit-identical in the
+# oracle.
+_X08_ALPHA = 0.3  # temperature: 1.0 = natural mix, 0.0 = uniform mix
+
+
+@query(
+    "x08_mix_resample",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS tok
+      FROM documents GROUP BY 1),
+    s AS (SELECT lang, tok / SUM(tok) OVER () AS p FROM tok),
+    r AS (
+      SELECT lang,
+             ROUND(POW(p, {_X08_ALPHA} - 1)
+                   / MAX(POW(p, {_X08_ALPHA} - 1)) OVER (), 4) AS rate
+      FROM s)
+    SELECT d.doc_id, d.lang, r.rate
+    FROM documents d JOIN r USING (lang)
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+               AS INT) / 65536.0 < r.rate
+    ORDER BY d.doc_id
+    """,
+    doc="Temperature-flattened mixture resampling: per-language keep "
+    "rates are p_l^(alpha-1) normalized so the rarest language keeps "
+    "everything (alpha=0.3 — heavy languages downsampled toward a "
+    "flatter mix), applied via the deterministic md5-fraction sampler. "
+    "Rates are DERIVED from corpus token mass, not configured — the "
+    "agg and the sampling run in one job.",
+)
+def x08_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): the rate table is |languages| rows — the
+    share agg is one partial-agg exchange keyed on lang (map-side
+    combine reduces each task to its local lang counts), the two
+    single-row reductions (total, max ratio) broadcast as 1-row dims,
+    and the final keep decision is a broadcast join + codegen filter on
+    the scan: no shuffle ever touches a document row. Skew-immune: the
+    heaviest language costs exactly one partial-agg cell per task."""
+    t = load_views(spark, sf_dir)
+    d = t["documents"].select("doc_id", "lang", "n_chars")
+    tok = d.groupBy("lang").agg(F.sum("n_chars").cast("double").alias("tok"))
+    tot = tok.agg(F.sum("tok").alias("tot"))
+    shares = tok.crossJoin(F.broadcast(tot)).select(
+        "lang", (F.col("tok") / F.col("tot")).alias("p")
+    )
+    ratio = F.pow(F.col("p"), F.lit(_X08_ALPHA - 1))
+    mx = shares.agg(F.max(ratio).alias("mx"))
+    rates = shares.crossJoin(F.broadcast(mx)).select(
+        "lang", F.round(ratio / F.col("mx"), 4).alias("rate")
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        / 65536.0
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(frac < F.col("rate"))
+        .select("doc_id", "lang", "rate")
+        .orderBy("doc_id")
+    )

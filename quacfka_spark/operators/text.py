@@ -758,3 +758,108 @@ def t12_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# URL / domain filtering (t13) — the first gate of every web-scale
+# curation pipeline (C4, Raffel et al. 2020 arXiv:1910.10683 §2.2;
+# RefinedWeb, Penedo et al. 2023 arXiv:2306.01116 §3.1): drop documents
+# whose source URL hits a domain blocklist or a disallowed TLD. The
+# fixture corpus carries no URLs, so each doc gets a DETERMINISTIC url
+# derived from (source, doc_id, lang) — identically derived in the
+# oracle, same screen-can't-go-silent argument as t10's PII enrichment.
+_T13_BLOCKLIST = [
+    ("src1-0.com", "piracy"),
+    ("src3-1.net", "malware"),
+    ("src5-2.xyz", "adult"),
+    ("src7-3.com", "piracy"),
+    ("src12-1.net", "spam"),
+    ("src18-2.xyz", "adult"),
+]
+_T13_BAD_TLD = "xyz"
+
+
+def _t13_oracle() -> str:
+    values = ", ".join(f"('{d}', '{c}')" for d, c in _T13_BLOCKLIST)
+    return f"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '-' || CAST(doc_id % 4 AS VARCHAR)
+               || '.' || (CASE doc_id % 3 WHEN 0 THEN 'com'
+                          WHEN 1 THEN 'net' ELSE 'xyz' END)
+               || '/' || lang || '/p' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+             regexp_extract(url, 'https://([^/]+)/', 1) AS domain,
+             regexp_extract(url, '\\.([a-z0-9]+)/', 1) AS tld
+      FROM u),
+    bl(domain, category) AS (VALUES {values})
+    SELECT p.doc_id, p.domain,
+           CASE WHEN b.category IS NOT NULL THEN 'blocklist:' || b.category
+                WHEN p.tld = '{_T13_BAD_TLD}' THEN 'bad_tld' END AS reason,
+           (b.category IS NULL AND p.tld <> '{_T13_BAD_TLD}') AS keep
+    FROM p LEFT JOIN bl b USING (domain)
+    ORDER BY p.doc_id
+    """
+
+
+@query(
+    "t13_url_filter",
+    oracle=_t13_oracle(),
+    doc="C4/RefinedWeb-style URL filtering: parse domain + TLD out of "
+    "each document's (deterministically derived) URL with codegen "
+    "regexes, broadcast-join against a domain blocklist dim, and flag "
+    "drops with a reason (blocklist category wins over the TLD rule — "
+    "the CASE precedence both engines must agree on).",
+)
+def t13_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): the blocklist is a classic small dim
+    (real-world lists are 1e5-1e7 domains, a few hundred MB — squarely
+    broadcast-size), so the join is map-side on every executor: one
+    linear scan of the corpus, zero exchange for the filter itself (the
+    ORDER BY is presentation-only). URL parsing is JVM regexp inside
+    whole-stage codegen; the doc body is never touched, so the scan
+    reads only (doc_id, source, lang) — column pruning does the rest."""
+    t = load_views(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit("-"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit("."),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("com"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("net"))
+        .otherwise(F.lit("xyz")),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/p"),
+        F.col("doc_id").cast("string"),
+    )
+    parsed = (
+        t["documents"]
+        .select("doc_id", url.alias("url"))
+        .select(
+            "doc_id",
+            F.regexp_extract("url", r"https://([^/]+)/", 1).alias("domain"),
+            F.regexp_extract("url", r"\.([a-z0-9]+)/", 1).alias("tld"),
+        )
+    )
+    bl = spark.createDataFrame(_T13_BLOCKLIST, "domain string, category string")
+    return (
+        parsed.join(F.broadcast(bl), "domain", "left")
+        .select(
+            "doc_id",
+            "domain",
+            F.when(
+                F.col("category").isNotNull(),
+                F.concat(F.lit("blocklist:"), F.col("category")),
+            )
+            .when(F.col("tld") == _T13_BAD_TLD, F.lit("bad_tld"))
+            .alias("reason"),
+            (F.col("category").isNull() & (F.col("tld") != _T13_BAD_TLD)).alias(
+                "keep"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -418,3 +418,29 @@ def test_x07_partition_pruning_reaches_scan(plans):
     assert m and "event_type" in m.group(1), p[:800]
     # and the agg is partial before the exchange (map-side combine)
     assert "partial_count" in p or re.search(r"HashAggregate.*partial", p)
+
+
+def test_t13_blocklist_broadcasts_and_prunes_text(plans):
+    """The domain blocklist is a broadcast dim (no shuffle of the corpus
+    for the filter) and the scan never reads the document body — URL
+    filtering touches only (doc_id, source, lang)."""
+    p = plans("t13_url_filter")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    for schema in read_schemas(p):
+        assert "text" not in schema.split(","), schema
+
+
+def test_x08_rates_broadcast_no_doc_shuffle(plans):
+    """x08's only hashpartitioning exchange is the lang share agg
+    (|languages| rows, partial map-side); the keep decision applies via
+    broadcast joins — document rows never shuffle."""
+    p = plans("x08_mix_resample")
+    import re as _re
+
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    exchanges = _re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
+    assert all("doc_id" not in e for e in exchanges), exchanges
+    # partial agg before the lang exchange (map-side combine)
+    assert "partial_sum" in p or "Partial" in p, p
