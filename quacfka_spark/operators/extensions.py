@@ -484,17 +484,21 @@ def x08_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the final keep decision is a broadcast join + codegen filter on
     the scan: no shuffle ever touches a document row. Skew-immune: the
     heaviest language costs exactly one partial-agg cell per task."""
+    from pyspark.sql.window import Window
+
     t = load_views(spark, sf_dir)
     d = t["documents"].select("doc_id", "lang", "n_chars")
+    # one lang agg, then unpartitioned windows over the |languages|-row
+    # result (the oracle's OVER () shape) — NOT chained crossJoins with
+    # 1-row aggregates, which made Catalyst recompute the agg subtree
+    # once per branch (4 corpus scans / 8 exchanges in the audited plan)
     tok = d.groupBy("lang").agg(F.sum("n_chars").cast("double").alias("tok"))
-    tot = tok.agg(F.sum("tok").alias("tot"))
-    shares = tok.crossJoin(F.broadcast(tot)).select(
-        "lang", (F.col("tok") / F.col("tot")).alias("p")
-    )
+    everything = Window.partitionBy()
+    p = F.col("tok") / F.sum("tok").over(everything)
+    shares = tok.select("lang", p.alias("p"))
     ratio = F.pow(F.col("p"), F.lit(_X08_ALPHA - 1))
-    mx = shares.agg(F.max(ratio).alias("mx"))
-    rates = shares.crossJoin(F.broadcast(mx)).select(
-        "lang", F.round(ratio / F.col("mx"), 4).alias("rate")
+    rates = shares.select(
+        "lang", F.round(ratio / F.max(ratio).over(everything), 4).alias("rate")
     )
     frac = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)

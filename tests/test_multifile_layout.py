@@ -51,6 +51,8 @@ MULTIFILE_QUERIES = (
     "q13_window_rank",
     "x01_asof_join",
     "sim04_ivf_topk",
+    "t13_url_filter",
+    "x08_mix_resample",
 )
 
 # few-files layout exercises the spread path; many-files exercises the

@@ -439,8 +439,13 @@ def test_x08_rates_broadcast_no_doc_shuffle(plans):
     import re as _re
 
     assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p
+    assert "SortMergeJoin" not in p and "BroadcastNestedLoopJoin" not in p
     exchanges = _re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
     assert all("doc_id" not in e for e in exchanges), exchanges
     # partial agg before the lang exchange (map-side combine)
     assert "partial_sum" in p or "Partial" in p, p
+    # one lang agg + one singleton-window exchange + the final sort — the
+    # chained-crossJoin regression recomputed the agg per branch
+    # (8 exchanges / 4 corpus scans)
+    assert len(_re.findall(r"\(\d+\) Exchange", p)) <= 3, p
+    assert len(_re.findall(r"\(\d+\) Scan parquet", p)) == 2, p

@@ -32,6 +32,7 @@ DRIFT_KEYS = (
     "x06_bucketed_join_agg",
     "q43_skew_safe_agg",
     "d06_dup_clusters",
+    "x08_mix_resample",
 )
 
 
