@@ -2,6 +2,7 @@
 the individual d*/t*/sim* operators exist for.
 
     documents + embeddings
+      -> URL/domain gate (t13 blocklist)             drop blocked domains/TLDs
       -> PII masking (t10 regexes)                   rewrite text in place
       -> text quality scoring (t02 machinery)        keep score >= cut
       -> repetition rules (t11, Gopher-style)        drop keep=false docs
@@ -10,6 +11,7 @@ the individual d*/t*/sim* operators exist for.
       -> text near-dup (MinHash+LSH, xxhash64)       drop non-representatives
       -> embedding near-dup keep-list (d07 -> d08)   drop keep=false rows
       -> benchmark decontamination (t08)             drop eval-overlap docs
+      -> mixture reweighting (x08 resampling)        flatten the language mix
       -> token accounting (t01 shape)                corpus stats
 
 Two-phase shape: phase 1 writes the PII-MASKED corpus at rest (one
@@ -43,12 +45,14 @@ from quacfka_spark.operators.dedup import (
     d08_dedup_keep,
 )
 from quacfka_spark.operators.dedup import d09_chunk_freq_dedup
+from quacfka_spark.operators.extensions import x08_mix_resample
 from quacfka_spark.operators.text import (
     _PII_EMAIL,
     _PII_IP,
     _PII_PHONE,
     t08_decontaminate,
     t11_repetition_rules,
+    t13_url_filter,
 )
 from quacfka_spark.functions.text import tokens
 
@@ -114,6 +118,15 @@ def curate(spark: SparkSession, sf_dir: str, quality_cut: float = 0.45) -> DataF
     # (including the operator calls below) read the masked dir
     sf_dir = _masked_corpus_dir(spark, sf_dir)
     docs = load_views(spark, sf_dir)["documents"]
+
+    # 0b. URL/domain gate (t13): the cheapest filter runs first — a
+    # blocked domain or TLD drops the doc before any text is tokenized.
+    # URL derivation reads only (doc_id, source, lang), untouched by the
+    # masking rewrite, so running it on the masked dir is equivalent.
+    url_drop = (
+        t13_url_filter(spark, sf_dir).filter(~F.col("keep")).select("doc_id")
+    )
+    docs = docs.join(url_drop, "doc_id", "left_anti")
 
     # 1. quality score (t02's signals, one projection — scan-bound)
     tk = tokens("text")
@@ -193,7 +206,17 @@ def curate(spark: SparkSession, sf_dir: str, quality_cut: float = 0.45) -> DataF
     # 5. benchmark decontamination: t08 names corpus docs overlapping the
     # held-out eval set; they must not ship in a training corpus
     contaminated = t08_decontaminate(spark, sf_dir).select("doc_id").distinct()
-    return cleaned.join(contaminated, "doc_id", "left_anti")
+    cleaned = cleaned.join(contaminated, "doc_id", "left_anti")
+
+    # 6. mixture reweighting (x08): temperature-flatten the language mix
+    # — heavy languages downsample by a deterministic md5-fraction, so
+    # the kept-id set is reproducible under retries and re-runs. Rates
+    # derive from the full-corpus token mass (the mix you measured);
+    # rerunning x08 on the curated subset would instead chase the
+    # post-filter mix — either is defensible, this pipeline reweights
+    # against the measured corpus.
+    mix_keep = x08_mix_resample(spark, sf_dir).select("doc_id")
+    return cleaned.join(mix_keep, "doc_id")
 
 
 def main() -> None:

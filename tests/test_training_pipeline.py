@@ -37,3 +37,20 @@ def test_no_contaminated_doc_survives(spark):
     corpus = curate(spark, cf.SMOKE_DIR)
     contaminated = t08_decontaminate(spark, cf.SMOKE_DIR).select("doc_id").distinct()
     assert corpus.join(contaminated, "doc_id").count() == 0
+
+
+def test_no_blocked_url_survives_and_mix_applied(spark):
+    from quacfka_spark.operators.extensions import x08_mix_resample
+    from quacfka_spark.operators.text import t13_url_filter
+
+    corpus = curate(spark, cf.SMOKE_DIR).cache()
+    blocked = (
+        t13_url_filter(spark, cf.SMOKE_DIR)
+        .filter(~F.col("keep"))
+        .select("doc_id")
+    )
+    assert corpus.join(blocked, "doc_id").count() == 0
+    # every surviving doc is in the resampler's keep set
+    mix_keep = x08_mix_resample(spark, cf.SMOKE_DIR).select("doc_id")
+    assert corpus.join(mix_keep, "doc_id", "left_anti").count() == 0
+    corpus.unpersist()
