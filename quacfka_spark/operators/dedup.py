@@ -717,19 +717,25 @@ def _cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cos = mat[lo:hi] @ mat.T  # chunk x m
                 keep = cos >= _D05_THRESHOLD  # NaN (zero-norm) -> False
             keep &= ids[lo:hi, None] < ids[None, :]
+            ii, jj = np.nonzero(keep)
+            if not len(ii):
+                continue
             # min-band dedup: emit only if no EARLIER band already
             # collided for this pair (argmax finds the first agreeing
-            # band; equality at `band` holds by bucket construction)
+            # band; equality at `band` holds by bucket construction).
+            # Computed on the threshold survivors only — n_pairs x BANDS,
+            # never the chunk x m x BANDS tensor.
             if band > 0:
-                eq = sigm[lo:hi, None, :] == sigm[None, :, :]
-                keep &= eq.argmax(axis=2) == band
-            ii, jj = np.nonzero(keep)
-            if len(ii):
-                out.append(
-                    pd.DataFrame(
-                        {"i": ids[lo + ii], "j": ids[jj], "cos": cos[ii, jj]}
-                    )
+                eq = sigm[lo + ii, :] == sigm[jj, :]
+                first = eq.argmax(axis=1) == band
+                ii, jj = ii[first], jj[first]
+                if not len(ii):
+                    continue
+            out.append(
+                pd.DataFrame(
+                    {"i": ids[lo + ii], "j": ids[jj], "cos": cos[ii, jj]}
                 )
+            )
         return pd.concat(out) if out else empty
 
     return (
