@@ -50,6 +50,7 @@ from quacfka_spark.operators.text import (
     _PII_EMAIL,
     _PII_IP,
     _PII_PHONE,
+    _T08_EVAL_SOURCE,
     t08_decontaminate,
     t11_repetition_rules,
     t13_url_filter,
@@ -57,14 +58,20 @@ from quacfka_spark.operators.text import (
 from quacfka_spark.functions.text import tokens
 
 
+_PHASE1_V = "v2"  # v2: URL gate (eval-exempt) before the masking write
+
+
 def _masked_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Phase 1: write the PII-masked documents table at rest (t10's
-    regexes on the real text — no enrichment; that exists only so the
-    oracle key has matches to verify) and return a fixture-layout dir
-    pointing at it (other tables symlinked). Every downstream operator
-    loads THIS dir, so unmasked text never reaches a tokenizer or a
-    shuffle file. Rewritten when the source fixture is newer (the
-    stale-artifact guard the x06/x07 helpers use)."""
+    """Phase 1: apply the t13 URL/domain gate, then write the PII-masked
+    survivors at rest (t10's regexes on the real text — no enrichment;
+    that exists only so the oracle key has matches to verify) and return
+    a fixture-layout dir pointing at it (other tables symlinked). The
+    gate runs BEFORE the masking write — cheapest filter first: a
+    blocked-domain doc is never regex-masked, never written, and never
+    reaches a tokenizer. Every downstream operator loads THIS dir, so
+    unmasked or blocked text never enters a shuffle file. Rewritten when
+    the source fixture is newer (the stale-artifact guard the x06/x07
+    helpers use)."""
     import hashlib
     from urllib.parse import urlparse
 
@@ -76,14 +83,36 @@ def _masked_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
     # against the warehouse dir (broken links)
     sf_dir = os.path.abspath(sf_dir)
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # the tag versions the PIPELINE DEFINITION, not just the source dir:
+    # artifact_fresh only compares mtimes, so a semantic change to this
+    # phase (what gets gated, what gets masked) must change the artifact
+    # name or a warehouse surviving from an older run would be reused
+    # with the old semantics. Bump _PHASE1_V when phase-1 logic changes.
+    tag = hashlib.md5(f"{sf_dir}|{_PHASE1_V}".encode()).hexdigest()[:8]
     dst = os.path.join(wh, f"qs_masked_{tag}")
     marker = os.path.join(dst, "documents.parquet", "_SUCCESS")
     src = os.path.join(sf_dir, "documents.parquet")
     if not artifact_fresh(marker, src):
         os.makedirs(dst, exist_ok=True)
         t = load_views(spark, sf_dir)
-        masked = t["documents"].withColumn(
+        # the gate curates the TRAINING corpus only: eval-source docs are
+        # exempt — they exist to be decontaminated AGAINST (t08), never
+        # ship, and URL-dropping one would silently weaken the
+        # decontamination screen (a corpus doc overlapping a blocked
+        # eval doc would sail through)
+        url_drop = (
+            t13_url_filter(spark, sf_dir)
+            .filter(~F.col("keep"))
+            .select("doc_id")
+            .join(
+                t["documents"]
+                .filter(F.col("source") == _T08_EVAL_SOURCE)
+                .select("doc_id"),
+                "doc_id",
+                "left_anti",
+            )
+        )
+        masked = t["documents"].join(url_drop, "doc_id", "left_anti").withColumn(
             "text",
             F.regexp_replace(
                 F.regexp_replace(
@@ -114,19 +143,18 @@ def curate(spark: SparkSession, sf_dir: str, quality_cut: float = 0.45) -> DataF
     """Returns the curated corpus (doc_id, text, quality, n_tokens) after
     PII masking, quality/repetition filtering, exact + near dedup, and
     decontamination."""
-    # 0. PII masking FIRST, materialized at rest — all later stages
-    # (including the operator calls below) read the masked dir
+    # 0. URL gate + PII masking FIRST, materialized at rest — blocked
+    # docs are dropped before the masking write (see _masked_corpus_dir)
+    # and all later stages (including the operator calls below) read the
+    # gated, masked dir
     sf_dir = _masked_corpus_dir(spark, sf_dir)
     docs = load_views(spark, sf_dir)["documents"]
 
-    # 0b. URL/domain gate (t13): the cheapest filter runs first — a
-    # blocked domain or TLD drops the doc before any text is tokenized.
-    # URL derivation reads only (doc_id, source, lang), untouched by the
-    # masking rewrite, so running it on the masked dir is equivalent.
-    url_drop = (
-        t13_url_filter(spark, sf_dir).filter(~F.col("keep")).select("doc_id")
-    )
-    docs = docs.join(url_drop, "doc_id", "left_anti")
+    # 0c. the held-out eval set never ships: those rows live in the
+    # corpus table only as the decontamination reference (t08 reads them
+    # from the gated dir itself) — a truly held-out benchmark cannot
+    # appear in the training corpus
+    docs = docs.filter(F.col("source") != _T08_EVAL_SOURCE)
 
     # 1. quality score (t02's signals, one projection — scan-bound)
     tk = tokens("text")
@@ -211,10 +239,10 @@ def curate(spark: SparkSession, sf_dir: str, quality_cut: float = 0.45) -> DataF
     # 6. mixture reweighting (x08): temperature-flatten the language mix
     # — heavy languages downsample by a deterministic md5-fraction, so
     # the kept-id set is reproducible under retries and re-runs. Rates
-    # derive from the full-corpus token mass (the mix you measured);
-    # rerunning x08 on the curated subset would instead chase the
-    # post-filter mix — either is defensible, this pipeline reweights
-    # against the measured corpus.
+    # derive from the gated corpus's token mass (the mix you measured
+    # after the URL gate); rerunning x08 on the curated subset would
+    # instead chase the post-filter mix — either is defensible, this
+    # pipeline reweights against the measured corpus.
     mix_keep = x08_mix_resample(spark, sf_dir).select("doc_id")
     return cleaned.join(mix_keep, "doc_id")
 

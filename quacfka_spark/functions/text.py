@@ -95,3 +95,24 @@ def hex_digit_value(ch: Column) -> Column:
     """Value 0-15 of one lowercase hex digit via position lookup —
     portable (Spark ``position`` == DuckDB ``instr`` semantics)."""
     return F.position(ch, F.lit("0123456789abcdef")) - 1
+
+
+def md5_frac(col: Column | str) -> Column:
+    """Deterministic uniform fraction in [0, 1): the first 4 hex chars
+    of md5(value) over 65536 — the portable sampling coin shared by the
+    sampling operators (x02 stratified, x08 mixture resampling). Stable
+    under task retries and re-runs; bit-identical in DuckDB via
+    ``md5_frac_sql``, so hash-sampled outputs oracle-check exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10).cast("int")
+        / 65536.0
+    )
+
+
+def md5_frac_sql(expr: str) -> str:
+    """DuckDB fragment computing exactly ``md5_frac`` for ``expr``."""
+    return (
+        f"CAST(concat('0x', substr(md5(CAST({expr} AS VARCHAR)), 1, 4)) "
+        "AS INT) / 65536.0"
+    )

@@ -709,7 +709,10 @@ def _cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         mat = np.array(pdf["embedding"].tolist(), dtype="float64")
         with np.errstate(divide="ignore", invalid="ignore"):
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sigm = np.array(pdf["sigs"].tolist())  # m x BANDS of '0101' strings
+        # m x BANDS of '0101' strings; band-0 buckets never consult it
+        # (every band-0 collision is by definition the first), so skip
+        # the bucket-sized pandas->numpy conversion there
+        sigm = np.array(pdf["sigs"].tolist()) if band > 0 else None
         out = []
         for lo in range(0, m, _D07_CHUNK):
             hi = min(lo + _D07_CHUNK, m)

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quacfka_spark.catalog import load_views
+from quacfka_spark.functions.text import md5_frac, md5_frac_sql
 from quacfka_spark.registry import query
 
 
@@ -92,10 +93,9 @@ def x01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x02_stratified_sample",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, lang FROM documents
-    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
-          / 65536.0
+    WHERE {md5_frac_sql("doc_id")}
           < CASE WHEN lang = 'en' THEN 0.10 ELSE 0.50 END
     ORDER BY doc_id
     """,
@@ -106,11 +106,7 @@ def x01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_views(spark, sf_dir)
-    frac = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int")
-        / 65536.0
-    )
+    frac = md5_frac("doc_id")
     rate = F.when(F.col("lang") == "en", 0.10).otherwise(0.50)
     return (
         t["documents"].select("doc_id", "lang").filter(frac < rate).orderBy("doc_id")
@@ -465,8 +461,7 @@ _X08_ALPHA = 0.3  # temperature: 1.0 = natural mix, 0.0 = uniform mix
       FROM s)
     SELECT d.doc_id, d.lang, r.rate
     FROM documents d JOIN r USING (lang)
-    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
-               AS INT) / 65536.0 < r.rate
+    WHERE {md5_frac_sql("d.doc_id")} < r.rate
     ORDER BY d.doc_id
     """,
     doc="Temperature-flattened mixture resampling: per-language keep "
@@ -477,12 +472,14 @@ _X08_ALPHA = 0.3  # temperature: 1.0 = natural mix, 0.0 = uniform mix
     "agg and the sampling run in one job.",
 )
 def x08_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale design (100 TB): the rate table is |languages| rows — the
+    """Scale design (100 TB): the rate table is |languages| rows. The
     share agg is one partial-agg exchange keyed on lang (map-side
-    combine reduces each task to its local lang counts), the two
-    single-row reductions (total, max ratio) broadcast as 1-row dims,
-    and the final keep decision is a broadcast join + codegen filter on
-    the scan: no shuffle ever touches a document row. Skew-immune: the
+    combine reduces each task to its local lang counts); the total and
+    max-ratio reductions run as unpartitioned windows over that
+    |languages|-row result (one singleton-window exchange of a few
+    rows — the oracle's OVER () shape); the keep decision is a
+    broadcast join + codegen filter on the scan, so no exchange before
+    the presentation sort carries a document row. Skew-immune: the
     heaviest language costs exactly one partial-agg cell per task."""
     from pyspark.sql.window import Window
 
@@ -500,14 +497,9 @@ def x08_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = shares.select(
         "lang", F.round(ratio / F.max(ratio).over(everything), 4).alias("rate")
     )
-    frac = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int")
-        / 65536.0
-    )
     return (
         d.join(F.broadcast(rates), "lang")
-        .filter(frac < F.col("rate"))
+        .filter(md5_frac("doc_id") < F.col("rate"))
         .select("doc_id", "lang", "rate")
         .orderBy("doc_id")
     )

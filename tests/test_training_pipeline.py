@@ -40,17 +40,30 @@ def test_no_contaminated_doc_survives(spark):
 
 
 def test_no_blocked_url_survives_and_mix_applied(spark):
+    from examples.training_data_pipeline import _masked_corpus_dir
     from quacfka_spark.operators.extensions import x08_mix_resample
-    from quacfka_spark.operators.text import t13_url_filter
+    from quacfka_spark.operators.text import _T08_EVAL_SOURCE, t13_url_filter
 
     corpus = curate(spark, cf.SMOKE_DIR).cache()
+    # blocked-domain ids derive from (doc_id, source, lang) only, so the
+    # raw dir names the same ids the gated write dropped
     blocked = (
         t13_url_filter(spark, cf.SMOKE_DIR)
         .filter(~F.col("keep"))
         .select("doc_id")
     )
     assert corpus.join(blocked, "doc_id").count() == 0
-    # every surviving doc is in the resampler's keep set
-    mix_keep = x08_mix_resample(spark, cf.SMOKE_DIR).select("doc_id")
+    # the held-out eval set never ships
+    eval_ids = (
+        spark.read.parquet(f"{cf.SMOKE_DIR}/documents.parquet")
+        .filter(F.col("source") == _T08_EVAL_SOURCE)
+        .select("doc_id")
+    )
+    assert corpus.join(eval_ids, "doc_id").count() == 0
+    # every surviving doc is in the resampler's keep set — computed on
+    # the same gated corpus curate() resamples (rates derive from the
+    # post-gate token mass)
+    gated = _masked_corpus_dir(spark, cf.SMOKE_DIR)
+    mix_keep = x08_mix_resample(spark, gated).select("doc_id")
     assert corpus.join(mix_keep, "doc_id", "left_anti").count() == 0
     corpus.unpersist()
