@@ -79,6 +79,7 @@ HEADLINE = [
     "m05_binary_piecewise_dedup",
     "t13_url_filter",
     "x08_mix_resample",
+    "t14_lm_perplexity",
 ]
 
 

@@ -863,3 +863,107 @@ def t13_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# n-gram LM perplexity filter (t14) — CCNet-style quality filtering
+# (Wenzek et al. 2020 arXiv:1911.00359 §4.3: score each document with a
+# language model, drop the worst-scoring tail). The LM here is the
+# classic data-derived bigram model with Laplace smoothing, trained on
+# the corpus itself in the same job: P(w2|w1) = (c(w1 w2)+1)/(c(w1)+V).
+# A document's score is the mean log-probability over its bigram
+# instances; low scorers are disfluent/templated text. Thresholds are
+# tuned to SPLIT the fixture corpus (both keep outcomes occur).
+_T14_KEEP_LP = -3.5  # mean bigram log-prob floor
+
+
+@query(
+    "t14_lm_perplexity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+      FROM documents),
+    uni AS (
+      SELECT w, COUNT(*) AS c1
+      FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+    univ AS (SELECT w, c1, COUNT(*) OVER () AS v FROM uni),
+    bgd AS (
+      SELECT doc_id,
+             unnest([tk[i+1] || ' ' || tk[i+2] FOR i IN range(len(tk)-1)])
+               AS b
+      FROM toks),
+    bgc AS (SELECT b, COUNT(*) AS c2 FROM bgd GROUP BY 1),
+    stats AS (
+      SELECT bgc.b, ln((bgc.c2 + 1.0) / (u.c1 + u.v)) AS lp
+      FROM bgc JOIN univ u ON u.w = split_part(bgc.b, ' ', 1)),
+    scored AS (
+      SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             AVG(s.lp) AS lp
+      FROM bgd d JOIN stats s USING (b) GROUP BY 1)
+    SELECT doc.doc_id,
+           COALESCE(s.n_bigrams, 0) AS n_bigrams,
+           ROUND(s.lp, 4) AS avg_logprob,
+           COALESCE(s.lp >= {_T14_KEEP_LP}, FALSE) AS keep
+    FROM documents doc LEFT JOIN scored s USING (doc_id)
+    ORDER BY doc.doc_id
+    """,
+    doc="CCNet-style LM perplexity filter: a Laplace-smoothed bigram "
+    "model trained on the corpus in the same job scores every doc by "
+    "mean bigram log-probability; docs under the floor (or with no "
+    "bigrams) are dropped. Model training and scoring are the same two "
+    "aggregations every distributed LM pipeline runs.",
+)
+def t14_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): two corpus-keyed aggregations (bigram
+    counts keyed on the bigram, unigram counts keyed on the word — both
+    partial map-side) and one co-keyed shuffle join of doc-bigram
+    instances against the bigram stats table; no broadcast is assumed
+    anywhere because at web scale the n-gram table is itself huge (the
+    join key is the bigram, so both sides co-partition). The vocabulary
+    size attaches to the unigram table via an unpartitioned window —
+    vocab-sized, fine into the 1e8 range; past that, materialize V at
+    ingest as a literal. Per-doc scoring is one agg keyed on doc_id.
+    Docs shorter than 2 tokens surface with n_bigrams=0, NULL score,
+    keep=false — deterministic in both engines."""
+    from pyspark.sql.window import Window
+
+    t = load_views(spark, sf_dir)
+    toks = spread_for_cpu(t["documents"]).select(
+        "doc_id", norm_tokens("text").alias("tk")
+    )
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    univ = uni.select(
+        "w", "c1", F.count("*").over(Window.partitionBy()).alias("v")
+    )
+    bgd = toks.select("doc_id", F.explode(grams(F.col("tk"), 2)).alias("b"))
+    bgc = bgd.groupBy("b").agg(F.count("*").alias("c2"))
+    stats = bgc.join(
+        univ, F.split_part(F.col("b"), F.lit(" "), F.lit(1)) == F.col("w")
+    ).select(
+        "b",
+        F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))).alias("lp"),
+    )
+    scored = (
+        bgd.join(stats, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.avg("lp").alias("lp"),
+        )
+    )
+    return (
+        t["documents"]
+        .select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
+            F.round("lp", 4).alias("avg_logprob"),
+            F.coalesce(F.col("lp") >= _T14_KEEP_LP, F.lit(False)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

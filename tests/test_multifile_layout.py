@@ -53,6 +53,7 @@ MULTIFILE_QUERIES = (
     "sim04_ivf_topk",
     "t13_url_filter",
     "x08_mix_resample",
+    "t14_lm_perplexity",
 )
 
 # few-files layout exercises the spread path; many-files exercises the

@@ -449,3 +449,13 @@ def test_x08_rates_broadcast_no_doc_shuffle(plans):
     # (8 exchanges / 4 corpus scans)
     assert len(_re.findall(r"\(\d+\) Exchange", p)) <= 3, p
     assert len(_re.findall(r"\(\d+\) Scan parquet", p)) == 2, p
+
+
+def test_t14_lm_counts_aggregate_map_side_no_bnlj(plans):
+    """The bigram-LM filter's two count aggregations must combine
+    map-side before their exchanges, and the stats join must stay an
+    equi join on the bigram key — a nested-loop plan would be quadratic
+    in corpus n-grams."""
+    p = plans("t14_lm_perplexity")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "partial_count" in p
