@@ -33,6 +33,7 @@ DRIFT_KEYS = (
     "q43_skew_safe_agg",
     "d06_dup_clusters",
     "x08_mix_resample",
+    "t14_lm_perplexity",
 )
 
 

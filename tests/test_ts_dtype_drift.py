@@ -147,6 +147,7 @@ DOC_QUERIES = (
     "t10_pii_scrub",
     "t11_repetition_rules",
     "t12_sequence_pack",
+    "t14_lm_perplexity",
     "d01_exact_dedup",
     "d03_minhash_lsh",
     "d09_chunk_freq_dedup",
@@ -243,6 +244,7 @@ PUNCT_QUERIES = (
     "t10_pii_scrub",
     "t11_repetition_rules",
     "t12_sequence_pack",
+    "t14_lm_perplexity",
     "d01_exact_dedup",
     "d02_ngram_jaccard",
     "d03_minhash_lsh",
