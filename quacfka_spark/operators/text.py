@@ -619,23 +619,48 @@ _T11_DUP3_MAX = 0.02
     "on both sides (rounding only in the reported columns).",
 )
 def t11_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale design (100 TB): n_words / mean-word-length / dup-trigram
-    fraction are pure array expressions in the scan stage (zero
-    shuffle; the trigram array never explodes — distinct-vs-total is
-    size(array_distinct(g))/size(g) per row). Only the top-bigram mode
-    needs aggregation: explode -> count per (doc_id, bigram) -> max/sum
-    per doc — both aggs partial map-side, the exchange keyed on
-    (doc_id, bigram) so one hot document cannot skew a reducer beyond
-    its own bigram vocabulary. The join back to the per-doc metrics is
-    doc_id-to-doc_id, co-partitioned with the second agg's output."""
+    """Scale design (100 TB): EVERY metric is a pure array expression in
+    the scan stage — zero shuffle before the presentation sort. n_words /
+    mean-word-length / dup-trigram fraction are folds over the token and
+    trigram arrays (distinct-vs-total is size(array_distinct(g))/size(g)
+    per row). The top-bigram mode, which an earlier revision computed
+    with explode -> count per (doc_id, bigram) -> max/sum per doc ->
+    join back (three exchanges), is equivalently the LONGEST RUN in the
+    doc's SORTED bigram array over its length — a per-row
+    array_sort + fold, entirely inside whole-stage codegen. One hot
+    document costs only its own O(k log k) sort in its own task."""
     t = load_views(spark, sf_dir)
     toks = spread_for_cpu(t["documents"]).select(
         "doc_id", norm_tokens("text").alias("tk")
     )
     tgs = grams(F.col("tk"), 3)
+    bgs = grams(F.col("tk"), 2)
+
+    def _run_step(acc, x):
+        run = (
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    # max multiplicity of any bigram == longest run in the sorted array
+    # (initial prev='' can never match: bigrams are two non-empty tokens)
+    max_bigram_count = F.aggregate(
+        F.array_sort(bgs),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
+        ),
+        _run_step,
+        lambda acc: acc["best"],
+    )
     base = toks.select(
         "doc_id",
-        "tk",
         F.size("tk").cast("bigint").alias("n_words"),
         # zero-token guard: Spark's 0*1.0/0 is NaN and DuckDB's
         # list_sum([]) is NULL — pin BOTH engines to 0.0 (which also
@@ -655,28 +680,20 @@ def t11_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1) - F.size(F.array_distinct(tgs)) * F.lit(1.0) / F.size(tgs)
         )
         .alias("dup3"),
+        F.when(F.size(bgs) == 0, F.lit(0.0))
+        .otherwise(max_bigram_count * F.lit(1.0) / F.size(bgs))
+        .alias("top2"),
     )
-    bgc = (
-        base.select("doc_id", F.explode(grams(F.col("tk"), 2)).alias("b"))
-        .groupBy("doc_id", "b")
-        .agg(F.count("*").alias("n"))
-    )
-    topf = bgc.groupBy("doc_id").agg(
-        (F.max("n") * F.lit(1.0) / F.sum("n")).alias("top2")
-    )
-    top2 = F.coalesce(F.col("top2"), F.lit(0.0))
     ok_words = F.col("n_words").between(_T11_MIN_WORDS, _T11_MAX_WORDS)
     ok_wlen = F.col("mwl").between(_T11_WLEN_LO, _T11_WLEN_HI)
-    ok_top2 = top2 <= _T11_TOP2_MAX
+    ok_top2 = F.col("top2") <= _T11_TOP2_MAX
     ok_dup3 = F.col("dup3") <= _T11_DUP3_MAX
     return (
-        base.drop("tk")
-        .join(topf, "doc_id", "left")
-        .select(
+        base.select(
             "doc_id",
             "n_words",
             F.round("mwl", 4).alias("mean_wlen"),
-            F.round(top2, 4).alias("top2_frac"),
+            F.round("top2", 4).alias("top2_frac"),
             F.round("dup3", 4).alias("dup3_frac"),
             ok_words.alias("ok_words"),
             ok_wlen.alias("ok_wlen"),

@@ -459,3 +459,17 @@ def test_t14_lm_counts_aggregate_map_side_no_bnlj(plans):
     p = plans("t14_lm_perplexity")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "partial_count" in p
+
+
+def test_t11_single_scan_no_agg_exchange(plans):
+    """All four repetition metrics are per-row array folds — the plan
+    must contain no aggregation exchange and no join; the only Exchange
+    is the presentation sort (plus the CPU-spread repartition on
+    under-split scans). The explode->count->join top-bigram shape this
+    replaced cost three exchanges."""
+    p = plans("t11_repetition_rules")
+    import re as _re
+
+    assert not _re.search(r"\(\d+\) \w*Join", p), p
+    assert "HashAggregate" not in p, p
+    assert len(_re.findall(r"Arguments: hashpartitioning", p)) == 0, p
