@@ -476,15 +476,15 @@ _PII_PHONE = r"\b\d{3}-\d{4}\b"
       FROM documents),
     m AS (
       SELECT doc_id,
-             CAST(len(regexp_extract_all(r, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
-             CAST(len(regexp_extract_all(r, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
-             CAST(len(regexp_extract_all(r, '{_PII_IP}')) AS BIGINT) AS n_ip,
              regexp_replace(regexp_replace(regexp_replace(r,
                '{_PII_EMAIL}', '<EMAIL>', 'g'),
                '{_PII_IP}', '<IP>', 'g'),
                '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
       FROM raw)
-    SELECT doc_id, n_email, n_phone, n_ip,
+    SELECT doc_id,
+           CAST(len(string_split(scrubbed, '<EMAIL>')) - 1 AS BIGINT) AS n_email,
+           CAST(len(string_split(scrubbed, '<PHONE>')) - 1 AS BIGINT) AS n_phone,
+           CAST(len(string_split(scrubbed, '<IP>')) - 1 AS BIGINT) AS n_ip,
            md5(scrubbed) AS scrub_md5,
            CAST(len(regexp_extract_all(scrubbed, '{_PII_EMAIL}'))
               + len(regexp_extract_all(scrubbed, '{_PII_PHONE}'))
@@ -494,14 +494,20 @@ _PII_PHONE = r"\b\d{3}-\d{4}\b"
     """,
     doc="Regex PII detection + masking (email, phone, IPv4) over a "
     "deterministically PII-enriched text column; n_residual==0 is the "
-    "self-verifying 'nothing survived the mask' check. Pure codegen "
-    "regexp expressions — one scan, no shuffle, no Python.",
+    "self-verifying 'nothing survived the mask' check and the n_* "
+    "columns report masks APPLIED (counted from the scrubbed string — "
+    "a split per mask token, not a second regex pass over the raw "
+    "text). Pure codegen expressions — one scan, no shuffle, no Python.",
 )
 def t10_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale design (100 TB): each doc is touched exactly once by a
     chain of JVM regexp expressions inside whole-stage codegen — the
     cost is a linear scan, embarrassingly parallel, no exchange at all
-    (the ORDER BY is presentation-only). Masking BEFORE any dedup /
+    (the ORDER BY is presentation-only). The expensive traversals are
+    the 3 regexp_replace masks + the 3-regex residual self-check;
+    per-kind counts come from splitting the scrubbed string on the mask
+    tokens (linear, no regex), not from re-matching the raw text — 6
+    regex passes per doc instead of 9. Masking BEFORE any dedup /
     tokenize stage keeps PII out of every downstream shuffle file."""
     t = load_views(spark, sf_dir)
     raw = F.concat(
@@ -529,21 +535,19 @@ def t10_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     def n_matches(col, pat):
         return F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("bigint")
 
+    def n_masks(col, token):
+        # split on the literal mask token: occurrences = parts - 1
+        return (F.size(F.split(col, F.lit(token), -1)) - 1).cast("bigint")
+
     return (
         t["documents"]
         .select("doc_id", raw.alias("r"))
+        .select("doc_id", scrubbed.alias("s"))
         .select(
             "doc_id",
-            n_matches(F.col("r"), _PII_EMAIL).alias("n_email"),
-            n_matches(F.col("r"), _PII_PHONE).alias("n_phone"),
-            n_matches(F.col("r"), _PII_IP).alias("n_ip"),
-            scrubbed.alias("s"),
-        )
-        .select(
-            "doc_id",
-            "n_email",
-            "n_phone",
-            "n_ip",
+            n_masks(F.col("s"), "<EMAIL>").alias("n_email"),
+            n_masks(F.col("s"), "<PHONE>").alias("n_phone"),
+            n_masks(F.col("s"), "<IP>").alias("n_ip"),
             F.md5("s").alias("scrub_md5"),
             (
                 n_matches(F.col("s"), _PII_EMAIL)
@@ -940,8 +944,17 @@ def t14_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     size attaches to the unigram table via an unpartitioned window —
     vocab-sized, fine into the 1e8 range; past that, materialize V at
     ingest as a literal. Per-doc scoring is one agg keyed on doc_id.
-    Docs shorter than 2 tokens surface with n_bigrams=0, NULL score,
-    keep=false — deterministic in both engines."""
+
+    Scan-multiplicity caveat: the lazy DAG tokenizes the corpus once per
+    consumer (uni, bigram-count, and scoring branches — ~3 scans; see
+    PLANS.md). That is the deliberate trade here: persisting
+    corpus-sized token arrays inside a lazily-returned operator leaks
+    cache lifetime, and the production answer is the same as for the
+    bucketed layouts (layout.py) — materialize the tokenized/n-gram
+    tables ONCE at ingest and train/score against those, which this
+    operator's two-agg + join shape maps onto directly. Docs shorter
+    than 2 tokens surface with n_bigrams=0, NULL score, keep=false —
+    deterministic in both engines."""
     from pyspark.sql.window import Window
 
     t = load_views(spark, sf_dir)

@@ -458,7 +458,12 @@ def test_t14_lm_counts_aggregate_map_side_no_bnlj(plans):
     in corpus n-grams."""
     p = plans("t14_lm_perplexity")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
-    assert "partial_count" in p
+    # BOTH count aggregations (unigram + bigram) must keep their
+    # map-side partial — one surviving partial_count would let the other
+    # regress to a full-row shuffle unnoticed
+    import re as _re
+
+    assert len(_re.findall(r"partial_count", p)) >= 2, p
 
 
 def test_t11_single_scan_no_agg_exchange(plans):
