@@ -179,3 +179,37 @@ def decode_json(
         .drop("_chk")
         .withColumn("r", F.from_json(F.col(value_col).cast("string"), schema))
     )
+
+
+def decode_avro(
+    df: DataFrame,
+    json_schema: str,
+    *,
+    value_col: str = "value",
+    permissive: bool = True,
+) -> DataFrame:
+    """Same decode shape as ``decode_protobuf`` over Avro payloads — the
+    third serialization of the D7 deserializer surface. Kafka topics
+    carrying Avro are at least as common as protobuf ones, so a drop-in
+    engine needs this path natively.
+
+    Deployment note: like spark-protobuf, the spark-avro DATA SOURCE is
+    an external module (only Avro-core jars ship inside plain pyspark);
+    launch with ``--packages org.apache.spark:spark-avro_2.13:<ver>``.
+    In a sandbox without it this function raises Spark's
+    AVRO_NOT_LOADED analysis error at the first action;
+    tests/test_avro_decode.py probes availability and skips cleanly.
+
+    Bad-record semantics (D8): with ``mode=PERMISSIVE`` ``from_avro``
+    yields NULL for undecodable payloads — unlike from_json's all-NULL
+    struct, a bare ``r IS NOT NULL`` filter works directly (the
+    decode_protobuf shape). FAILFAST raises on the first corrupt
+    payload instead.
+    """
+    from pyspark.sql.avro.functions import from_avro
+
+    options = {"mode": "PERMISSIVE"} if permissive else {"mode": "FAILFAST"}
+    out = df.withColumn(
+        "r", from_avro(F.col(value_col), json_schema, options)
+    )
+    return out.filter(F.col("r").isNotNull()) if permissive else out
