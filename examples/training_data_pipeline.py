@@ -47,10 +47,8 @@ from quacfka_spark.operators.dedup import (
 from quacfka_spark.operators.dedup import d09_chunk_freq_dedup
 from quacfka_spark.operators.extensions import x08_mix_resample
 from quacfka_spark.operators.text import (
-    _PII_EMAIL,
-    _PII_IP,
-    _PII_PHONE,
     _T08_EVAL_SOURCE,
+    scrub_pii,
     t08_decontaminate,
     t11_repetition_rules,
     t13_url_filter,
@@ -72,23 +70,17 @@ def _masked_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
     unmasked or blocked text never enters a shuffle file. Rewritten when
     the source fixture is newer (the stale-artifact guard the x06/x07
     helpers use)."""
-    import hashlib
-    from urllib.parse import urlparse
-
     from quacfka_spark.catalog import TABLES
-    from quacfka_spark.layout import artifact_fresh
+    from quacfka_spark.layout import artifact_dir, artifact_fresh
 
-    # abspath BEFORE tagging/linking: a relative sf_dir would both fork
-    # the md5 tag and store relative symlink targets that resolve
-    # against the warehouse dir (broken links)
-    sf_dir = os.path.abspath(sf_dir)
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    # the tag versions the PIPELINE DEFINITION, not just the source dir:
+    # artifact_dir handles abspath-before-tagging (a relative sf_dir
+    # must not fork the tag or store broken relative symlinks) and the
+    # `extra` arg versions the PIPELINE DEFINITION, not just the source:
     # artifact_fresh only compares mtimes, so a semantic change to this
     # phase (what gets gated, what gets masked) must change the artifact
     # name or a warehouse surviving from an older run would be reused
     # with the old semantics. Bump _PHASE1_V when phase-1 logic changes.
-    tag = hashlib.md5(f"{sf_dir}|{_PHASE1_V}".encode()).hexdigest()[:8]
+    sf_dir, wh, tag = artifact_dir(spark, sf_dir, extra=_PHASE1_V)
     dst = os.path.join(wh, f"qs_masked_{tag}")
     marker = os.path.join(dst, "documents.parquet", "_SUCCESS")
     src = os.path.join(sf_dir, "documents.parquet")
@@ -112,17 +104,9 @@ def _masked_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
                 "left_anti",
             )
         )
+        # one shared mask chain with t10 (order-sensitive; see scrub_pii)
         masked = t["documents"].join(url_drop, "doc_id", "left_anti").withColumn(
-            "text",
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
-                    _PII_IP,
-                    "<IP>",
-                ),
-                _PII_PHONE,
-                "<PHONE>",
-            ),
+            "text", scrub_pii("text")
         )
         masked.write.mode("overwrite").parquet(
             os.path.join(dst, "documents.parquet")

@@ -92,3 +92,28 @@ def artifact_fresh(marker: str, source: str) -> bool:
         not os.path.exists(source)
         or os.path.getmtime(marker) >= os.path.getmtime(source)
     )
+
+
+def artifact_dir(spark, sf_dir: str, extra: str = "") -> tuple[str, str, str]:
+    """Canonical (abs_sf_dir, warehouse_path, tag) for derived layout
+    artifacts — the other half of the stale-artifact rule (see
+    ``artifact_fresh``), shared by x06's bucketed tables, x07's
+    partitioned events, and the example pipeline's masked corpus so the
+    tagging conventions cannot drift per call site:
+
+    - abspath BEFORE tagging: a relative sf_dir must not fork the cache
+      tag or store symlink targets that resolve against the warehouse;
+    - ``extra`` versions the DERIVING PIPELINE (not just the source):
+      freshness is mtime-based, so a semantic change to how the artifact
+      is built must change the tag or an artifact surviving from an
+      older run is silently reused with the old semantics.
+    """
+    import hashlib
+    import os
+    from urllib.parse import urlparse
+
+    sf_dir = os.path.abspath(sf_dir)
+    key = f"{sf_dir}|{extra}" if extra else sf_dir
+    tag = hashlib.md5(key.encode()).hexdigest()[:8]
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    return sf_dir, wh, tag

@@ -393,12 +393,27 @@ def d03p_minhash_xxhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bounded here, and empirically zero on the fixtures.",
 )
 def d03x_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    md5_pairs = _minhash_pairs(spark, sf_dir).select("i", "j")
-    xx_pairs = _minhash_pairs(spark, sf_dir, family="xxhash64").select("i", "j")
-    inter = md5_pairs.intersect(xx_pairs)
-    union = md5_pairs.union(xx_pairs).distinct()
-    agg = union.agg(F.count(F.lit(1)).alias("n_union")).crossJoin(
-        inter.agg(F.count(F.lit(1)).alias("n_inter"))
+    # One union-with-marker aggregation, NOT intersect + union.distinct:
+    # the latter embedded each family's full band-join + Jaccard-verify
+    # pipeline under TWO consumers, so every minhash pipeline executed
+    # twice per check. Here each pipeline is evaluated once; a pair's
+    # family membership count then yields both the union size (all
+    # distinct pairs) and the intersection size (pairs seen by both
+    # families) from a single group-by.
+    md5_pairs = _minhash_pairs(spark, sf_dir).select(
+        "i", "j", F.lit("md5").alias("fam")
+    )
+    xx_pairs = _minhash_pairs(spark, sf_dir, family="xxhash64").select(
+        "i", "j", F.lit("xx").alias("fam")
+    )
+    per_pair = (
+        md5_pairs.unionByName(xx_pairs)
+        .groupBy("i", "j")
+        .agg(F.count_distinct("fam").alias("fams"))
+    )
+    agg = per_pair.agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.sum((F.col("fams") == 2).cast("int")).alias("n_inter"),
     )
     ok = ((F.col("n_union") - F.col("n_inter")) <= 0.05 * F.col("n_union")).cast(
         "int"

@@ -278,26 +278,34 @@ _BUCKETS = 8
 def _ensure_cobucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Write orders/customer co-bucketed on the customer key (once per
     (catalog, sf_dir)) — the ingest-time layout write_bucketed
-    advertises. Existence is checked against the session catalog, not a
-    module cache: bucket specs live in the in-memory catalog and a fresh
-    session must rewrite them. Returns the two managed-table names."""
-    import hashlib
+    advertises. Reuse requires BOTH the session-catalog entry (bucket
+    specs live in the in-memory catalog; a fresh session must rewrite)
+    AND mtime freshness vs the source fixture (artifact_fresh — a
+    fixture regenerated in place mid-session must not be served from
+    stale bucketed copies). Returns the two managed-table names."""
+    import os
+    import shutil
 
-    from quacfka_spark.layout import write_bucketed
+    from quacfka_spark.layout import artifact_dir, artifact_fresh, write_bucketed
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sf_dir, wh, tag = artifact_dir(spark, sf_dir)
     names = (f"orders_bkt_{tag}", f"customer_bkt_{tag}")
-    if not all(spark.catalog.tableExists(n) for n in names):
-        # a previous session's warehouse dirs survive on disk while the
-        # in-memory catalog entries don't — clear stale locations or
-        # saveAsTable refuses with LOCATION_ALREADY_EXISTS
-        import shutil
-        from urllib.parse import urlparse
-
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    srcs = (
+        os.path.join(sf_dir, "orders.parquet"),
+        os.path.join(sf_dir, "customer.parquet"),
+    )
+    reusable = all(
+        spark.catalog.tableExists(n)
+        and artifact_fresh(os.path.join(wh, n, "_SUCCESS"), src)
+        for n, src in zip(names, srcs)
+    )
+    if not reusable:
+        # drop stale catalog entries AND surviving on-disk locations (a
+        # previous session's dirs outlive the in-memory catalog, and
+        # saveAsTable refuses with LOCATION_ALREADY_EXISTS otherwise)
         for n in names:
-            if not spark.catalog.tableExists(n):
-                shutil.rmtree(f"{wh}/{n}", ignore_errors=True)
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+            shutil.rmtree(os.path.join(wh, n), ignore_errors=True)
         t = load_views(spark, sf_dir)
         write_bucketed(
             t["orders"].withColumnRenamed("o_custkey", "custkey"),
@@ -372,17 +380,13 @@ def _ensure_partitioned(spark: SparkSession, sf_dir: str) -> str:
     returns the parquet path. The ts column is normalized to plain
     TIMESTAMP at write time so the partitioned copy reads identically
     under every fixture flavor."""
-    import hashlib
     import os
-    from urllib.parse import urlparse
 
-    from quacfka_spark.layout import artifact_fresh, write_partitioned
+    from quacfka_spark.layout import artifact_dir, artifact_fresh, write_partitioned
 
-    sf_dir = os.path.abspath(sf_dir)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     # under the session's warehouse dir, like x06's bucketed tables —
     # the layout artifacts live wherever the engine's managed data does
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    sf_dir, wh, tag = artifact_dir(spark, sf_dir)
     path = os.path.join(wh, f"qs_events_part_{tag}")
     # staleness guard (the x06 "previous session's dirs survive on disk"
     # hazard): a partitioned copy older than the source fixture means

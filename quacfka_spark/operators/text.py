@@ -463,6 +463,25 @@ _PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _PII_PHONE = r"\b\d{3}-\d{4}\b"
 
 
+def scrub_pii(col: "F.Column | str") -> "F.Column":
+    """The order-sensitive PII mask chain (email -> IP -> phone), ONE
+    definition shared by t10 and any at-rest masking write (the example
+    training pipeline's phase 1): masking order matters — an email can
+    contain an IP-shaped substring — so the chain must never be
+    duplicated per call site where a reorder could make a shipped masked
+    corpus diverge from the oracle-checked t10 semantics."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, _PII_EMAIL, "<EMAIL>"),
+            _PII_IP,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+
+
 @query(
     "t10_pii_scrub",
     oracle=f"""
@@ -522,15 +541,7 @@ def t10_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 256).cast("string"),
         F.lit(".7"),
     )
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("r"), _PII_EMAIL, "<EMAIL>"),
-            _PII_IP,
-            "<IP>",
-        ),
-        _PII_PHONE,
-        "<PHONE>",
-    )
+    scrubbed = scrub_pii(F.col("r"))
 
     def n_matches(col, pat):
         return F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("bigint")

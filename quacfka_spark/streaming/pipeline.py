@@ -173,11 +173,25 @@ class SQLRunner:
         words: list[str] = []
         while i < n:
             c = q[i]
-            if c == "'":
+            if c in ("'", '"', "`"):
+                # Spark treats both '...' and "..." as string literals
+                # (backslash escapes and doubled-quote escapes active);
+                # backticked identifiers can also contain parens/words.
+                # All three must be skipped or a quoted ')' / keyword
+                # corrupts the depth tracking and the verb detection.
+                quote = c
                 i += 1
-                while i < n and q[i] != "'":
+                while i < n:
+                    if q[i] == "\\" and quote != "`":
+                        i += 2
+                        continue
+                    if q[i] == quote:
+                        if i + 1 < n and q[i + 1] == quote:  # '' escape
+                            i += 2
+                            continue
+                        i += 1
+                        break
                     i += 1
-                i += 1
             elif q.startswith("--", i):
                 nl = q.find("\n", i)
                 i = n if nl < 0 else nl + 1
@@ -277,7 +291,13 @@ class StreamingPipeline:
         w = df.observe(obs, F.count(F.lit(1)).alias("n"))
         if self.config.sink_partitions:
             w = w.repartition(self.config.sink_partitions)
-        writer = w.write.mode("append")
+        # overwrite, not append: the target is this table's PER-EPOCH dir,
+        # so overwrite makes the write idempotent under foreachBatch
+        # retries and epoch replays after restart (exactly-once, D19).
+        # Append here meant a retried epoch held the batch twice — and
+        # with the raw-read-back strategy in _process_batch the doubled
+        # raw rows then amplified into every derived sink.
+        writer = w.write.mode("overwrite")
         cap = self.config.max_records_per_file
         if self.config.rotate_mb and table in self._bytes_per_record:
             size_cap = max(

@@ -375,3 +375,69 @@ def test_sqlrunner_guard_sees_through_literals_and_block_comments():
             "WITH RECURSIVE r AS (SELECT 1) INSERT INTO t SELECT * FROM r"
         ],
     )
+
+
+def test_epoch_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch retries an epoch with the SAME epoch_id after a
+    transient sink failure; epoch-dir writes must OVERWRITE so the
+    retried epoch holds exactly one copy of the batch. With the
+    raw-read-back derivation an appending raw sink doubled the raw rows
+    on retry and the doubling then amplified into every derived table."""
+    out = str(tmp_path / "retry_out")
+    batch = spark.range(0, 120).select(
+        F.encode(F.to_json(_nested_payload(F.col("id"))), "utf-8").alias("value")
+    )
+    norm = NormalizerSpec(
+        fields=["r.site.id", "r.user_id", "r.amount"],
+        aliases=["site", "user_id", "amount"],
+    )
+    pipe = StreamingPipeline(
+        spark,
+        None,  # no stream: _process_batch driven directly (retry sim)
+        PipelineConfig(output_dir=out, dest_table="messages", available_now=True),
+        decode=lambda df: decode_json(df, NESTED_SCHEMA),
+        normalizer=norm,
+    )
+    # first attempt + simulated retry of the SAME epoch
+    pipe._process_batch(batch, epoch_id=7)
+    pipe._process_batch(batch, epoch_id=7)
+    raw = spark.read.parquet(os.path.join(out, "messages", "epoch=7"))
+    nrm = spark.read.parquet(os.path.join(out, "messages_norm", "epoch=7"))
+    assert raw.count() == 120  # not 240: the retry replaced, not appended
+    assert nrm.count() == 120
+    # a DIFFERENT epoch still lands in its own dir alongside
+    pipe._process_batch(batch, epoch_id=8)
+    assert spark.read.parquet(os.path.join(out, "messages")).count() == 240
+
+
+def test_sqlrunner_guard_handles_double_quotes_and_escapes():
+    """Spark SQL double-quoted literals and escaped quotes must not
+    corrupt the depth/keyword scan: a quoted ')' or a quoted keyword is
+    content, not syntax."""
+    # false-accept case: quoted ')' and quoted 'insert' once smuggled a
+    # result-bearing CTE SELECT past the guard
+    with pytest.raises(ValueError):
+        SQLRunner(
+            exec=True,
+            queries=[
+                'WITH c AS (SELECT * FROM t WHERE x = ")" OR y = "insert") '
+                "SELECT * FROM c"
+            ],
+        )
+    # false-reject case: quoted '(' once left depth stuck above 0 so the
+    # real INSERT verb was never seen
+    SQLRunner(
+        exec=True,
+        queries=[
+            'WITH c AS (SELECT * FROM t WHERE s = "(") '
+            "INSERT INTO u SELECT * FROM c"
+        ],
+    )
+    # backslash-escaped quote inside a single-quoted literal
+    SQLRunner(
+        exec=True,
+        queries=["INSERT INTO u SELECT * FROM t WHERE s = 'don\\'t (really)'"],
+    )
+    # doubled-quote escape
+    with pytest.raises(ValueError):
+        SQLRunner(exec=True, queries=["SELECT 'it''s (fine)' AS x"])
