@@ -329,6 +329,11 @@ class StreamingPipeline:
         return n
 
     def _publish_path(self, path: str, epoch_id: int, table: str) -> None:
+        # idempotent under epoch retries, like the sink writes: a
+        # replayed epoch must not feed the same completed path twice to
+        # downstream consumers (D20)
+        if path in self.completed_paths:
+            return
         self.completed_paths.append(path)
         os.makedirs(os.path.dirname(self._paths_log), exist_ok=True)
         with open(self._paths_log, "a") as fh:

@@ -405,6 +405,8 @@ def test_epoch_retry_is_idempotent(spark, tmp_path):
     nrm = spark.read.parquet(os.path.join(out, "messages_norm", "epoch=7"))
     assert raw.count() == 120  # not 240: the retry replaced, not appended
     assert nrm.count() == 120
+    # the completed-path feed is idempotent too: one entry per path
+    assert len(pipe.completed_paths) == len(set(pipe.completed_paths)) == 2
     # a DIFFERENT epoch still lands in its own dir alongside
     pipe._process_batch(batch, epoch_id=8)
     assert spark.read.parquet(os.path.join(out, "messages")).count() == 240
