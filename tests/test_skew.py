@@ -61,3 +61,42 @@ def test_two_phase_agg_avg(spark):
     w = {r["k"]: r["avg_v"] for r in want.collect()}
     assert g.keys() == w.keys()
     assert all(abs(g[k] - w[k]) < 1e-9 for k in g)
+
+
+def test_d07_degenerate_bucket_chunked_verify(spark, tmp_path):
+    """The classic LSH skew case: every vector shares one (band, sig)
+    bucket (all-positive leading dims), so one task verifies the whole
+    corpus. d07's bucket verify must stay chunked (_D07_CHUNK rows of
+    the cosine matrix at a time — memory O(bucket x chunk), never
+    O(bucket^2)) and still produce the exact pair set."""
+    import numpy as np
+
+    from quacfka_spark.operators.dedup import _D05_THRESHOLD, _cosine_lsh_pairs
+
+    rng = np.random.default_rng(7)
+    n, dim = 3000, 8  # > 2x _D07_CHUNK so several chunks run per bucket
+    base = rng.uniform(0.1, 1.0, size=dim)
+    vecs = base * rng.uniform(0.5, 1.5, size=(n, dim))  # all-positive
+    d = str(tmp_path / "deg")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+    # satisfy load_views' full-catalog expectation with symlinks
+    import tests.conftest as cf
+
+    for name in ["region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents"]:
+        os.symlink(f"{cf.SMOKE_DIR}/{name}.parquet", f"{d}/{name}.parquet")
+
+    got = _cosine_lsh_pairs(spark, d).count()
+    # exact ground truth: every pair collides (identical signatures), so
+    # the verified pairs are exactly the cosine-threshold survivors
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = m @ m.T
+    iu = np.triu_indices(n, 1)
+    want = int((cos[iu] >= _D05_THRESHOLD).sum())
+    assert got == want
