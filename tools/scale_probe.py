@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Scale probe: run the scale-path operators on synthetic data 50-100x
+the sf0.1 bench fixture (100k embedding vectors, 50k documents by
+default) and emit one JSON line of wall times.
+
+The per-round bench (bench.py at sf0.1: 2k vectors / 5k docs) verifies
+steady-state cost at fixture scale; this probe substantiates the scale
+DESIGN claims — LSH bucket fan-out, banded joins, inverted-index
+decontamination, zero-shuffle scoring — by measuring the same operators
+where the quadratic terms would already be fatal for naive shapes
+(100k vectors = 5e9 candidate pairs all-pairs; the sign-LSH path does
+~1.2e9 bucket-local vectorized comparisons instead, and the banded
+text pipeline never leaves bucket-sized joins).
+
+Usage: python tools/scale_probe.py [--n-vecs 100000] [--n-docs 50000]
+       [--out SCALE_PROBE.json]
+
+Synthesis is deterministic (seeded numpy): embeddings are noisy copies
+of cluster bases so genuine near-dups exist; documents sample a zipfian
+vocabulary with 2% exact duplicates and injected eval-overlap docs so
+dedup/decontamination outputs are non-trivial.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FIXTURE = "/root/testdata/sf0.1"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events",
+]
+
+OPS = [
+    "d01_exact_dedup",
+    "d03_minhash_lsh",
+    "d04_simhash",
+    "d07_cosine_lsh_pairs",
+    "t01_token_count",
+    "t08_decontaminate",
+    "t11_repetition_rules",
+    "t14_lm_perplexity",
+    "sim01_bruteforce_topk",
+    "sim04_ivf_topk",
+    "x08_mix_resample",
+]
+
+
+def synthesize(spark, d: str, n_vecs: int, n_docs: int, dim: int = 64) -> None:
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    os.makedirs(d, exist_ok=True)
+
+    # embeddings: 1% cluster bases, each vector = base + noise -> real
+    # near-dup pairs inside clusters, across-cluster cosines low
+    n_base = max(64, n_vecs // 100)
+    bases = rng.normal(size=(n_base, dim))
+    idx = rng.integers(0, n_base, size=n_vecs)
+    vecs = bases[idx] + 0.35 * rng.normal(size=(n_vecs, dim))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n_vecs), type=pa.int64()),
+                "embedding": pa.array(
+                    vecs.astype("float32").tolist(),
+                    type=pa.list_(pa.float32()),
+                ),
+                "label": pa.array((idx % 64).astype("int64")),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+
+    # documents: zipfian vocab, 30-80 tokens, 2% exact dups, the eval
+    # source for t08 overlapping real corpus text
+    vocab = np.array([f"w{i}" for i in range(5000)])
+    p = 1.0 / np.arange(1, len(vocab) + 1)
+    p /= p.sum()
+    lengths = rng.integers(30, 81, size=n_docs)
+    texts = [
+        " ".join(vocab[rng.choice(len(vocab), size=ln, p=p)])
+        for ln in lengths
+    ]
+    for i in range(0, n_docs // 50):  # 2% exact duplicates
+        texts[n_docs - 1 - i] = texts[i]
+    n_eval = max(20, n_docs // 500)
+    sources = np.array([f"src{i % 20}" for i in range(n_docs)])
+    sources[-n_eval:] = "eval_holdout"
+    for k in range(n_eval // 2):  # half the eval docs overlap the corpus
+        texts[n_docs - 1 - k] = texts[2 * k]
+    langs = np.array(["en", "zh", "es", "fr", "de"])[
+        rng.choice(5, size=n_docs, p=[0.45, 0.2, 0.15, 0.1, 0.1])
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n_docs), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+                "lang": pa.array(langs.tolist(), type=pa.string()),
+                "source": pa.array(sources.tolist(), type=pa.string()),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], type=pa.int64()
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+
+    for name in TABLES:
+        link = os.path.join(d, f"{name}.parquet")
+        if os.path.lexists(link):
+            os.unlink(link)
+        os.symlink(os.path.join(FIXTURE, f"{name}.parquet"), link)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-vecs", type=int, default=100_000)
+    ap.add_argument("--n-docs", type=int, default=50_000)
+    ap.add_argument("--out", default="SCALE_PROBE.json")
+    ap.add_argument("--dir", default="/tmp/quacfka_scale_probe")
+    args = ap.parse_args()
+
+    from quacfka_spark.registry import get_queries
+    from quacfka_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    t0 = time.perf_counter()
+    synthesize(spark, args.dir, args.n_vecs, args.n_docs)
+    synth_s = round(time.perf_counter() - t0, 2)
+
+    qs = get_queries()
+    results: dict[str, dict] = {}
+    for name in OPS:
+        t0 = time.perf_counter()
+        try:
+            df = qs[name](spark, args.dir)
+            # noop sink materializes every output column exactly once;
+            # the row count rides on the same job via an Observation so
+            # the timing window holds ONE execution, not write + count
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            obs = Observation()
+            df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            results[name] = {
+                "sec": round(time.perf_counter() - t0, 2),
+                "rows": int(obs.get["n"]),
+            }
+        except Exception as e:  # keep probing the rest
+            results[name] = {"error": str(e)[:200]}
+        print(f"# {name}: {results[name]}", file=sys.stderr)
+
+    report = {
+        "metric": "scale_probe_wall_time",
+        "n_vecs": args.n_vecs,
+        "n_docs": args.n_docs,
+        "synthesize_sec": synth_s,
+        "ops": results,
+        "vs_bench_fixture": f"~{args.n_vecs // 2000}x vectors, "
+        f"~{args.n_docs // 5000}x documents",
+    }
+    line = json.dumps(report)
+    print(line)
+    with open(args.out, "w") as fh:
+        fh.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
