@@ -86,11 +86,26 @@ def artifact_fresh(marker: str, source: str) -> bool:
     fresh (nothing to re-derive from; the copy is the best data we
     have) — the x06 'previous session's dirs survive on disk' hazard,
     one rule, one place."""
+    import glob
     import os
 
-    return os.path.exists(marker) and (
-        not os.path.exists(source)
-        or os.path.getmtime(marker) >= os.path.getmtime(source)
+    ref = marker
+    if not os.path.exists(marker):
+        # Success markers can be disabled
+        # (mapreduce.fileoutputcommitter.marksuccessfuljobs=false);
+        # requiring one would silently turn every "reuse" into a full
+        # drop-and-rewrite. Fall back to the marker's parent dir iff it
+        # holds committed data files — an empty or partially-committed
+        # dir (no part files ever committed) still reads as stale.
+        d = os.path.dirname(marker)
+        parts = glob.glob(os.path.join(d, "part-*")) or glob.glob(
+            os.path.join(d, "*", "part-*")
+        )
+        if not parts:
+            return False
+        ref = max(parts, key=os.path.getmtime)
+    return not os.path.exists(source) or os.path.getmtime(ref) >= os.path.getmtime(
+        source
     )
 
 

@@ -413,7 +413,12 @@ def d03x_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = per_pair.agg(
         F.count(F.lit(1)).alias("n_union"),
-        F.sum((F.col("fams") == 2).cast("int")).alias("n_inter"),
+        # coalesce: SUM over an empty relation is NULL, and a corpus
+        # where neither family finds a verified pair must read as
+        # perfect agreement (0,0 -> ok=1), not ok=NULL
+        F.coalesce(
+            F.sum((F.col("fams") == 2).cast("int")), F.lit(0)
+        ).alias("n_inter"),
     )
     ok = ((F.col("n_union") - F.col("n_inter")) <= 0.05 * F.col("n_union")).cast(
         "int"

@@ -482,6 +482,24 @@ def scrub_pii(col: "F.Column | str") -> "F.Column":
     )
 
 
+def n_applied_masks(raw, scrubbed, token: str) -> "F.Column":
+    """Masks APPLIED by the scrub for one mask token: occurrences in the
+    scrubbed text MINUS occurrences already present in the raw text.
+    The subtraction matters on already-redacted upstream data (or this
+    pipeline's own at-rest masked corpus fed back through a counting
+    pass): a literal '<EMAIL>' in the raw text is not a mask this run
+    applied, and none of the PII patterns can match or consume the
+    bracketed tokens themselves (no '@', no digits), so pre-existing
+    literals survive the scrub 1:1 and the difference is exact. Split
+    on the literal token (occurrences = parts - 1; the -1s cancel) —
+    linear scans, no extra regex pass."""
+    r = F.col(raw) if isinstance(raw, str) else raw
+    s = F.col(scrubbed) if isinstance(scrubbed, str) else scrubbed
+    return (
+        F.size(F.split(s, F.lit(token), -1)) - F.size(F.split(r, F.lit(token), -1))
+    ).cast("bigint")
+
+
 @query(
     "t10_pii_scrub",
     oracle=f"""
@@ -494,16 +512,19 @@ def scrub_pii(col: "F.Column | str") -> "F.Column":
                AS r
       FROM documents),
     m AS (
-      SELECT doc_id,
+      SELECT doc_id, r,
              regexp_replace(regexp_replace(regexp_replace(r,
                '{_PII_EMAIL}', '<EMAIL>', 'g'),
                '{_PII_IP}', '<IP>', 'g'),
                '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
       FROM raw)
     SELECT doc_id,
-           CAST(len(string_split(scrubbed, '<EMAIL>')) - 1 AS BIGINT) AS n_email,
-           CAST(len(string_split(scrubbed, '<PHONE>')) - 1 AS BIGINT) AS n_phone,
-           CAST(len(string_split(scrubbed, '<IP>')) - 1 AS BIGINT) AS n_ip,
+           CAST(len(string_split(scrubbed, '<EMAIL>'))
+              - len(string_split(r, '<EMAIL>')) AS BIGINT) AS n_email,
+           CAST(len(string_split(scrubbed, '<PHONE>'))
+              - len(string_split(r, '<PHONE>')) AS BIGINT) AS n_phone,
+           CAST(len(string_split(scrubbed, '<IP>'))
+              - len(string_split(r, '<IP>')) AS BIGINT) AS n_ip,
            md5(scrubbed) AS scrub_md5,
            CAST(len(regexp_extract_all(scrubbed, '{_PII_EMAIL}'))
               + len(regexp_extract_all(scrubbed, '{_PII_PHONE}'))
@@ -514,8 +535,9 @@ def scrub_pii(col: "F.Column | str") -> "F.Column":
     doc="Regex PII detection + masking (email, phone, IPv4) over a "
     "deterministically PII-enriched text column; n_residual==0 is the "
     "self-verifying 'nothing survived the mask' check and the n_* "
-    "columns report masks APPLIED (counted from the scrubbed string — "
-    "a split per mask token, not a second regex pass over the raw "
+    "columns report masks APPLIED (scrubbed-minus-raw token counts, so "
+    "pre-existing mask literals in already-redacted input don't "
+    "inflate them — splits, not a second regex pass over the raw "
     "text). Pure codegen expressions — one scan, no shuffle, no Python.",
 )
 def t10_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,9 +546,9 @@ def t10_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is a linear scan, embarrassingly parallel, no exchange at all
     (the ORDER BY is presentation-only). The expensive traversals are
     the 3 regexp_replace masks + the 3-regex residual self-check;
-    per-kind counts come from splitting the scrubbed string on the mask
-    tokens (linear, no regex), not from re-matching the raw text — 6
-    regex passes per doc instead of 9. Masking BEFORE any dedup /
+    per-kind counts come from splitting on the mask tokens (linear, no
+    regex; scrubbed minus raw, see n_applied_masks) — 6 regex passes
+    per doc instead of 9. Masking BEFORE any dedup /
     tokenize stage keeps PII out of every downstream shuffle file."""
     t = load_views(spark, sf_dir)
     raw = F.concat(
@@ -546,19 +568,15 @@ def t10_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     def n_matches(col, pat):
         return F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("bigint")
 
-    def n_masks(col, token):
-        # split on the literal mask token: occurrences = parts - 1
-        return (F.size(F.split(col, F.lit(token), -1)) - 1).cast("bigint")
-
     return (
         t["documents"]
         .select("doc_id", raw.alias("r"))
-        .select("doc_id", scrubbed.alias("s"))
+        .select("doc_id", "r", scrubbed.alias("s"))
         .select(
             "doc_id",
-            n_masks(F.col("s"), "<EMAIL>").alias("n_email"),
-            n_masks(F.col("s"), "<PHONE>").alias("n_phone"),
-            n_masks(F.col("s"), "<IP>").alias("n_ip"),
+            n_applied_masks("r", "s", "<EMAIL>").alias("n_email"),
+            n_applied_masks("r", "s", "<PHONE>").alias("n_phone"),
+            n_applied_masks("r", "s", "<IP>").alias("n_ip"),
             F.md5("s").alias("scrub_md5"),
             (
                 n_matches(F.col("s"), _PII_EMAIL)

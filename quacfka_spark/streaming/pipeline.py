@@ -81,36 +81,59 @@ class PipelineMetrics:
     """D24: per-stage counters + throughput report (metrics.go:15-60)."""
 
     started_at: float = field(default_factory=time.time)
-    records_consumed: int = 0
-    records_inserted: int = 0
-    norm_records_inserted: int = 0
-    custom_records_inserted: int = 0
-    batches: int = 0
+    # keyed by epoch id so a replayed epoch (task/epoch retry, D19)
+    # OVERWRITES its earlier attempt instead of double-counting: the
+    # overwrite-mode sinks make the data exactly-once, and the counters
+    # must agree with what is actually on disk, not with attempt count
+    _epochs: dict[int, tuple[int, int, int, int]] = field(
+        default_factory=dict, repr=False
+    )
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
-    def record_batch(self, consumed: int, raw: int, norm: int, custom: int) -> None:
+    def record_batch(
+        self, epoch_id: int, consumed: int, raw: int, norm: int, custom: int
+    ) -> None:
         with self._lock:
-            self.records_consumed += consumed
-            self.records_inserted += raw
-            self.norm_records_inserted += norm
-            self.custom_records_inserted += custom
-            self.batches += 1
+            self._epochs[epoch_id] = (consumed, raw, norm, custom)
+
+    def _totals(self) -> tuple[int, int, int, int, int]:
+        with self._lock:
+            vals = list(self._epochs.values())
+        sums = [sum(v[i] for v in vals) for i in range(4)]
+        return (*sums, len(vals))
+
+    @property
+    def records_consumed(self) -> int:
+        return self._totals()[0]
+
+    @property
+    def records_inserted(self) -> int:
+        return self._totals()[1]
+
+    @property
+    def norm_records_inserted(self) -> int:
+        return self._totals()[2]
+
+    @property
+    def custom_records_inserted(self) -> int:
+        return self._totals()[3]
+
+    @property
+    def batches(self) -> int:
+        return self._totals()[4]
 
     def report(self) -> dict:
         elapsed = max(time.time() - self.started_at, 1e-9)
-        total = (
-            self.records_inserted
-            + self.norm_records_inserted
-            + self.custom_records_inserted
-        )
+        consumed, raw, norm, custom, batches = self._totals()
+        total = raw + norm + custom
         return {
             "duration_seconds": round(elapsed, 3),
-            "records_consumed": self.records_consumed,
-            "records_inserted": self.records_inserted,
-            "norm_records_inserted": self.norm_records_inserted,
-            "custom_records_inserted": self.custom_records_inserted,
-            "batches": self.batches,
-            "records_per_second": round(self.records_consumed / elapsed, 2),
+            "records_consumed": consumed,
+            "records_inserted": raw,
+            "norm_records_inserted": norm,
+            "custom_records_inserted": custom,
+            "batches": batches,
+            "records_per_second": round(consumed / elapsed, 2),
             "total_rows_per_second": round(total / elapsed, 2),
         }
 
@@ -134,6 +157,14 @@ class SQLRunner:
     exec: bool = True
     fn: Callable[[SparkSession, int], None] | None = None
     delete_on_done: bool = False
+    # Spark's default parser treats backslash as an escape inside
+    # '...'/"..." literals; sessions running with
+    # spark.sql.parser.escapedStringLiterals=true (Hive compat) treat it
+    # as a literal character, so 'x\' is a TERMINATED string there. Set
+    # this to True to match such a session — otherwise the scanner would
+    # swallow the closing quote and run verb/depth detection over
+    # literal content (mis-accepting or mis-rejecting statements).
+    escaped_string_literals: bool = False
 
     # Statement prefixes that run for effect (side-effecting DDL/DML) —
     # anything else in exec mode is a result-bearing query whose rows
@@ -159,8 +190,7 @@ class SQLRunner:
         for q in self.queries:
             self._check_effect_only(q)
 
-    @classmethod
-    def _top_level_keyword(cls, q: str) -> str | None:
+    def _top_level_keyword(self, q: str) -> str | None:
         """The statement's first DEPTH-0 keyword, skipping string
         literals, -- and /* */ comments, and parenthesized bodies: for a
         plain statement that is its first word; for a WITH statement it
@@ -182,7 +212,11 @@ class SQLRunner:
                 quote = c
                 i += 1
                 while i < n:
-                    if q[i] == "\\" and quote != "`":
+                    if (
+                        q[i] == "\\"
+                        and quote != "`"
+                        and not self.escaped_string_literals
+                    ):
                         i += 2
                         continue
                     if q[i] == quote:
@@ -215,7 +249,7 @@ class SQLRunner:
         if words[0] != "with":
             return words[0]
         for w in words[1:]:  # skip CTE names / AS / RECURSIVE / commas
-            if w in cls._STMT_KEYWORDS:
+            if w in self._STMT_KEYWORDS:
                 return w
         return None
 
@@ -273,6 +307,22 @@ class StreamingPipeline:
         self.metrics = PipelineMetrics()
         self.completed_paths: list[str] = []  # D20 in-process feed
         self._paths_log = os.path.join(config.output_dir, "_completed", "paths.jsonl")
+        # D19/D20: the publish-dedup guard must survive a process
+        # restart — an epoch replayed from the checkpoint after a crash
+        # would otherwise re-append its paths to the persistent feed.
+        # Seed the seen-set from the on-disk log (the feed itself is the
+        # durable record of what was already published); the set gives
+        # O(1) membership, the list stays the ordered in-process feed.
+        self._published: set[str] = set()
+        if os.path.exists(self._paths_log):
+            with open(self._paths_log) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        try:
+                            self._published.add(json.loads(line)["path"])
+                        except (json.JSONDecodeError, KeyError):
+                            continue  # torn tail write from a crash
         self._bytes_per_record: dict[str, float] = {}  # D15 size feedback
         self.query = None
 
@@ -332,8 +382,9 @@ class StreamingPipeline:
         # idempotent under epoch retries, like the sink writes: a
         # replayed epoch must not feed the same completed path twice to
         # downstream consumers (D20)
-        if path in self.completed_paths:
+        if path in self._published:
             return
+        self._published.add(path)
         self.completed_paths.append(path)
         os.makedirs(os.path.dirname(self._paths_log), exist_ok=True)
         with open(self._paths_log, "a") as fh:
@@ -412,7 +463,7 @@ class StreamingPipeline:
             # no sink materialized the batch (all stages toggled off):
             # count directly, else read the piggybacked observation
             consumed = decoded.count() if not written else int(consumed_obs.get["n"])
-            self.metrics.record_batch(consumed, raw_n, norm_n, custom_n)
+            self.metrics.record_batch(epoch_id, consumed, raw_n, norm_n, custom_n)
         finally:
             for df in to_unpersist:
                 df.unpersist()

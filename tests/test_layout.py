@@ -106,3 +106,34 @@ def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
     # and the result only contains the surviving partitions
     got = {r["event_type"] for r in j.collect()}
     assert got <= {"click", "purchase"}
+
+
+def test_artifact_fresh_survives_missing_success_marker(tmp_path):
+    """Success markers can be disabled (marksuccessfuljobs=false); the
+    freshness rule then falls back to committed part files — but an
+    empty/partially-committed dir (no part files) still reads stale."""
+    import os
+    import time
+
+    from quacfka_spark.layout import artifact_fresh
+
+    src = tmp_path / "src.parquet"
+    src.write_text("fixture")
+    tbl = tmp_path / "wh" / "t"
+    tbl.mkdir(parents=True)
+    marker = str(tbl / "_SUCCESS")
+    # no marker, no part files -> stale
+    assert not artifact_fresh(marker, str(src))
+    # committed part file newer than source -> fresh despite no marker
+    part = tbl / "part-00000-abc.parquet"
+    part.write_text("data")
+    os.utime(part, (time.time() + 5, time.time() + 5))
+    assert artifact_fresh(marker, str(src))
+    # part file OLDER than the (regenerated) source -> stale again
+    os.utime(part, (0, 0))
+    assert not artifact_fresh(marker, str(src))
+    # marker present still takes precedence
+    with open(marker, "w"):
+        pass
+    os.utime(marker, (time.time() + 5, time.time() + 5))
+    assert artifact_fresh(marker, str(src))

@@ -407,9 +407,30 @@ def test_epoch_retry_is_idempotent(spark, tmp_path):
     assert nrm.count() == 120
     # the completed-path feed is idempotent too: one entry per path
     assert len(pipe.completed_paths) == len(set(pipe.completed_paths)) == 2
+    # ... and so is the metrics surface (D24): the replayed epoch must
+    # OVERWRITE its earlier attempt, agreeing with what's on disk
+    rep = pipe.metrics.report()
+    assert rep["records_consumed"] == 120
+    assert rep["records_inserted"] == 120
+    assert rep["batches"] == 1
     # a DIFFERENT epoch still lands in its own dir alongside
     pipe._process_batch(batch, epoch_id=8)
     assert spark.read.parquet(os.path.join(out, "messages")).count() == 240
+    assert pipe.metrics.report()["batches"] == 2
+    # publish-dedup must survive a PROCESS restart (D19/D20): a fresh
+    # pipeline on the same output_dir replaying epoch 8 from the
+    # checkpoint must not re-append its paths to the persistent feed
+    n_lines = sum(1 for _ in open(pipe._paths_log))
+    pipe2 = StreamingPipeline(
+        spark,
+        None,
+        PipelineConfig(output_dir=out, dest_table="messages", available_now=True),
+        decode=lambda df: decode_json(df, NESTED_SCHEMA),
+        normalizer=norm,
+    )
+    pipe2._process_batch(batch, epoch_id=8)
+    assert sum(1 for _ in open(pipe2._paths_log)) == n_lines
+    assert pipe2.completed_paths == []  # nothing NEW completed in-process
 
 
 def test_sqlrunner_guard_handles_double_quotes_and_escapes():
@@ -443,3 +464,20 @@ def test_sqlrunner_guard_handles_double_quotes_and_escapes():
     # doubled-quote escape
     with pytest.raises(ValueError):
         SQLRunner(exec=True, queries=["SELECT 'it''s (fine)' AS x"])
+
+
+def test_sqlrunner_guard_escaped_string_literals_mode():
+    """Under spark.sql.parser.escapedStringLiterals=true backslash is a
+    LITERAL character, so 'dir\\' is a terminated string; the default
+    scanner would swallow the closing quote and scan real SQL as
+    literal content."""
+    q = "SELECT * FROM t WHERE p = 'dir\\' AND q = ')'"
+    # Hive-compat session: the statement is result-bearing -> rejected
+    with pytest.raises(ValueError):
+        SQLRunner(exec=True, queries=[q], escaped_string_literals=True)
+    # an effect statement with a trailing-backslash literal is accepted
+    SQLRunner(
+        exec=True,
+        queries=["INSERT INTO u SELECT * FROM t WHERE p = 'dir\\'"],
+        escaped_string_literals=True,
+    )

@@ -31,7 +31,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-FIXTURE = "/root/testdata/sf0.1"
+# same env convention as bench.py; --fixture (below) overrides both
+FIXTURE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events",
@@ -124,12 +125,17 @@ def synthesize(spark, d: str, n_vecs: int, n_docs: int, dim: int = 64) -> None:
 
 
 def main() -> None:
+    global FIXTURE
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-vecs", type=int, default=100_000)
     ap.add_argument("--n-docs", type=int, default=50_000)
     ap.add_argument("--out", default="SCALE_PROBE.json")
     ap.add_argument("--dir", default="/tmp/quacfka_scale_probe")
+    ap.add_argument("--fixture", default=FIXTURE)
     args = ap.parse_args()
+    FIXTURE = args.fixture
+    if not os.path.isdir(FIXTURE):
+        ap.error(f"fixture dir not found: {FIXTURE} (set --fixture or SPARK_GRAFT_SF_DIR)")
 
     from quacfka_spark.registry import get_queries
     from quacfka_spark.session import get_spark
