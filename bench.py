@@ -80,6 +80,7 @@ HEADLINE = [
     "t13_url_filter",
     "x08_mix_resample",
     "t14_lm_perplexity",
+    "d10_semdedup",
 ]
 
 

@@ -1022,3 +1022,111 @@ def d09_chunk_freq_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# d10 — SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+# cluster embeddings, then near-dup prune WITHIN each cluster only.
+_D10_K = 8  # coarse cells (deterministic: first-K vectors; sqrt(N)-ish in prod)
+
+
+@query(
+    "d10_semdedup",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE vec_id < {_D10_K}),
+    sims AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ve, c.cid,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          c.ce), 6) AS s
+      FROM embeddings e, cents c),
+    assign AS (
+      SELECT vec_id, ve, cid AS cell FROM (
+        SELECT vec_id, ve, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        FROM sims) t WHERE rn = 1),
+    dup AS (
+      SELECT DISTINCT a.vec_id
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND b.vec_id < a.vec_id
+      WHERE list_cosine_similarity(a.ve, b.ve) >= {_D05_THRESHOLD})
+    SELECT a.vec_id, a.cell,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS INTEGER)
+             AS is_dup
+    FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
+    ORDER BY a.vec_id
+    """,
+    doc="SemDeDup semantic dedup: assign every embedding to its nearest "
+    "coarse centroid (deterministic first-K stand-ins, sim04's IVF "
+    "assignment), then flag a vector as duplicate iff a LOWER-id member "
+    "of the SAME cell has cosine >= threshold — the cluster blocking "
+    "bounds the quadratic term to sum(cell^2) instead of N^2, exactly "
+    "the paper's trick. Cross-cell near-dups are unreported by design "
+    "(the recall/cost knob is K). One assignment shuffle (N rows, "
+    "map-side partial argmax) + one cell shuffle; the pairwise work "
+    "never leaves a bucket-local chunked numpy matmul.",
+)
+def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): centroids are K rows -> broadcast; the
+    assignment collapses N x K similarity rows map-side (partial max of
+    a (s, -cid, embedding) struct, the sim04 pattern) so the shuffle
+    moves N rows once on vec_id and once on cell. In production K grows
+    ~sqrt(N) (SemDeDup uses 50k clusters for LAION) keeping cells small;
+    the per-cell verify is chunked (_D07_CHUNK cosine-matrix rows at a
+    time) so task memory is O(cell x chunk), never O(cell^2)."""
+    import pandas as pd
+
+    from quacfka_spark.functions.vector import cosine
+
+    t = load_views(spark, sf_dir)
+    e = t["embeddings"]
+    cents = e.filter(F.col("vec_id") < _D10_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    sims = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.round(cosine("embedding", "ce"), 6).alias("s"),
+    )
+    assign = (
+        sims.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("s").alias("s"),
+                    (-F.col("cid")).alias("nc"),
+                    F.col("embedding").alias("emb"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            (-F.col("m.nc")).alias("cell"),
+            F.col("m.emb").alias("embedding"),
+        )
+    )
+
+    def cell_dups(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        ids = pdf["vec_id"].to_numpy()
+        cells = pdf["cell"].to_numpy()
+        m = np.array(pdf["embedding"].tolist(), dtype="float64")
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        dup = np.zeros(len(ids), dtype=bool)
+        for a in range(0, len(ids), _D07_CHUNK):
+            b = min(a + _D07_CHUNK, len(ids))
+            cos = m[a:b] @ m.T
+            hit = (cos >= _D05_THRESHOLD) & (ids[None, :] < ids[a:b, None])
+            dup[a:b] = hit.any(axis=1)
+        return pd.DataFrame(
+            {"vec_id": ids, "cell": cells, "is_dup": dup.astype("int32")}
+        )
+
+    return (
+        assign.groupBy("cell")
+        .applyInPandas(cell_dups, schema="vec_id bigint, cell bigint, is_dup int")
+        .orderBy("vec_id")
+    )

@@ -771,3 +771,49 @@ def q44_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Q45 — arbitrary GROUPING SETS (finer than q17 ROLLUP / q27 CUBE)
+@query(
+    "q45_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2
+              + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderpriority), ())
+    ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="Arbitrary GROUPING SETS — exactly the 3 requested sets "
+    "including one NOT on the rollup path ((priority) without "
+    "(status, priority) above it), with grouping_id() disambiguating "
+    "subtotal rows from real NULLs. Spark expands all sets in ONE "
+    "Expand node feeding ONE partial+final aggregate: a single scan "
+    "and a single shuffle compute every set — at 100 TB strictly "
+    "cheaper than unioning 3 separate aggregations.",
+)
+def q45_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+    )

@@ -478,3 +478,22 @@ def test_t11_single_scan_no_agg_exchange(plans):
     assert not _re.search(r"\(\d+\) \w*Join", p), p
     assert "HashAggregate" not in p, p
     assert len(_re.findall(r"Arguments: hashpartitioning", p)) == 0, p
+
+
+def test_d10_semdedup_partial_argmax_and_bounded_shuffles(plans):
+    """SemDeDup's scale posture: centroids broadcast (the tiny
+    intentional K-row cross join), the N x K assignment collapses
+    MAP-SIDE (partial_max below the vec_id exchange), and the only
+    other data shuffle keys on cell for the bucket-local pandas verify
+    — no candidate-pair materialization, no all-pairs join anywhere."""
+    p = plans("d10_semdedup")
+    # partial argmax runs below the exchange (map-side combine)
+    assert "partial_max" in p, p[:800]
+    import re as _re
+
+    exchanges = _re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
+    keys = [e.split("#")[0] for e in exchanges]
+    assert sorted(keys) == ["cell", "vec_id"], exchanges
+    # the pairwise work is grouped-pandas, never a row-at-a-time UDF
+    assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsIn" in p, p[:800]
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p

@@ -47,6 +47,7 @@ OPS = [
     "t08_decontaminate",
     "t11_repetition_rules",
     "t14_lm_perplexity",
+    "d10_semdedup",
     "sim01_bruteforce_topk",
     "sim04_ivf_topk",
     "x08_mix_resample",
