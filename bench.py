@@ -81,6 +81,7 @@ HEADLINE = [
     "x08_mix_resample",
     "t14_lm_perplexity",
     "d10_semdedup",
+    "q45_grouping_sets",
 ]
 
 
