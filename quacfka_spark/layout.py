@@ -26,6 +26,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+DONE_MARKER = "_QUACFKA_DONE"
+
+
+def _touch_done(d: str) -> None:
+    """Touch the library-owned completion marker in ``d`` — written only
+    AFTER the write call returned, so its presence proves job completion
+    even where the committer's _SUCCESS marker is disabled. Best-effort:
+    a non-local / non-POSIX path just skips it (reuse then depends on
+    _SUCCESS, never on inferring completeness from part files)."""
+    import os
+
+    try:
+        with open(os.path.join(d, DONE_MARKER), "w"):
+            pass
+    except OSError:
+        pass
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -46,6 +64,11 @@ def write_bucketed(
     if sort:
         w = w.sortBy(*keys)
     w.saveAsTable(table)
+    import os
+    from urllib.parse import urlparse
+
+    wh = urlparse(df.sparkSession.conf.get("spark.sql.warehouse.dir")).path
+    _touch_done(os.path.join(wh, table.lower()))
 
 
 def write_partitioned(
@@ -61,6 +84,7 @@ def write_partitioned(
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(path)
+    _touch_done(path)
 
 
 def cobucketed_join(
@@ -86,27 +110,27 @@ def artifact_fresh(marker: str, source: str) -> bool:
     fresh (nothing to re-derive from; the copy is the best data we
     have) — the x06 'previous session's dirs survive on disk' hazard,
     one rule, one place."""
-    import glob
     import os
 
-    ref = marker
-    if not os.path.exists(marker):
-        # Success markers can be disabled
-        # (mapreduce.fileoutputcommitter.marksuccessfuljobs=false);
-        # requiring one would silently turn every "reuse" into a full
-        # drop-and-rewrite. Fall back to the marker's parent dir iff it
-        # holds committed data files — an empty or partially-committed
-        # dir (no part files ever committed) still reads as stale.
-        d = os.path.dirname(marker)
-        parts = glob.glob(os.path.join(d, "part-*")) or glob.glob(
-            os.path.join(d, "*", "part-*")
-        )
-        if not parts:
-            return False
-        ref = max(parts, key=os.path.getmtime)
-    return not os.path.exists(source) or os.path.getmtime(ref) >= os.path.getmtime(
-        source
-    )
+    # Two accepted completion proofs: the committer's _SUCCESS, or the
+    # library-owned _QUACFKA_DONE this module's writers touch AFTER the
+    # write call returns (survives
+    # mapreduce.fileoutputcommitter.marksuccessfuljobs=false). A dir
+    # with part files but NEITHER marker is treated as stale — with the
+    # v2 committer, tasks commit part files directly into the output
+    # dir, so "has part files" cannot distinguish a completed write
+    # from one that crashed mid-job; only a marker written after the
+    # job can.
+    d = os.path.dirname(marker)
+    for ref in (marker, os.path.join(d, DONE_MARKER)):
+        if os.path.exists(ref):
+            try:
+                return not os.path.exists(source) or os.path.getmtime(
+                    ref
+                ) >= os.path.getmtime(source)
+            except OSError:
+                return False  # concurrent rewrite deleted it under us
+    return False
 
 
 def artifact_dir(spark, sf_dir: str, extra: str = "") -> tuple[str, str, str]:

@@ -43,6 +43,7 @@ import json
 import os
 import threading
 import time
+from collections import OrderedDict
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -81,12 +82,22 @@ class PipelineMetrics:
     """D24: per-stage counters + throughput report (metrics.go:15-60)."""
 
     started_at: float = field(default_factory=time.time)
-    # keyed by epoch id so a replayed epoch (task/epoch retry, D19)
-    # OVERWRITES its earlier attempt instead of double-counting: the
-    # overwrite-mode sinks make the data exactly-once, and the counters
-    # must agree with what is actually on disk, not with attempt count
-    _epochs: dict[int, tuple[int, int, int, int]] = field(
-        default_factory=dict, repr=False
+    records_consumed: int = 0
+    records_inserted: int = 0
+    norm_records_inserted: int = 0
+    custom_records_inserted: int = 0
+    batches: int = 0
+    # Replay guard (D19): a retried epoch OVERWRITES its earlier
+    # attempt's contribution (subtract-and-replace), so the counters
+    # agree with the overwrite-mode sinks — what's on disk — not with
+    # attempt count. Only recent epochs can replay (foreachBatch retries
+    # the in-flight epoch; a restart replays the last uncommitted one),
+    # so the map is BOUNDED: evicting an old epoch only forfeits replay
+    # detection for an epoch that can no longer replay, keeping memory
+    # and counter reads O(1) over an arbitrarily long stream lifetime.
+    _recent_max: int = 1024
+    _recent: "OrderedDict[int, tuple[int, int, int, int]]" = field(
+        default_factory=OrderedDict, repr=False
     )
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
@@ -94,37 +105,31 @@ class PipelineMetrics:
         self, epoch_id: int, consumed: int, raw: int, norm: int, custom: int
     ) -> None:
         with self._lock:
-            self._epochs[epoch_id] = (consumed, raw, norm, custom)
-
-    def _totals(self) -> tuple[int, int, int, int, int]:
-        with self._lock:
-            vals = list(self._epochs.values())
-        sums = [sum(v[i] for v in vals) for i in range(4)]
-        return (*sums, len(vals))
-
-    @property
-    def records_consumed(self) -> int:
-        return self._totals()[0]
-
-    @property
-    def records_inserted(self) -> int:
-        return self._totals()[1]
-
-    @property
-    def norm_records_inserted(self) -> int:
-        return self._totals()[2]
-
-    @property
-    def custom_records_inserted(self) -> int:
-        return self._totals()[3]
-
-    @property
-    def batches(self) -> int:
-        return self._totals()[4]
+            prev = self._recent.pop(epoch_id, None)
+            if prev is not None:
+                pc, pr, pn, px = prev
+                self.records_consumed -= pc
+                self.records_inserted -= pr
+                self.norm_records_inserted -= pn
+                self.custom_records_inserted -= px
+                self.batches -= 1
+            self._recent[epoch_id] = (consumed, raw, norm, custom)
+            while len(self._recent) > self._recent_max:
+                self._recent.popitem(last=False)
+            self.records_consumed += consumed
+            self.records_inserted += raw
+            self.norm_records_inserted += norm
+            self.custom_records_inserted += custom
+            self.batches += 1
 
     def report(self) -> dict:
         elapsed = max(time.time() - self.started_at, 1e-9)
-        consumed, raw, norm, custom, batches = self._totals()
+        with self._lock:
+            consumed = self.records_consumed
+            raw = self.records_inserted
+            norm = self.norm_records_inserted
+            custom = self.custom_records_inserted
+            batches = self.batches
         total = raw + norm + custom
         return {
             "duration_seconds": round(elapsed, 3),
@@ -272,6 +277,22 @@ class SQLRunner:
 
     def run(self, spark: SparkSession, epoch_id: int) -> None:
         if self.exec:
+            # The init-time guard scanned with the constructor's quoting
+            # mode; if the LIVE session's parser mode disagrees (Hive
+            # compat flips backslash semantics), re-validate with the
+            # real mode before executing — a statement mis-classified
+            # under the wrong mode is exactly the driver-materialization
+            # trap the guard exists to block.
+            esc = (
+                spark.conf.get(
+                    "spark.sql.parser.escapedStringLiterals", "false"
+                ).lower()
+                == "true"
+            )
+            if esc != self.escaped_string_literals:
+                self.escaped_string_literals = esc
+                for q in self.queries:
+                    self._check_effect_only(q)
             for q in self.queries:
                 spark.sql(q).collect()
         elif self.fn is not None:

@@ -110,29 +110,38 @@ def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
 
 def test_artifact_fresh_survives_missing_success_marker(tmp_path):
     """Success markers can be disabled (marksuccessfuljobs=false); the
-    freshness rule then falls back to committed part files — but an
-    empty/partially-committed dir (no part files) still reads stale."""
+    library-owned _QUACFKA_DONE marker (touched by this module's
+    writers AFTER the write returns) then proves completion. Part files
+    WITHOUT either marker must read stale: with the v2 committer tasks
+    commit parts directly into the dir, so their presence cannot
+    distinguish a completed write from a mid-job crash."""
     import os
     import time
 
-    from quacfka_spark.layout import artifact_fresh
+    from quacfka_spark.layout import DONE_MARKER, artifact_fresh
 
     src = tmp_path / "src.parquet"
     src.write_text("fixture")
     tbl = tmp_path / "wh" / "t"
     tbl.mkdir(parents=True)
     marker = str(tbl / "_SUCCESS")
-    # no marker, no part files -> stale
+    # no markers, no part files -> stale
     assert not artifact_fresh(marker, str(src))
-    # committed part file newer than source -> fresh despite no marker
+    # part files but NO completion marker (possible mid-job crash) -> stale
     part = tbl / "part-00000-abc.parquet"
     part.write_text("data")
     os.utime(part, (time.time() + 5, time.time() + 5))
-    assert artifact_fresh(marker, str(src))
-    # part file OLDER than the (regenerated) source -> stale again
-    os.utime(part, (0, 0))
     assert not artifact_fresh(marker, str(src))
-    # marker present still takes precedence
+    # library DONE marker newer than source -> fresh despite no _SUCCESS
+    done = tbl / DONE_MARKER
+    done.write_text("")
+    os.utime(done, (time.time() + 5, time.time() + 5))
+    assert artifact_fresh(marker, str(src))
+    # DONE marker OLDER than the (regenerated) source -> stale again
+    os.utime(done, (0, 0))
+    assert not artifact_fresh(marker, str(src))
+    # committer's _SUCCESS still accepted on its own
+    done.unlink()
     with open(marker, "w"):
         pass
     os.utime(marker, (time.time() + 5, time.time() + 5))

@@ -481,3 +481,20 @@ def test_sqlrunner_guard_escaped_string_literals_mode():
         queries=["INSERT INTO u SELECT * FROM t WHERE p = 'dir\\'"],
         escaped_string_literals=True,
     )
+
+
+def test_metrics_replay_overwrites_and_memory_bounded():
+    """Counters are running totals with subtract-and-replace on epoch
+    replay; the replay-detection map is bounded so a long-lived stream
+    never grows memory or per-read cost."""
+    from quacfka_spark.streaming.pipeline import PipelineMetrics
+
+    m = PipelineMetrics(_recent_max=3)
+    for e in range(5):
+        m.record_batch(e, 10, 10, 5, 0)
+    assert m.batches == 5 and m.records_consumed == 50
+    assert len(m._recent) == 3  # evicted down to the bound
+    # replay of a RECENT epoch overwrites its contribution
+    m.record_batch(4, 12, 12, 6, 0)
+    assert m.batches == 5 and m.records_consumed == 52
+    assert m.norm_records_inserted == 26
