@@ -100,3 +100,55 @@ def test_d07_degenerate_bucket_chunked_verify(spark, tmp_path):
     iu = np.triu_indices(n, 1)
     want = int((cos[iu] >= _D05_THRESHOLD).sum())
     assert got == want
+
+
+def test_d10_semdedup_ground_truth(spark, tmp_path):
+    """Exact numpy ground truth for d10 (guards against impl and oracle
+    drifting together): deterministic vectors -> hand-compute the
+    nearest-centroid assignment (rounded at 6, smaller-cid tie-break,
+    same as the operator) and the lower-id-in-same-cell dup rule, and
+    require the distributed result to match both columns exactly.
+    n > _D07_CHUNK so the chunked verify runs more than one chunk."""
+    import numpy as np
+
+    from quacfka_spark.operators.dedup import (
+        _D05_THRESHOLD,
+        _D10_K,
+        d10_semdedup,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim = 1500, 8
+    vecs = rng.normal(size=(n, dim))
+    vecs[200:400] = vecs[:200] + 0.05 * rng.normal(size=(200, dim))  # near-dups
+    d = str(tmp_path / "sem")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+    import tests.conftest as cf
+
+    for name in ["region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents"]:
+        os.symlink(f"{cf.SMOKE_DIR}/{name}.parquet", f"{d}/{name}.parquet")
+
+    got = {r["vec_id"]: (r["cell"], r["is_dup"]) for r in
+           d10_semdedup(spark, d).collect()}
+
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cents = m[:_D10_K]
+    s = np.round(m @ cents.T, 6)
+    # argmax with smaller-cid tie-break = first max index
+    cells = s.argmax(axis=1)
+    dup = np.zeros(n, dtype=bool)
+    for i in range(n):
+        same = (cells == cells[i]) & (np.arange(n) < i)
+        if same.any():
+            dup[i] = bool(((m[same] @ m[i]) >= _D05_THRESHOLD).any())
+    assert len(got) == n
+    mism = [i for i in range(n)
+            if got[i] != (int(cells[i]), int(dup[i]))]
+    assert not mism, mism[:10]
