@@ -44,6 +44,7 @@ MULTIFILE_QUERIES = (
     "d05_embedding_cosine",
     "d07_cosine_lsh_pairs",
     "d09_chunk_freq_dedup",
+    "d10_semdedup",
     "sim07_pq_topk",
     "m02_feature_extract",
     "m03_frame_sample",

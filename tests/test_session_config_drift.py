@@ -34,6 +34,8 @@ DRIFT_KEYS = (
     "d06_dup_clusters",
     "x08_mix_resample",
     "t14_lm_perplexity",
+    "d10_semdedup",
+    "q45_grouping_sets",
 )
 
 

@@ -96,6 +96,7 @@ def test_ts_drift_parity(spark, drift_dir, duck_drift, name):
 EMB_QUERIES = (
     "d05_embedding_cosine",
     "d07_cosine_lsh_pairs",
+    "d10_semdedup",
     "sim01_bruteforce_topk",
     "sim02_lsh_topk",
 )
