@@ -71,7 +71,7 @@ def _masked_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
     the source fixture is newer (the stale-artifact guard the x06/x07
     helpers use)."""
     from quacfka_spark.catalog import TABLES
-    from quacfka_spark.layout import artifact_dir, artifact_fresh
+    from quacfka_spark.layout import artifact_dir, artifact_fresh, touch_done
 
     # artifact_dir handles abspath-before-tagging (a relative sf_dir
     # must not fork the tag or store broken relative symlinks) and the
@@ -111,6 +111,10 @@ def _masked_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
         masked.write.mode("overwrite").parquet(
             os.path.join(dst, "documents.parquet")
         )
+        # completion proof that survives marksuccessfuljobs=false —
+        # artifact_fresh accepts _SUCCESS or this library marker, and
+        # no longer infers completeness from part files
+        touch_done(os.path.join(dst, "documents.parquet"))
         for name in TABLES:
             link = os.path.join(dst, f"{name}.parquet")
             if name == "documents":

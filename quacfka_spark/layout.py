@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 DONE_MARKER = "_QUACFKA_DONE"
 
 
-def _touch_done(d: str) -> None:
+def touch_done(d: str) -> None:
     """Touch the library-owned completion marker in ``d`` — written only
     AFTER the write call returned, so its presence proves job completion
     even where the committer's _SUCCESS marker is disabled. Best-effort:
@@ -64,11 +64,24 @@ def write_bucketed(
     if sort:
         w = w.sortBy(*keys)
     w.saveAsTable(table)
-    import os
     from urllib.parse import urlparse
 
-    wh = urlparse(df.sparkSession.conf.get("spark.sql.warehouse.dir")).path
-    _touch_done(os.path.join(wh, table.lower()))
+    # resolve the table's REAL location from the catalog (qualified
+    # names and a non-default current database land under db.db/tbl —
+    # string-joining warehouse + table name would miss them, or worse,
+    # freshen a same-named dir from an unrelated earlier run)
+    loc = next(
+        (
+            r.data_type
+            for r in df.sparkSession.sql(
+                f"DESCRIBE TABLE EXTENDED {table}"
+            ).collect()
+            if r.col_name == "Location"
+        ),
+        None,
+    )
+    if loc:
+        touch_done(urlparse(loc).path)
 
 
 def write_partitioned(
@@ -84,7 +97,7 @@ def write_partitioned(
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(path)
-    _touch_done(path)
+    touch_done(path)
 
 
 def cobucketed_join(

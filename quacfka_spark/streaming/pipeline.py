@@ -290,9 +290,18 @@ class SQLRunner:
                 == "true"
             )
             if esc != self.escaped_string_literals:
+                # validate FIRST, commit the mode only on success: if the
+                # flag were flipped before a failed re-validation, a
+                # retried epoch would see esc == flag, skip this block,
+                # and execute the very statement the guard rejected
+                prev = self.escaped_string_literals
                 self.escaped_string_literals = esc
-                for q in self.queries:
-                    self._check_effect_only(q)
+                try:
+                    for q in self.queries:
+                        self._check_effect_only(q)
+                except Exception:
+                    self.escaped_string_literals = prev
+                    raise
             for q in self.queries:
                 spark.sql(q).collect()
         elif self.fn is not None:

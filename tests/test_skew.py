@@ -102,20 +102,25 @@ def test_d07_degenerate_bucket_chunked_verify(spark, tmp_path):
     assert got == want
 
 
-def test_d10_semdedup_ground_truth(spark, tmp_path):
+def test_d10_semdedup_ground_truth(spark, tmp_path, monkeypatch):
     """Exact numpy ground truth for d10 (guards against impl and oracle
     drifting together): deterministic vectors -> hand-compute the
     nearest-centroid assignment (rounded at 6, smaller-cid tie-break,
     same as the operator) and the lower-id-in-same-cell dup rule, and
-    require the distributed result to match both columns exactly.
-    n > _D07_CHUNK so the chunked verify runs more than one chunk."""
+    require the distributed result to match both columns exactly. The
+    chunk size is shrunk below the ~145-240-row cells so cell_dups'
+    chunk loop genuinely runs several iterations per cell (chunk-
+    boundary indexing is on the tested path, not just the claim)."""
     import numpy as np
 
+    import quacfka_spark.operators.dedup as dd
     from quacfka_spark.operators.dedup import (
         _D05_THRESHOLD,
         _D10_K,
         d10_semdedup,
     )
+
+    monkeypatch.setattr(dd, "_D07_CHUNK", 64)
 
     rng = np.random.default_rng(11)
     n, dim = 1500, 8
