@@ -1026,3 +1026,130 @@ def t14_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# t15 — URL canonicalization + dedup, the CommonCrawl-style crawl-dedup
+# stage (one canonical page kept per URL modulo scheme, www, case, default
+# port, tracking params, fragment, trailing slash). The fixture carries no
+# URLs, so each doc derives a deterministically MESSY url (seven
+# independent variation axes) whose canonical forms genuinely collide —
+# same screen-can't-go-silent argument as t10/t13's enrichment.
+_T15_TRACKING = "^(utm_[a-z]+|fbclid|gclid)="
+
+
+@query(
+    "t15_url_canonical_dedup",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTPS://' END)
+             || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END)
+             || '.com'
+             || (CASE WHEN doc_id % 7 = 0 THEN
+                   (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+                 ELSE '' END)
+             || '/' || lang || '/a' || CAST(doc_id % 7 AS VARCHAR)
+             || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 2 = 0 THEN '?page=1&utm_source=feed'
+                 ELSE '?utm_campaign=x&page=1&fbclid=abc' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END) AS url
+      FROM documents),
+    c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u1 FROM u),
+    parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(u1, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+             regexp_extract(u1, '^[A-Za-z]+://[^/?#]+([^?]*)', 1) AS path,
+             regexp_extract(u1, '\\?(.*)$', 1) AS q
+      FROM c1),
+    norm AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(hostport, ':(80|443)$', ''),
+                            '^www\\.', '') AS host,
+             regexp_replace(path, '/+$', '') AS p,
+             COALESCE(array_to_string(list_sort(list_filter(
+                 string_split(q, '&'),
+                 x -> x <> '' AND NOT regexp_matches(x,
+                      '^(utm_[a-z]+|fbclid|gclid)='))), '&'), '') AS qn
+      FROM parts)
+    SELECT host || p || (CASE WHEN qn <> '' THEN '?' || qn ELSE '' END)
+             AS canonical,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keep_doc_id
+    FROM norm GROUP BY 1 ORDER BY canonical
+    """,
+    doc="URL canonicalization + dedup (the crawl-dedup stage every "
+    "web-scale corpus runs before content dedup): strip fragment, "
+    "lowercase host, drop default ports and www., treat http/https as "
+    "one, drop tracking params (utm_*/fbclid/gclid) and sort the "
+    "survivors, strip trailing slashes — then keep MIN(doc_id) per "
+    "canonical. Every rule is a codegen string expression; the only "
+    "shuffle is the final group-by on the canonical key.",
+)
+def t15_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): canonicalization is a chain of JVM regexp
+    / string expressions inside whole-stage codegen over (doc_id,
+    source, lang) — the doc body is never read (column pruning). The
+    single shuffle is the canonical-key group-by; at crawl scale the
+    ~50-byte canonical string would shuffle as xxhash64(canonical) with
+    the string carried once per group (same digest-not-payload trick as
+    d01), and MIN-per-key combines map-side either way."""
+    t = load_views(spark, sf_dir)
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("http://")).otherwise(
+            F.lit("HTTPS://")
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.upper("source")).otherwise(
+            F.col("source")
+        ),
+        F.lit(".com"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(
+                F.lit(":443")
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/a"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("?page=1&utm_source=feed")
+        ).otherwise(F.lit("?utm_campaign=x&page=1&fbclid=abc")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    u1 = F.regexp_replace(url, "#.*$", "")
+    hostport = F.lower(F.regexp_extract(u1, r"^[A-Za-z]+://([^/?#]+)", 1))
+    path = F.regexp_extract(u1, r"^[A-Za-z]+://[^/?#]+([^?]*)", 1)
+    q = F.regexp_extract(u1, r"\?(.*)$", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, ":(80|443)$", ""), r"^www\.", ""
+    )
+    p = F.regexp_replace(path, "/+$", "")
+    qn = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(q, "&"),
+                lambda x: (x != "") & ~x.rlike(_T15_TRACKING),
+            )
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        host,
+        p,
+        F.when(qn != "", F.concat(F.lit("?"), qn)).otherwise(F.lit("")),
+    )
+    return (
+        t["documents"]
+        .select("doc_id", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .orderBy("canonical")
+    )

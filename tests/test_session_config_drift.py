@@ -36,6 +36,7 @@ DRIFT_KEYS = (
     "t14_lm_perplexity",
     "d10_semdedup",
     "q45_grouping_sets",
+    "t15_url_canonical_dedup",
 )
 
 
