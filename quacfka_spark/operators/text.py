@@ -1040,7 +1040,7 @@ _T15_TRACKING = "^(utm_[a-z]+|fbclid|gclid)="
 
 @query(
     "t15_url_canonical_dedup",
-    oracle="""
+    oracle=f"""
     WITH u AS (
       SELECT doc_id,
              (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTPS://' END)
@@ -1071,7 +1071,7 @@ _T15_TRACKING = "^(utm_[a-z]+|fbclid|gclid)="
              COALESCE(array_to_string(list_sort(list_filter(
                  string_split(q, '&'),
                  x -> x <> '' AND NOT regexp_matches(x,
-                      '^(utm_[a-z]+|fbclid|gclid)='))), '&'), '') AS qn
+                      '{_T15_TRACKING}'))), '&'), '') AS qn
       FROM parts)
     SELECT host || p || (CASE WHEN qn <> '' THEN '?' || qn ELSE '' END)
              AS canonical,

@@ -497,3 +497,19 @@ def test_d10_semdedup_partial_argmax_and_bounded_shuffles(plans):
     # the pairwise work is grouped-pandas, never a row-at-a-time UDF
     assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsIn" in p, p[:800]
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_t15_prunes_text_single_groupby_exchange(plans):
+    """t15's scale posture: canonicalization never reads the doc body
+    (the scan prunes to doc_id/source/lang) and the ONLY hash exchange
+    is the canonical-key group-by, with the partial aggregate below it
+    (map-side combine on MIN/COUNT)."""
+    p = plans("t15_url_canonical_dedup")
+    import re as _re
+
+    schemas = _re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all("text" not in s for s in schemas), schemas
+    exchanges = _re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
+    assert len(exchanges) == 1 and exchanges[0].startswith("canonical"), exchanges
+    assert "partial_count" in p or "partial" in p
+    assert "Join" not in p

@@ -51,6 +51,7 @@ OPS = [
     "sim01_bruteforce_topk",
     "sim04_ivf_topk",
     "x08_mix_resample",
+    "t15_url_canonical_dedup",
 ]
 
 
