@@ -169,7 +169,7 @@ def main() -> None:
     # a genuine tail regression can't hide behind "variance".
     import statistics
 
-    timings = {n: min(ts) for n, ts in samples.items()}
+    timings = {n: round(min(ts), 3) for n, ts in samples.items()}
     stats = {
         n: {
             "best": min(ts),
@@ -179,21 +179,44 @@ def main() -> None:
         for n, ts in samples.items()
     }
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "query_stats": stats,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "ingest": ingest,
-                "ingest_streaming": ingest_streaming,
-                **({"errors": errors} if errors else {}),
-            }
-        )
-    )
+
+    def _compact_ingest(rep: dict) -> dict:
+        """Keep only the headline ingest fields on the stdout line (the
+        driver's tail capture is ~2 KB; round 5's full line overflowed it
+        and BENCH_r05.json recorded "parsed": null)."""
+        if "total_rows_per_second" not in rep:
+            return rep
+        return {
+            "total_rows_per_second": round(rep["total_rows_per_second"]),
+            "records_per_second": round(rep["records_per_second"]),
+            "duration_seconds": rep.get("duration_seconds"),
+            "mb_per_second": rep.get("mb_per_second"),
+        }
+
+    headline = {
+        "metric": "headline_query_wall_time",
+        "value": round(sum(min(ts) for ts in samples.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "ingest": _compact_ingest(ingest),
+        "ingest_streaming": _compact_ingest(ingest_streaming),
+        **({"errors": errors} if errors else {}),
+    }
+    # Full detail (per-query best/median/max + untrimmed ingest reports)
+    # goes to stderr and a side file, never the parsed stdout line.
+    full = dict(headline, query_stats=stats, ingest=ingest, ingest_streaming=ingest_streaming)
+    print(json.dumps(full), file=sys.stderr)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_STATS.json"), "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass
+    line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1900:  # last-resort trim: driver tail capture is ~2 KB
+        headline["queries"] = {n: round(t, 2) for n, t in timings.items()}
+        line = json.dumps(headline, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
