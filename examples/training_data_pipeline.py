@@ -40,14 +40,14 @@ from pyspark.sql import functions as F
 
 from quacfka_spark.catalog import load_views
 from quacfka_spark.operators.dedup import (
-    _label_propagate,
-    _minhash_pairs,
+    label_propagate,
+    minhash_pairs,
     d08_dedup_keep,
 )
 from quacfka_spark.operators.dedup import d09_chunk_freq_dedup
 from quacfka_spark.operators.extensions import x08_mix_resample
 from quacfka_spark.operators.text import (
-    _T08_EVAL_SOURCE,
+    T08_EVAL_SOURCE,
     scrub_pii,
     t08_decontaminate,
     t11_repetition_rules,
@@ -98,7 +98,7 @@ def _masked_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
             .select("doc_id")
             .join(
                 t["documents"]
-                .filter(F.col("source") == _T08_EVAL_SOURCE)
+                .filter(F.col("source") == T08_EVAL_SOURCE)
                 .select("doc_id"),
                 "doc_id",
                 "left_anti",
@@ -142,7 +142,7 @@ def curate(spark: SparkSession, sf_dir: str, quality_cut: float = 0.45) -> DataF
     # corpus table only as the decontamination reference (t08 reads them
     # from the gated dir itself) — a truly held-out benchmark cannot
     # appear in the training corpus
-    docs = docs.filter(F.col("source") != _T08_EVAL_SOURCE)
+    docs = docs.filter(F.col("source") != T08_EVAL_SOURCE)
 
     # 1. quality score (t02's signals, one projection — scan-bound)
     tk = tokens("text")
@@ -199,9 +199,9 @@ def curate(spark: SparkSession, sf_dir: str, quality_cut: float = 0.45) -> DataF
     # 8-byte band shuffle keys; the md5 family exists for oracle
     # parity), clustered by min-label propagation, keep the cluster
     # representative (min id) and drop the rest.
-    text_pairs = _minhash_pairs(spark, sf_dir, family="xxhash64").select("i", "j")
+    text_pairs = minhash_pairs(spark, sf_dir, family="xxhash64").select("i", "j")
     text_drop = (
-        _label_propagate(text_pairs)
+        label_propagate(text_pairs)
         .filter(F.col("v") != F.col("lbl"))  # non-representatives
         .select(F.col("v").alias("doc_id"))
     )

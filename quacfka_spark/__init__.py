@@ -34,6 +34,9 @@ __all__ = [
     "SQLRunner",
     "NormalizerSpec",
     "TransformRegistry",
+    # composed-pipeline building blocks (examples/training_data_pipeline.py)
+    "minhash_pairs",
+    "label_propagate",
 ]
 __version__ = "0.1.0"
 
@@ -52,4 +55,8 @@ def __getattr__(name: str):
         from quacfka_spark.plans.custom import TransformRegistry
 
         return TransformRegistry
+    if name in ("minhash_pairs", "label_propagate"):
+        from quacfka_spark.operators import dedup
+
+        return getattr(dedup, name)
     raise AttributeError(name)

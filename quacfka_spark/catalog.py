@@ -90,6 +90,21 @@ def normalize_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def parquet_num_rows(path: str) -> int | None:
+    """Table row count read from parquet FOOTER metadata — zero Spark
+    jobs, vs the metadata-only-but-still-a-job ``df.count()``. Handles
+    both single-file fixtures and directory layouts (pyarrow's default
+    ignore_prefixes skips _SUCCESS/_QUACFKA_DONE markers). Returns None
+    when the path isn't local parquet readable by pyarrow; callers fall
+    back to ``df.count()``."""
+    try:
+        import pyarrow.dataset as ds
+
+        return ds.dataset(path, format="parquet").count_rows()
+    except Exception:
+        return None
+
+
 def stream_events(
     spark: SparkSession, events_dir: str, **options: str
 ) -> DataFrame:

@@ -64,24 +64,30 @@ def write_bucketed(
     if sort:
         w = w.sortBy(*keys)
     w.saveAsTable(table)
+    loc = table_location(df.sparkSession, table)
+    if loc:
+        touch_done(loc)
+
+
+def table_location(spark: SparkSession, table: str) -> str | None:
+    """The managed table's REAL on-disk directory, resolved from the
+    catalog (DESCRIBE TABLE EXTENDED). Qualified names and a non-default
+    current database land under db.db/tbl — string-joining warehouse +
+    table name would miss them, or worse, freshen a same-named dir from
+    an unrelated earlier run. Shared by write_bucketed's done-marker
+    touch and _ensure_cobucketed's freshness check so the two can never
+    disagree about where the artifact lives."""
     from urllib.parse import urlparse
 
-    # resolve the table's REAL location from the catalog (qualified
-    # names and a non-default current database land under db.db/tbl —
-    # string-joining warehouse + table name would miss them, or worse,
-    # freshen a same-named dir from an unrelated earlier run)
     loc = next(
         (
             r.data_type
-            for r in df.sparkSession.sql(
-                f"DESCRIBE TABLE EXTENDED {table}"
-            ).collect()
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
             if r.col_name == "Location"
         ),
         None,
     )
-    if loc:
-        touch_done(urlparse(loc).path)
+    return urlparse(loc).path if loc else None
 
 
 def write_partitioned(

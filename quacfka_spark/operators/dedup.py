@@ -288,18 +288,20 @@ _D03_ORACLE = f"""
 )
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        _minhash_pairs(spark, sf_dir)
+        minhash_pairs(spark, sf_dir)
         .select("i", "j", F.round(F.col("_j"), 4).alias("jaccard"))
         .orderBy("i", "j")
     )
 
 
-def _minhash_pairs(
+def minhash_pairs(
     spark: SparkSession, sf_dir: str, family: str = "md5"
 ) -> DataFrame:
     """Jaccard-verified LSH candidate pairs (i, j, _j) — the shared core
     of d03 (reported pairs), d06 (duplicate clusters) and d03x (the
-    xxhash64 production variant)."""
+    xxhash64 production variant). Public API: composed pipelines (see
+    examples/training_data_pipeline.py) consume the pair stream directly
+    and feed it to ``label_propagate``."""
     sh = _doc_shingles(spark, sf_dir)
     if family == "md5":
         sh = _minhash_base(sh)
@@ -375,7 +377,7 @@ def _minhash_pairs(
 )
 def d03p_minhash_xxhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        _minhash_pairs(spark, sf_dir, family="xxhash64")
+        minhash_pairs(spark, sf_dir, family="xxhash64")
         .select("i", "j", F.round(F.col("_j"), 4).alias("jaccard"))
         .orderBy("i", "j")
     )
@@ -400,10 +402,10 @@ def d03x_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # family membership count then yields both the union size (all
     # distinct pairs) and the intersection size (pairs seen by both
     # families) from a single group-by.
-    md5_pairs = _minhash_pairs(spark, sf_dir).select(
+    md5_pairs = minhash_pairs(spark, sf_dir).select(
         "i", "j", F.lit("md5").alias("fam")
     )
-    xx_pairs = _minhash_pairs(spark, sf_dir, family="xxhash64").select(
+    xx_pairs = minhash_pairs(spark, sf_dir, family="xxhash64").select(
         "i", "j", F.lit("xx").alias("fam")
     )
     per_pair = (
@@ -524,11 +526,20 @@ _D05_MAX_BLOCKS = 256
 def d05_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
+    import os
+
+    from quacfka_spark.catalog import parquet_num_rows
+
     t = load_views(spark, sf_dir)
     e = t["embeddings"].select("vec_id", "embedding")
-    # planning-time scalar (parquet metadata count): pick B so blocks
-    # hold ~_D05_TARGET_BLOCK vectors independent of N
-    n = e.count()
+    # planning-time scalar to pick B so blocks hold ~_D05_TARGET_BLOCK
+    # vectors independent of N: read straight from the parquet footer
+    # (zero Spark jobs); fall back to the metadata-only count job only
+    # when pyarrow can't see the path. B affects block assignment, never
+    # the emitted pair set.
+    n = parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet"))
+    if n is None:
+        n = e.count()
     n_blocks = min(_D05_MAX_BLOCKS, max(4, -(-n // _D05_TARGET_BLOCK)))
     ev = e.select(
         "vec_id", "embedding",
@@ -804,17 +815,18 @@ _D06_ORACLE = f"""
     "recursive CTE over the same pair SQL.",
 )
 def d06_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _minhash_pairs(spark, sf_dir).select("i", "j")
-    labels = _label_propagate(pairs)
+    pairs = minhash_pairs(spark, sf_dir).select("i", "j")
+    labels = label_propagate(pairs)
     return labels.select(
         F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id")
     ).orderBy("doc_id")
 
 
-def _label_propagate(pairs: DataFrame, max_rounds: int = 100) -> DataFrame:
+def label_propagate(pairs: DataFrame, max_rounds: int = 100) -> DataFrame:
     """Connected components over (i, j) pair rows as iterative min-label
     propagation — the shared core of d06 (text clusters) and d08 (vector
-    keep-lists). Returns (v, lbl). See d06's doc for the scale notes
+    keep-lists), and a public building block for composed dedup
+    pipelines. Returns (v, lbl). See d06's doc for the scale notes
     (localCheckpoint lineage truncation, large-star/small-star swap for
     adversarial diameters; only a scalar changed-count ever reaches the
     driver).
@@ -895,7 +907,7 @@ _D08_ORACLE = f"""
 )
 def d08_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _cosine_lsh_pairs(spark, sf_dir).select("i", "j")
-    labels = _label_propagate(pairs)
+    labels = label_propagate(pairs)
     return labels.select(
         F.col("v").alias("vec_id"),
         F.col("lbl").alias("cluster_id"),

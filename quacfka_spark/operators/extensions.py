@@ -286,7 +286,12 @@ def _ensure_cobucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import os
     import shutil
 
-    from quacfka_spark.layout import artifact_dir, artifact_fresh, write_bucketed
+    from quacfka_spark.layout import (
+        artifact_dir,
+        artifact_fresh,
+        table_location,
+        write_bucketed,
+    )
 
     sf_dir, wh, tag = artifact_dir(spark, sf_dir)
     names = (f"orders_bkt_{tag}", f"customer_bkt_{tag}")
@@ -294,18 +299,30 @@ def _ensure_cobucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         os.path.join(sf_dir, "orders.parquet"),
         os.path.join(sf_dir, "customer.parquet"),
     )
-    reusable = all(
-        spark.catalog.tableExists(n)
-        and artifact_fresh(os.path.join(wh, n, "_SUCCESS"), src)
-        for n, src in zip(names, srcs)
-    )
+
+    def _fresh(n: str, src: str) -> bool:
+        if not spark.catalog.tableExists(n):
+            return False
+        # freshness must be checked at the table's CATALOG-resolved
+        # location, not warehouse+name string-join — a non-default
+        # current database lands tables under db.db/tbl, where the
+        # joined path never exists and reuse would always read stale
+        loc = table_location(spark, n)
+        return bool(loc) and artifact_fresh(os.path.join(loc, "_SUCCESS"), src)
+
+    reusable = all(_fresh(n, src) for n, src in zip(names, srcs))
     if not reusable:
         # drop stale catalog entries AND surviving on-disk locations (a
         # previous session's dirs outlive the in-memory catalog, and
         # saveAsTable refuses with LOCATION_ALREADY_EXISTS otherwise)
         for n in names:
+            loc = (
+                table_location(spark, n)
+                if spark.catalog.tableExists(n)
+                else None
+            )
             spark.sql(f"DROP TABLE IF EXISTS {n}")
-            shutil.rmtree(os.path.join(wh, n), ignore_errors=True)
+            shutil.rmtree(loc or os.path.join(wh, n), ignore_errors=True)
         t = load_views(spark, sf_dir)
         write_bucketed(
             t["orders"].withColumnRenamed("o_custkey", "custkey"),

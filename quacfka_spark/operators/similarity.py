@@ -369,6 +369,26 @@ _PQ_DSUB = 8  # dims per subspace (fixture embeddings are 64-d)
 _PQ_K = 16    # codewords per subspace -> a 4-bit code, 8 B per vector
 _PQ_SHORTLIST = 50  # ADC candidates re-ranked by exact cosine
 
+# Bounded registry of persisted trained codebooks, keyed by sf_dir.
+# CacheManager already dedupes same-plan persists (repeat calls on ONE
+# sf_dir share a single 128-row entry), but a long session touching many
+# distinct sf_dirs would otherwise accumulate one tiny entry per dir
+# forever; evicting beyond the bound unpersists the oldest dir's entry.
+_PQ_CACHE_MAX = 4
+_PQ_PERSISTED: "dict[str, DataFrame]" = {}
+
+
+def _register_codebook(sf_dir: str, cb: DataFrame) -> None:
+    _PQ_PERSISTED.pop(sf_dir, None)  # re-insert moves it to newest
+    _PQ_PERSISTED[sf_dir] = cb
+    while len(_PQ_PERSISTED) > _PQ_CACHE_MAX:
+        oldest = next(iter(_PQ_PERSISTED))
+        old = _PQ_PERSISTED.pop(oldest)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # its session may already be stopped
+
 
 @query(
     "sim07_pq_topk",
@@ -565,9 +585,11 @@ def sim07_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # otherwise re-execute the whole train pipeline as its own job.
         # Not a leak across calls: CacheManager dedupes by analyzed
         # plan, so repeated invocations on the same sf_dir reuse ONE
-        # cache entry (observed "already cached" on the second call)
+        # cache entry (observed "already cached" on the second call);
+        # distinct sf_dirs are bounded by the _register_codebook LRU
         .persist()
     )
+    _register_codebook(sf_dir, cb)
     codes = sv.join(F.broadcast(pack(cb)), "sub").select(
         "vec_id", "sub", argmin_code(F.col("cbs")).alias("code")
     )

@@ -374,7 +374,7 @@ def t07_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-_T08_EVAL_SOURCE = "src0"  # the held-out benchmark set
+T08_EVAL_SOURCE = "src0"  # the held-out benchmark set (public: pipelines exempt it)
 _T08_MIN_SHARED = 3        # shared distinct 3-gram shingles => contaminated
 
 
@@ -390,8 +390,8 @@ _T08_MIN_SHARED = 3        # shared distinct 3-gram shingles => contaminated
                                     for i in range(1, len(tk) - 1)])
                 ELSE [] END AS shs
            FROM toks),
-    ev AS (SELECT doc_id, unnest(shs) AS s FROM sh WHERE source = '{_T08_EVAL_SOURCE}'),
-    co AS (SELECT doc_id, unnest(shs) AS s FROM sh WHERE source <> '{_T08_EVAL_SOURCE}'),
+    ev AS (SELECT doc_id, unnest(shs) AS s FROM sh WHERE source = '{T08_EVAL_SOURCE}'),
+    co AS (SELECT doc_id, unnest(shs) AS s FROM sh WHERE source <> '{T08_EVAL_SOURCE}'),
     hits AS (SELECT co.doc_id AS doc_id, ev.doc_id AS eval_doc_id,
                     COUNT(DISTINCT co.s) AS n_shared
              FROM co JOIN ev ON co.s = ev.s GROUP BY 1, 2)
@@ -434,11 +434,11 @@ def t08_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole shingle tree below it (the d03 regression; null shingle
     # rows are harmless — they match no join key)
     ev = (
-        sh.filter(F.col("source") == _T08_EVAL_SOURCE)
+        sh.filter(F.col("source") == T08_EVAL_SOURCE)
         .select(F.col("doc_id").alias("eval_doc_id"), F.explode_outer("shs").alias("s"))
     )
     co = (
-        sh.filter(F.col("source") != _T08_EVAL_SOURCE)
+        sh.filter(F.col("source") != T08_EVAL_SOURCE)
         .select("doc_id", F.explode_outer("shs").alias("s"))
     )
     return (

@@ -194,8 +194,17 @@ class SQLRunner:
     def __post_init__(self) -> None:
         for q in self.queries:
             self._check_effect_only(q)
+        # Parser modes whose scan already accepted every statement. The
+        # constructor-declared `escaped_string_literals` stays immutable;
+        # run() re-validates a DIFFERING live-session mode with a local
+        # flag and records success here, so alternating sessions don't
+        # re-scan the list every epoch and the accept/reject state never
+        # depends on call history.
+        self._validated_modes = {self.escaped_string_literals}
 
-    def _top_level_keyword(self, q: str) -> str | None:
+    def _top_level_keyword(
+        self, q: str, escaped_string_literals: bool | None = None
+    ) -> str | None:
         """The statement's first DEPTH-0 keyword, skipping string
         literals, -- and /* */ comments, and parenthesized bodies: for a
         plain statement that is its first word; for a WITH statement it
@@ -203,6 +212,11 @@ class SQLRunner:
         (SELECT ...) SELECT" resolves to select, and a 'delete' inside a
         string literal or a CTE body can never masquerade as the
         statement's verb)."""
+        esc = (
+            self.escaped_string_literals
+            if escaped_string_literals is None
+            else escaped_string_literals
+        )
         depth = 0
         i, n = 0, len(q)
         words: list[str] = []
@@ -217,11 +231,7 @@ class SQLRunner:
                 quote = c
                 i += 1
                 while i < n:
-                    if (
-                        q[i] == "\\"
-                        and quote != "`"
-                        and not self.escaped_string_literals
-                    ):
+                    if q[i] == "\\" and quote != "`" and not esc:
                         i += 2
                         continue
                     if q[i] == quote:
@@ -258,10 +268,12 @@ class SQLRunner:
                 return w
         return None
 
-    def _check_effect_only(self, q: str) -> None:
+    def _check_effect_only(
+        self, q: str, escaped_string_literals: bool | None = None
+    ) -> None:
         if not self.exec:
             return
-        kw = self._top_level_keyword(q)
+        kw = self._top_level_keyword(q, escaped_string_literals)
         if kw not in self._EFFECT_PREFIXES:
             raise ValueError(
                 "SQLRunner(exec=True) statements run for effect only; "
@@ -274,6 +286,9 @@ class SQLRunner:
         for q in queries:
             self._check_effect_only(q)
         self.queries.extend(queries)
+        # new statements were scanned only under the constructor mode;
+        # any other mode must re-prove itself against the full list
+        self._validated_modes = {self.escaped_string_literals}
 
     def run(self, spark: SparkSession, epoch_id: int) -> None:
         if self.exec:
@@ -289,19 +304,15 @@ class SQLRunner:
                 ).lower()
                 == "true"
             )
-            if esc != self.escaped_string_literals:
-                # validate FIRST, commit the mode only on success: if the
-                # flag were flipped before a failed re-validation, a
-                # retried epoch would see esc == flag, skip this block,
-                # and execute the very statement the guard rejected
-                prev = self.escaped_string_literals
-                self.escaped_string_literals = esc
-                try:
-                    for q in self.queries:
-                        self._check_effect_only(q)
-                except Exception:
-                    self.escaped_string_literals = prev
-                    raise
+            if esc not in self._validated_modes:
+                # scan with a LOCAL mode flag — the constructor-declared
+                # mode stays immutable, so the guard's accept/reject
+                # state never depends on call history; record success
+                # only after every statement passed, so a failed scan on
+                # a retried epoch re-rejects rather than being skipped
+                for q in self.queries:
+                    self._check_effect_only(q, escaped_string_literals=esc)
+                self._validated_modes.add(esc)
             for q in self.queries:
                 spark.sql(q).collect()
         elif self.fn is not None:

@@ -1,4 +1,4 @@
-"""_label_propagate (the d06/d08 clustering core) on adversarial graph
+"""label_propagate (the d06/d08 clustering core) on adversarial graph
 shapes the LSH fixtures never produce: long chains (diameter >> the
 near-clique 2-3 rounds), multiple components, and the non-convergence
 backstop. A silent round cap used to return half-propagated labels on
@@ -8,12 +8,12 @@ from __future__ import annotations
 
 import pytest
 
-from quacfka_spark.operators.dedup import _label_propagate
+from quacfka_spark.operators.dedup import label_propagate
 
 
 def _labels(spark, pairs, **kw):
     df = spark.createDataFrame(pairs, "i bigint, j bigint")
-    return {r["v"]: r["lbl"] for r in _label_propagate(df, **kw).collect()}
+    return {r["v"]: r["lbl"] for r in label_propagate(df, **kw).collect()}
 
 
 def test_long_chain_converges_to_one_cluster(spark):

@@ -483,6 +483,37 @@ def test_sqlrunner_guard_escaped_string_literals_mode():
     )
 
 
+def test_sqlrunner_live_mode_revalidation_is_stateless(spark):
+    """run() re-validates a live session whose parser mode differs from
+    the constructor's, but with a LOCAL flag: the declared mode is never
+    mutated, a once-validated mode is cached (no rescan per epoch), and
+    a statement that is effect-only in one mode but result-bearing in
+    the other still fails EVERY run under the rejecting mode — including
+    retried epochs after a prior failure."""
+    ok = SQLRunner(exec=True, queries=["SET spark.quacfka.test.flag=1"])
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        ok.run(spark, 0)
+        assert ok.escaped_string_literals is False  # declared mode kept
+        assert ok._validated_modes == {False, True}  # cached, no rescan
+        ok.run(spark, 1)  # second epoch: cache-hit path
+
+        # INSERT verb by default (the \' keeps the literal open until the
+        # quote before the comma, so ') x' is literal content); under
+        # escapedStringLiterals the literal ends at \', the depth closes
+        # early, and the trailing quote swallows the INSERT — no effect
+        # verb is visible, so the Hive-compat session must reject it.
+        tricky = "WITH c AS (SELECT 'a\\') x', 1) INSERT INTO u SELECT * FROM c"
+        r = SQLRunner(exec=True, queries=[tricky])  # default mode: accepted
+        with pytest.raises(ValueError):
+            r.run(spark, 0)
+        assert r.escaped_string_literals is False
+        with pytest.raises(ValueError):  # retried epoch re-rejects
+            r.run(spark, 0)
+    finally:
+        spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+
+
 def test_metrics_replay_overwrites_and_memory_bounded():
     """Counters are running totals with subtract-and-replace on epoch
     replay; the replay-detection map is bounded so a long-lived stream

@@ -42,7 +42,7 @@ def test_no_contaminated_doc_survives(spark):
 def test_no_blocked_url_survives_and_mix_applied(spark):
     from examples.training_data_pipeline import _masked_corpus_dir
     from quacfka_spark.operators.extensions import x08_mix_resample
-    from quacfka_spark.operators.text import _T08_EVAL_SOURCE, t13_url_filter
+    from quacfka_spark.operators.text import T08_EVAL_SOURCE, t13_url_filter
 
     corpus = curate(spark, cf.SMOKE_DIR).cache()
     # blocked-domain ids derive from (doc_id, source, lang) only, so the
@@ -56,7 +56,7 @@ def test_no_blocked_url_survives_and_mix_applied(spark):
     # the held-out eval set never ships
     eval_ids = (
         spark.read.parquet(f"{cf.SMOKE_DIR}/documents.parquet")
-        .filter(F.col("source") == _T08_EVAL_SOURCE)
+        .filter(F.col("source") == T08_EVAL_SOURCE)
         .select("doc_id")
     )
     assert corpus.join(eval_ids, "doc_id").count() == 0

@@ -98,7 +98,13 @@ def synthesize(spark, d: str, n_vecs: int, n_docs: int, dim: int = 64) -> None:
         texts[n_docs - 1 - i] = texts[i]
     n_eval = max(20, n_docs // 500)
     sources = np.array([f"src{i % 20}" for i in range(n_docs)])
-    sources[-n_eval:] = "eval_holdout"
+    # label the injected eval docs with t08's ACTUAL held-out source so
+    # the deliberate text overlap below exercises the decontamination
+    # path being timed (a probe-private label would leave t08 matching
+    # only the incidental src0 corpus slice)
+    from quacfka_spark.operators.text import T08_EVAL_SOURCE
+
+    sources[-n_eval:] = T08_EVAL_SOURCE
     for k in range(n_eval // 2):  # half the eval docs overlap the corpus
         texts[n_docs - 1 - k] = texts[2 * k]
     langs = np.array(["en", "zh", "es", "fr", "de"])[
