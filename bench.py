@@ -81,6 +81,7 @@ HEADLINE = [
     "x08_mix_resample",
     "t14_lm_perplexity",
     "d10_semdedup",
+    "d10x_semdedup_recall",
     "q45_grouping_sets",
     "t15_url_canonical_dedup",
 ]

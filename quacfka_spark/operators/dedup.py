@@ -1039,84 +1039,121 @@ def d09_chunk_freq_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # d10 — SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
 # cluster embeddings, then near-dup prune WITHIN each cluster only.
-_D10_K = 8  # coarse cells (deterministic: first-K vectors; sqrt(N)-ish in prod)
+# Multi-probe: each vector belongs to its top-_D10_PROBE trained cells
+# for PAIRING (multi-probe LSH's recall trick applied to the SemDeDup
+# blocking); the reported cell is the primary (nearest) one. Measured on
+# the fixtures (see d10x): K=16/probe=2 verifies ~25% of the all-pairs
+# work at 0.65-0.78 recall, vs 0.38-0.53 for single-probe K=8.
+_D10_K = 16     # coarse cells (trained, one Lloyd round; sqrt(N)-ish in prod)
+_D10_PROBE = 2  # cell memberships per vector for pairing
+_D10_DIM = 64   # fixture embedding dimensionality (FIXTURES.md)
+
+
+def _d10_assign_cte() -> str:
+    """Oracle CTE chain shared by d10 (per-vector flags) and d10x (recall
+    certification): trained cells via centroid_cte_sql, the 6dp-rounded
+    top-PROBE cell memberships, the primary assignment, and the
+    within-any-shared-cell dup set."""
+    from quacfka_spark.operators.similarity import centroid_cte_sql
+
+    return f"""
+    {centroid_cte_sql(_D10_K, _D10_DIM)},
+    d10_sims AS (
+      SELECT e.vec_id, e.ve, c.cid,
+             ROUND(list_cosine_similarity(e.ve, c.ce), 6) AS s
+      FROM tc_e e, cents c),
+    d10_member AS (
+      SELECT vec_id, ve, cid AS cell, rn FROM (
+        SELECT vec_id, ve, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        FROM d10_sims) t WHERE rn <= {_D10_PROBE}),
+    d10_prim AS (SELECT vec_id, ve, cell FROM d10_member WHERE rn = 1),
+    d10_dup AS (
+      SELECT DISTINCT a.vec_id
+      FROM d10_member a JOIN d10_member b
+        ON a.cell = b.cell AND b.vec_id < a.vec_id
+      WHERE list_cosine_similarity(a.ve, b.ve) >= {_D05_THRESHOLD})
+    """
 
 
 @query(
     "d10_semdedup",
     oracle=f"""
-    WITH cents AS (
-      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-      FROM embeddings WHERE vec_id < {_D10_K}),
-    sims AS (
-      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ve, c.cid,
-             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                          c.ce), 6) AS s
-      FROM embeddings e, cents c),
-    assign AS (
-      SELECT vec_id, ve, cid AS cell FROM (
-        SELECT vec_id, ve, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-        FROM sims) t WHERE rn = 1),
-    dup AS (
-      SELECT DISTINCT a.vec_id
-      FROM assign a JOIN assign b
-        ON a.cell = b.cell AND b.vec_id < a.vec_id
-      WHERE list_cosine_similarity(a.ve, b.ve) >= {_D05_THRESHOLD})
+    WITH {_d10_assign_cte()}
     SELECT a.vec_id, a.cell,
            CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS INTEGER)
              AS is_dup
-    FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
+    FROM d10_prim a LEFT JOIN d10_dup d ON d.vec_id = a.vec_id
     ORDER BY a.vec_id
     """,
-    doc="SemDeDup semantic dedup: assign every embedding to its nearest "
-    "coarse centroid (deterministic first-K stand-ins, sim04's IVF "
-    "assignment), then flag a vector as duplicate iff a LOWER-id member "
-    "of the SAME cell has cosine >= threshold — the cluster blocking "
-    "bounds the quadratic term to sum(cell^2) instead of N^2, exactly "
-    "the paper's trick. Cross-cell near-dups are unreported by design "
-    "(the recall/cost knob is K). One assignment shuffle (N rows, "
-    "map-side partial argmax) + one cell shuffle; the pairwise work "
-    "never leaves a bucket-local chunked numpy matmul.",
+    doc="SemDeDup semantic dedup over TRAINED cells with multi-probe "
+    "pairing: one deterministic Lloyd round (train_centroids — seed "
+    "first-K, refine to 6dp-rounded per-dimension means, the sim07 "
+    "codebook recipe) produces 16 coarse cells; every embedding joins "
+    "its top-2 cells for pairing (reported cell = nearest) and a vector "
+    "is duplicate iff a LOWER-id vector shares ANY of its cells with "
+    "cosine >= threshold — the cluster blocking bounds the quadratic "
+    "term to sum(cell^2) (~25% of N^2 here) instead of N^2, exactly the "
+    "paper's trick, and the probe-2 membership buys back most of the "
+    "cross-cell recall single-probe loses (0.65-0.78 vs 0.38-0.53, "
+    "MEASURED by the d10x_semdedup_recall key).",
 )
 def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale design (100 TB): centroids are K rows -> broadcast; the
-    assignment collapses N x K similarity rows map-side (partial max of
-    a (s, -cid, embedding) struct, the sim04 pattern) so the shuffle
-    moves N rows once on vec_id and once on cell. In production K grows
-    ~sqrt(N) (SemDeDup uses 50k clusters for LAION) keeping cells small;
-    the per-cell verify is chunked (_D07_CHUNK cosine-matrix rows at a
-    time) so task memory is O(cell x chunk), never O(cell^2)."""
+    """Scale design (100 TB): trained centroids are K rows -> broadcast
+    (training is one extra N-row pass); cell assignment is IN-ROW — the
+    K centroids pack into ONE broadcast array row and the top-PROBE
+    cells come from an in-row sort of the K similarities (the sim07
+    argmin pattern: no N x K row explosion, no assignment exchange at
+    all). The only shuffles are the (cell) exchange carrying N x PROBE
+    membership rows and the per-vector flag merge. In production K
+    grows ~sqrt(N) (SemDeDup uses 50k clusters for LAION) keeping cells
+    small; the per-cell verify is chunked (_D07_CHUNK cosine-matrix
+    rows at a time) so task memory is O(cell x chunk), never
+    O(cell^2). NULL embeddings are dropped pre-shuffle (same rule as
+    d07: they can never verify, and they'd make the per-cell matrix
+    ragged)."""
     import pandas as pd
 
     from quacfka_spark.functions.vector import cosine
+    from quacfka_spark.operators.similarity import (
+        _register_codebook,
+        train_centroids,
+    )
 
     t = load_views(spark, sf_dir)
-    e = t["embeddings"]
-    cents = e.filter(F.col("vec_id") < _D10_K).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    e = t["embeddings"].filter(F.col("embedding").isNotNull())
+    cents = train_centroids(e, _D10_K, dim=_D10_DIM).persist()
+    _register_codebook(f"d10:{sf_dir}", cents)
+    # ONE broadcast row holding all K (cid, ce) centroids, sorted by cid
+    packed = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cbs")
     )
-    sims = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cid",
-        F.round(cosine("embedding", "ce"), 6).alias("s"),
+    # in-row top-PROBE cells: similarity to every centroid as a struct
+    # (-s, cid) array, sorted ascending = s desc with cid tie-break
+    # (the oracle's ROW_NUMBER ORDER BY s DESC, cid), sliced to PROBE
+    top_cells = F.slice(
+        F.array_sort(
+            F.transform(
+                "cbs",
+                lambda c: F.struct(
+                    (-F.round(cosine(F.col("embedding"), c["ce"]), 6)).alias(
+                        "ns"
+                    ),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ),
+        1,
+        _D10_PROBE,
     )
-    assign = (
-        sims.groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("s").alias("s"),
-                    (-F.col("cid")).alias("nc"),
-                    F.col("embedding").alias("emb"),
-                )
-            ).alias("m")
-        )
+    member = (
+        e.crossJoin(F.broadcast(packed))
+        .select("vec_id", "embedding", top_cells.alias("top"))
         .select(
             "vec_id",
-            (-F.col("m.nc")).alias("cell"),
-            F.col("m.emb").alias("embedding"),
+            "embedding",
+            F.col("top")[0]["cid"].alias("prim"),
+            F.explode(F.transform("top", lambda s: s["cid"])).alias("cell"),
         )
     )
 
@@ -1124,7 +1161,7 @@ def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         ids = pdf["vec_id"].to_numpy()
-        cells = pdf["cell"].to_numpy()
+        prims = pdf["prim"].to_numpy()
         m = np.array(pdf["embedding"].tolist(), dtype="float64")
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         dup = np.zeros(len(ids), dtype=bool)
@@ -1134,11 +1171,137 @@ def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             hit = (cos >= _D05_THRESHOLD) & (ids[None, :] < ids[a:b, None])
             dup[a:b] = hit.any(axis=1)
         return pd.DataFrame(
-            {"vec_id": ids, "cell": cells, "is_dup": dup.astype("int32")}
+            {"vec_id": ids, "prim": prims, "is_dup": dup.astype("int32")}
         )
 
+    # a vector sits in PROBE cells -> PROBE flag rows; OR them and keep
+    # the primary cell for reporting (prim is functionally dependent on
+    # vec_id, so min == the value)
     return (
-        assign.groupBy("cell")
-        .applyInPandas(cell_dups, schema="vec_id bigint, cell bigint, is_dup int")
+        member.groupBy("cell")
+        .applyInPandas(cell_dups, schema="vec_id bigint, prim bigint, is_dup int")
+        .groupBy("vec_id")
+        .agg(
+            F.min("prim").alias("cell"),
+            F.max("is_dup").alias("is_dup"),
+        )
         .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# d10x — measured recall certification for d10's cell blocking (the d03x
+# pattern: a companion agreement key whose value-hash pins the measured
+# number). SemDeDup's cross-cell misses are the documented recall/cost
+# knob; this key MEASURES them against d05's exact pair set instead of
+# leaving the claim qualitative.
+# measured (K=16, probe=2): 0.647 / 0.687 / 0.778 at sf0.001/0.01/0.1 —
+# the gate sits just under the weakest fixture's value
+_D10X_RECALL_GATE = 0.60
+
+
+@query(
+    "d10x_semdedup_recall",
+    oracle=f"""
+    WITH {_d10_assign_cte()},
+    exact_pairs AS (
+      SELECT a.vec_id AS i, b.vec_id AS j
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[]))
+            >= {_D05_THRESHOLD}),
+    exact_dups AS (SELECT DISTINCT j AS vec_id FROM exact_pairs),
+    u AS (
+      SELECT vec_id, 1 AS in_exact, 0 AS in_d10 FROM exact_dups
+      UNION ALL
+      SELECT vec_id, 0 AS in_exact, 1 AS in_d10 FROM d10_dup),
+    per AS (
+      SELECT vec_id, MAX(in_exact) AS in_exact, MAX(in_d10) AS in_d10
+      FROM u GROUP BY vec_id),
+    agg AS (
+      SELECT CAST(COALESCE(SUM(in_exact), 0) AS BIGINT) AS n_exact,
+             CAST(COALESCE(SUM(in_d10), 0) AS BIGINT) AS n_d10,
+             CAST(COALESCE(SUM(in_exact * in_d10), 0) AS BIGINT) AS n_common
+      FROM per)
+    SELECT n_exact, n_d10, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / NULLIF(n_exact, 0), 4) AS recall,
+           CAST(CASE WHEN n_exact = 0
+                       OR n_common >= {_D10X_RECALL_GATE} * n_exact
+                     THEN 1 ELSE 0 END AS INTEGER) AS ok
+    FROM agg
+    """,
+    doc="Self-verifying recall measurement for d10's SemDeDup cell "
+    "blocking (the d03x agreement pattern): the exact duplicate set is "
+    "every vector with a LOWER-id exact-cosine neighbor >= threshold "
+    "(d05's pair semantics, keep-lowest), d10's set is its within-cell "
+    "subset by construction (precision is 1 — every within-cell hit is "
+    "a genuine pair), so the one number that can degrade is recall = "
+    "|d10 ∩ exact| / |exact|. Reported as counts + 4dp recall + a "
+    ">= 60% gate flag; the driver's value-hash certifies the MEASURED "
+    "recall, so a centroid/blocking regression that silently drops "
+    "recall flips the hash even while d10 itself stays self-consistent. "
+    "The recall/cost knob is K (more, smaller cells -> cheaper verify, "
+    "lower recall); production SemDeDup accepts exactly this trade "
+    "(arXiv:2303.09540 uses 50k cells on LAION).",
+)
+def d10x_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One union-with-marker aggregation (the d03x shape — each side's
+    pipeline evaluates once; no intersect-plus-distinct double
+    evaluation): d05's exact pairs reduce to the keep-lowest dup set,
+    d10's flags filter to its dup set, and a single group-by yields the
+    exact/d10/common counts. Exact all-pairs is inherently the oracle
+    baseline's cost (this is a certification key, run at fixture scale;
+    at 100 TB recall is spot-checked on a sampled stratum, same plan
+    with a sampling filter)."""
+    exact_dups = (
+        d05_embedding_cosine(spark, sf_dir)
+        .select(F.col("j").alias("vec_id"))
+        .distinct()
+        .select(
+            "vec_id", F.lit(1).alias("in_exact"), F.lit(0).alias("in_d10")
+        )
+    )
+    d10_dups = (
+        d10_semdedup(spark, sf_dir)
+        .filter(F.col("is_dup") == 1)
+        .select(
+            "vec_id", F.lit(0).alias("in_exact"), F.lit(1).alias("in_d10")
+        )
+    )
+    per = (
+        exact_dups.unionByName(d10_dups)
+        .groupBy("vec_id")
+        .agg(
+            F.max("in_exact").alias("in_exact"),
+            F.max("in_d10").alias("in_d10"),
+        )
+    )
+    agg = per.agg(
+        F.coalesce(F.sum("in_exact"), F.lit(0)).cast("long").alias("n_exact"),
+        F.coalesce(F.sum("in_d10"), F.lit(0)).cast("long").alias("n_d10"),
+        F.coalesce(F.sum(F.col("in_exact") * F.col("in_d10")), F.lit(0))
+        .cast("long")
+        .alias("n_common"),
+    )
+    recall = F.round(
+        F.try_divide(
+            F.col("n_common").cast("double"),
+            F.nullif(F.col("n_exact"), F.lit(0)).cast("double"),
+        ),
+        4,
+    )
+    ok = (
+        F.when(
+            (F.col("n_exact") == 0)
+            | (
+                F.col("n_common")
+                >= F.lit(_D10X_RECALL_GATE) * F.col("n_exact")
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    return agg.select(
+        "n_exact", "n_d10", "n_common", recall.alias("recall"), ok.alias("ok")
     )

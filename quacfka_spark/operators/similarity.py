@@ -167,23 +167,108 @@ def sim03_pandas_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-_IVF_K = 8       # coarse centroids (deterministic: the first K vectors)
+_IVF_K = 8       # coarse cells (seeded by the first K vectors, then trained)
 _IVF_PROBE = 2   # cells probed per query
+_DIM = 64        # fixture embedding dimensionality (FIXTURES.md)
+
+
+def train_centroids(e: DataFrame, k: int, dim: int = _DIM) -> DataFrame:
+    """One deterministic Lloyd round of spherical k-means — the shared
+    coarse-quantizer trainer for sim04 (IVF cells) and d10 (SemDeDup
+    cells), the same seed/refine/round recipe sim07 uses for its PQ
+    codebooks. Seeds are the first ``k`` vectors; every vector is
+    assigned to its nearest seed by cosine (6dp-rounded with a
+    smaller-cid tie-break, so the assignment is identical across
+    engines); each centroid is then refined to the per-dimension MEAN
+    of its assigned vectors, rounded to 6dp so the trained centroids
+    are bit-identical across engines despite order-nondeterministic
+    partial summation. Cosine is scale-invariant in the centroid, so
+    the plain mean ranks identically to the normalized spherical mean.
+    No cell can come out empty: each seed is its own nearest seed.
+
+    Returns (cid bigint, ce array<double>), ``k`` rows — a broadcast
+    dimension table. Cost shape: one broadcast crossJoin collapsed
+    map-side (the shuffle moves N rows once, not N x K) + one
+    (cell x dim)-wide aggregate; SQL-oracle-expressible, which is why
+    it is one round rather than to-convergence (each extra round is one
+    more N-row pass, same shapes)."""
+    e = e.filter(F.col("embedding").isNotNull())
+    seeds = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    sims0 = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.round(cosine("embedding", "ce"), 6).alias("s"),
+    )
+    assign0 = (
+        sims0.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("s").alias("s"),
+                    (-F.col("cid")).alias("nc"),
+                    F.col("embedding").alias("emb"),
+                )
+            ).alias("m")
+        )
+        .select((-F.col("m.nc")).alias("cell"), F.col("m.emb").alias("emb"))
+    )
+    return (
+        assign0.groupBy("cell")
+        .agg(
+            *[
+                F.round(
+                    F.avg(F.try_element_at("emb", F.lit(i + 1)).cast("double")), 6
+                ).alias(f"c{i}")
+                for i in range(dim)
+            ]
+        )
+        .select(
+            F.col("cell").alias("cid"),
+            F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("ce"),
+        )
+    )
+
+
+def centroid_cte_sql(k: int, dim: int, src: str = "embeddings") -> str:
+    """DuckDB CTE chain replicating ``train_centroids`` exactly (same
+    seed set, same 6dp-rounded assignment with cid tie-break, same
+    6dp-rounded per-dimension means) — composes into any oracle as
+    ``WITH {centroid_cte_sql(...)}, <rest>``. Exposes ``cents(cid, ce)``."""
+    return f"""
+    tc_e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+             FROM {src} WHERE embedding IS NOT NULL),
+    tc_seeds AS (SELECT vec_id AS cid, ve AS ce FROM tc_e WHERE vec_id < {k}),
+    tc_sims0 AS (
+      SELECT e.vec_id, e.ve, c.cid,
+             ROUND(list_cosine_similarity(e.ve, c.ce), 6) AS s
+      FROM tc_e e, tc_seeds c),
+    tc_assign0 AS (
+      SELECT vec_id, ve, cid AS cell FROM (
+        SELECT vec_id, ve, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        FROM tc_sims0) t WHERE rn = 1),
+    tc_cbx AS (
+      SELECT a.cell AS cid, t.i, ROUND(AVG(a.ve[t.i]), 6) AS c
+      FROM tc_assign0 a, range(1, {dim} + 1) t(i)
+      GROUP BY a.cell, t.i),
+    cents AS (SELECT cid, list(c ORDER BY i) AS ce FROM tc_cbx GROUP BY cid)
+    """
 
 
 @query(
     "sim04_ivf_topk",
     oracle=f"""
-    WITH cents AS (
-      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-      FROM embeddings WHERE vec_id < {_IVF_K}),
+    WITH {centroid_cte_sql(_IVF_K, _DIM)},
     sims AS (
-      SELECT e.vec_id, e.embedding, c.cid,
-             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce), 6) AS s
-      FROM embeddings e, cents c),
+      SELECT e.vec_id, e.ve, c.cid,
+             ROUND(list_cosine_similarity(e.ve, c.ce), 6) AS s
+      FROM tc_e e, cents c),
     assign AS (
-      SELECT vec_id, embedding, cid AS cell FROM (
-        SELECT vec_id, embedding, cid,
+      SELECT vec_id, ve, cid AS cell FROM (
+        SELECT vec_id, ve, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
         FROM sims) t WHERE rn = 1),
     probe AS (
@@ -192,32 +277,39 @@ _IVF_PROBE = 2   # cells probed per query
     q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
           FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})
     SELECT a.vec_id,
-           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.qv), 4) AS cos
+           ROUND(list_cosine_similarity(a.ve, q.qv), 4) AS cos
     FROM assign a JOIN probe p ON a.cell = p.cell, q
     WHERE a.vec_id <> {_QUERY_VEC_ID}
     ORDER BY cos DESC, vec_id LIMIT 10
     """,
-    doc="IVF-style ANN: assign every vector to its nearest of K coarse "
-    "centroids (deterministic: the first K vectors stand in for trained "
-    "k-means centers), probe the query's top-2 cells, exact cosine "
-    "within them. The survey's declared scale path alongside sign-LSH.",
+    doc="IVF-style ANN over TRAINED coarse cells: one deterministic "
+    "Lloyd round (seed: first K vectors; refine: 6dp-rounded "
+    "per-dimension means — train_centroids, the sim07 codebook recipe) "
+    "produces data-adaptive centroids; every vector is assigned to its "
+    "nearest trained cell, the query probes its top-2 cells, exact "
+    "cosine within them. The survey's declared scale path alongside "
+    "sign-LSH; the oracle replicates the training round exactly.",
 )
 def sim04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantization as pure DataFrame ops.
 
-    Scale design (100 TB): the centroid table is K rows -> broadcast;
-    the N x K similarity rows collapse map-side (partial max per vec_id
-    happens before the exchange, so the assignment shuffle moves N rows,
-    not N x K). At rest the cell id would be the partition key, making a
-    probe a partition-pruned scan of ~PROBE/K of the data -- the same
-    layout story as sim02's LSH bucket, with data-adaptive cells.
+    Scale design (100 TB): training is one extra N-row pass with the
+    same collapsed map-side argmax shape as assignment — the centroid
+    table stays K rows -> broadcast; the N x K similarity rows collapse
+    map-side (partial max per vec_id happens before the exchange, so
+    the assignment shuffle moves N rows, not N x K). The trained-cents
+    persist is bounded by the shared sf_dir-keyed LRU. At rest the cell
+    id would be the partition key, making a probe a partition-pruned
+    scan of ~PROBE/K of the data -- the same layout story as sim02's
+    LSH bucket, with trained data-adaptive cells.
     """
     t = load_views(spark, sf_dir)
-    e = t["embeddings"]
-    cents = (
-        e.filter(F.col("vec_id") < _IVF_K)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-    )
+    e = t["embeddings"].filter(F.col("embedding").isNotNull())
+    # persist the trained 8-row centroid table: it feeds BOTH the
+    # assignment and the probe (two consumers would otherwise re-run
+    # the training pass); bounded by the shared registry
+    cents = train_centroids(e, _IVF_K).persist()
+    _register_codebook(f"ivf:{sf_dir}", cents)
     sims = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
@@ -257,9 +349,6 @@ def sim04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-_DIM = 64  # fixture embedding dimensionality (FIXTURES.md)
-
-
 @query(
     "sim05_label_centroids",
     oracle="""

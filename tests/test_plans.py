@@ -167,11 +167,15 @@ def test_q27_cube_single_expand_single_shuffle(plans):
 
 
 def test_sim04_ivf_single_shuffle_broadcast_probe(plans):
-    """IVF ANN: the only Exchange is the argmax-assignment aggregation
-    (N rows after map-side partial); centroids, probe cells, and the
-    query vector all broadcast."""
+    """IVF ANN over trained cells: the data exchanges are exactly the
+    two training shuffles (vec_id argmax, cell refine — both collapsed
+    map-side) plus the N-row assignment argmax; centroids, probe cells,
+    and the query vector all broadcast, and nothing ever joins
+    merge-style."""
     p = plans("sim04_ivf_topk")
-    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    exchanges = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
+    keys = sorted(e.split("#")[0] for e in exchanges)
+    assert keys == ["cell", "vec_id", "vec_id"], exchanges
     assert "SortMergeJoin" not in p
     assert "partial_max" in p  # N x K collapses before the shuffle
 
@@ -481,11 +485,14 @@ def test_t11_single_scan_no_agg_exchange(plans):
 
 
 def test_d10_semdedup_partial_argmax_and_bounded_shuffles(plans):
-    """SemDeDup's scale posture: centroids broadcast (the tiny
-    intentional K-row cross join), the N x K assignment collapses
-    MAP-SIDE (partial_max below the vec_id exchange), and the only
-    other data shuffle keys on cell for the bucket-local pandas verify
-    — no candidate-pair materialization, no all-pairs join anywhere."""
+    """SemDeDup's scale posture: trained centroids broadcast (the tiny
+    intentional K-row cross join), training's N x K argmax collapses
+    MAP-SIDE (partial_max below its vec_id exchange) and its refine
+    keys on cell; the multi-probe assignment itself is IN-ROW (packed
+    centroid array, no assignment exchange at all), so the only other
+    data shuffles are the (cell) exchange feeding the bucket-local
+    pandas verify and the per-vector flag merge — no candidate-pair
+    materialization, no all-pairs join anywhere."""
     p = plans("d10_semdedup")
     # partial argmax runs below the exchange (map-side combine)
     assert "partial_max" in p, p[:800]
@@ -493,7 +500,7 @@ def test_d10_semdedup_partial_argmax_and_bounded_shuffles(plans):
 
     exchanges = _re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
     keys = [e.split("#")[0] for e in exchanges]
-    assert sorted(keys) == ["cell", "vec_id"], exchanges
+    assert sorted(keys) == ["cell", "cell", "vec_id", "vec_id"], exchanges
     # the pairwise work is grouped-pandas, never a row-at-a-time UDF
     assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsIn" in p, p[:800]
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p

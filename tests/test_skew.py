@@ -104,23 +104,26 @@ def test_d07_degenerate_bucket_chunked_verify(spark, tmp_path):
 
 def test_d10_semdedup_ground_truth(spark, tmp_path, monkeypatch):
     """Exact numpy ground truth for d10 (guards against impl and oracle
-    drifting together): deterministic vectors -> hand-compute the
-    nearest-centroid assignment (rounded at 6, smaller-cid tie-break,
-    same as the operator) and the lower-id-in-same-cell dup rule, and
+    drifting together): deterministic vectors -> hand-compute the ONE
+    Lloyd training round (6dp-rounded seed assignment with smaller-cid
+    tie-break, 6dp-rounded per-dimension means), the top-PROBE trained
+    cell memberships, and the lower-id-in-any-shared-cell dup rule, and
     require the distributed result to match both columns exactly. The
-    chunk size is shrunk below the ~145-240-row cells so cell_dups'
-    chunk loop genuinely runs several iterations per cell (chunk-
-    boundary indexing is on the tested path, not just the claim)."""
+    chunk size is shrunk below the cell sizes so cell_dups' chunk loop
+    genuinely runs several iterations per cell (chunk-boundary indexing
+    is on the tested path, not just the claim)."""
     import numpy as np
 
     import quacfka_spark.operators.dedup as dd
     from quacfka_spark.operators.dedup import (
         _D05_THRESHOLD,
         _D10_K,
+        _D10_PROBE,
         d10_semdedup,
     )
 
     monkeypatch.setattr(dd, "_D07_CHUNK", 64)
+    monkeypatch.setattr(dd, "_D10_DIM", 8)  # fixture vectors are dim 8
 
     rng = np.random.default_rng(11)
     n, dim = 1500, 8
@@ -144,16 +147,31 @@ def test_d10_semdedup_ground_truth(spark, tmp_path, monkeypatch):
            d10_semdedup(spark, d).collect()}
 
     m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-    cents = m[:_D10_K]
-    s = np.round(m @ cents.T, 6)
-    # argmax with smaller-cid tie-break = first max index
-    cells = s.argmax(axis=1)
+    # one Lloyd round, exactly as train_centroids: 6dp-rounded seed
+    # assignment (smaller-cid tie-break = argmax first index), then
+    # 6dp-rounded per-dimension means of the RAW assigned vectors
+    seeds = m[:_D10_K]
+    s0 = np.round(m @ seeds.T, 6)
+    cells0 = s0.argmax(axis=1)
+    cents = np.stack(
+        [np.round(vecs[cells0 == c].mean(axis=0), 6) for c in range(_D10_K)]
+    )
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    s = np.round(m @ cn.T, 6)
+    # top-PROBE cells per vector ordered by (s desc, cid asc):
+    # lexsort on (cid, -s) -> stable ascending cid within equal -s
+    order = np.lexsort((np.tile(np.arange(_D10_K), (n, 1)), -s), axis=1)
+    member = order[:, :_D10_PROBE]
+    prim = member[:, 0]
     dup = np.zeros(n, dtype=bool)
+    msets = [set(r) for r in member]
     for i in range(n):
-        same = (cells == cells[i]) & (np.arange(n) < i)
-        if same.any():
-            dup[i] = bool(((m[same] @ m[i]) >= _D05_THRESHOLD).any())
+        shared = np.array(
+            [j < i and not msets[i].isdisjoint(msets[j]) for j in range(n)]
+        )
+        if shared.any():
+            dup[i] = bool(((m[shared] @ m[i]) >= _D05_THRESHOLD).any())
     assert len(got) == n
     mism = [i for i in range(n)
-            if got[i] != (int(cells[i]), int(dup[i]))]
+            if got[i] != (int(prim[i]), int(dup[i]))]
     assert not mism, mism[:10]
