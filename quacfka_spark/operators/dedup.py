@@ -666,7 +666,9 @@ def d07_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cosine_lsh_pairs(spark, sf_dir).orderBy("i", "j")
 
 
-def _cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cosine_lsh_pairs(
+    spark: SparkSession, sf_dir: str, salt_buckets: int = 1
+) -> DataFrame:
     """Unordered verified near-dup pairs (i, j, cos) — shared by d07
     (reported pairs) and d08 (keep-list clustering).
 
@@ -687,12 +689,24 @@ def _cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairs colliding in several buckets are deduplicated with the
     min-band trick instead of a DISTINCT: the full signature array rides
     along, and a pair is emitted only by the FIRST band on which its
-    signatures agree — no second shuffle anywhere. Degenerate buckets
-    (a signature shared by a large fraction of the corpus) are the
-    classic LSH skew risk and the single-task ceiling here; the
-    production mitigations are more bits per band (smaller buckets) or
-    salting the bucket key and unioning the salt-crossing band, neither
-    needed at test scale.
+    signatures agree — no second shuffle anywhere.
+
+    Degenerate buckets (a signature shared by a large fraction of the
+    corpus) are the classic LSH skew risk and the single-task ceiling:
+    a bucket holding p·N vectors does (p·N)^2 cosine work in ONE task
+    while every other task idles. ``salt_buckets=S`` is the production
+    mitigation: each vector draws a deterministic salt (xxhash64 of its
+    id mod S) and replicates to the S salt-PAIR sub-buckets it
+    participates in — the d05 triangle decomposition applied inside a
+    bucket. Every unordered pair lives in exactly ONE (band, sig,
+    pa<=pb) sub-bucket (its two salts are fixed), so the pair set and
+    the min-band dedup are IDENTICAL to the unsalted plan (engine test
+    asserts set equality) while the per-task cosine work drops to
+    ~(bucket/S)^2 and the S(S+1)/2 sub-tasks spread across the
+    cluster. Cost: each banded row is exchanged S times instead of
+    once — pay it when a corpus is known to produce dominant
+    signatures (the scale probe's clustered generator is exactly such
+    a corpus), keep S=1 otherwise.
     """
     import pandas as pd
 
@@ -772,9 +786,107 @@ def _cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.concat(out) if out else empty
 
+    if salt_buckets <= 1:
+        return (
+            bands.groupBy("band", "sig")
+            .applyInPandas(bucket_verify, schema="i bigint, j bigint, cos double")
+            .select("i", "j", F.round("cos", 4).alias("cos"))
+        )
+
+    # Salted plan: triangle decomposition inside each (band, sig) bucket
+    # (see docstring). Deterministic salt -> every unordered pair lands
+    # in exactly one (pa <= pb) sub-bucket; no cross-sub-bucket dedup
+    # pass is ever needed.
+    S = int(salt_buckets)
+    pair_structs = [
+        F.struct(
+            F.least(F.col("slt"), F.lit(y)).alias("pa"),
+            F.greatest(F.col("slt"), F.lit(y)).alias("pb"),
+        )
+        for y in range(S)
+    ]
+    rep = (
+        bands.withColumn("slt", F.pmod(F.xxhash64("vec_id"), F.lit(S)))
+        .select(
+            "vec_id", "embedding", "sigs", "band", "sig", "slt",
+            F.explode(F.array(*pair_structs)).alias("p"),
+        )
+        .select(
+            "vec_id", "embedding", "sigs", "band", "sig", "slt",
+            F.col("p.pa"), F.col("p.pb"),
+        )
+    )
+
+    def bucket_verify_salted(key, pdf):
+        import numpy as np
+
+        band, _sig, pa, pb = key
+        empty = pd.DataFrame({"i": pd.Series(dtype="int64"),
+                              "j": pd.Series(dtype="int64"),
+                              "cos": pd.Series(dtype="float64")})
+
+        def prep(sub):
+            ids = sub["vec_id"].to_numpy()
+            mat = np.array(sub["embedding"].tolist(), dtype="float64")
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sigm = np.array(sub["sigs"].tolist()) if band > 0 else None
+            return ids, mat, sigm
+
+        out = []
+        if pa == pb:
+            # diagonal sub-bucket: the unsalted self-verify over the
+            # pa-salt members (they carry exactly one (pa, pa) struct)
+            if len(pdf) < 2:
+                return empty
+            ids, mat, sigm = prep(pdf)
+            for lo in range(0, len(ids), _D07_CHUNK):
+                hi = min(lo + _D07_CHUNK, len(ids))
+                with np.errstate(invalid="ignore"):
+                    cos = mat[lo:hi] @ mat.T
+                    keep = cos >= _D05_THRESHOLD
+                keep &= ids[lo:hi, None] < ids[None, :]
+                ii, jj = np.nonzero(keep)
+                if band > 0 and len(ii):
+                    eq = sigm[lo + ii, :] == sigm[jj, :]
+                    first = eq.argmax(axis=1) == band
+                    ii, jj = ii[first], jj[first]
+                if len(ii):
+                    out.append(pd.DataFrame(
+                        {"i": ids[lo + ii], "j": ids[jj], "cos": cos[ii, jj]}
+                    ))
+        else:
+            # off-diagonal: cross pairs between the two salt groups
+            # (disjoint by construction, so no i<j mask — orient by id)
+            x, y = pdf[pdf["slt"] == pa], pdf[pdf["slt"] == pb]
+            if len(x) == 0 or len(y) == 0:
+                return empty
+            ids_x, mx, sgx = prep(x)
+            ids_y, my, sgy = prep(y)
+            for lo in range(0, len(ids_x), _D07_CHUNK):
+                hi = min(lo + _D07_CHUNK, len(ids_x))
+                with np.errstate(invalid="ignore"):
+                    cos = mx[lo:hi] @ my.T
+                    keep = cos >= _D05_THRESHOLD
+                ii, jj = np.nonzero(keep)
+                if band > 0 and len(ii):
+                    eq = sgx[lo + ii, :] == sgy[jj, :]
+                    first = eq.argmax(axis=1) == band
+                    ii, jj = ii[first], jj[first]
+                if len(ii):
+                    u, v = ids_x[lo + ii], ids_y[jj]
+                    out.append(pd.DataFrame(
+                        {"i": np.minimum(u, v),
+                         "j": np.maximum(u, v),
+                         "cos": cos[ii, jj]}
+                    ))
+        return pd.concat(out) if out else empty
+
     return (
-        bands.groupBy("band", "sig")
-        .applyInPandas(bucket_verify, schema="i bigint, j bigint, cos double")
+        rep.groupBy("band", "sig", "pa", "pb")
+        .applyInPandas(
+            bucket_verify_salted, schema="i bigint, j bigint, cos double"
+        )
         .select("i", "j", F.round("cos", 4).alias("cos"))
     )
 

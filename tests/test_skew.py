@@ -175,3 +175,67 @@ def test_d10_semdedup_ground_truth(spark, tmp_path, monkeypatch):
     mism = [i for i in range(n)
             if got[i] != (int(prim[i]), int(dup[i]))]
     assert not mism, mism[:10]
+
+
+def test_d07_salt_buckets_same_pairs_and_balanced_work(spark, tmp_path):
+    """The d07 degenerate-bucket mitigation: a corpus where ~90% of
+    vectors share every band signature (positive leading 16 dims) puts
+    ~all verify work in ONE task unsalted. With salt_buckets=S the pair
+    set must be IDENTICAL (every unordered pair lives in exactly one
+    salt-pair sub-bucket, so the min-band dedup is undisturbed) while
+    the dominant bucket's work spreads over S(S+1)/2 sub-tasks with no
+    sub-task above ~2x the mean."""
+    import os
+
+    import numpy as np
+
+    from quacfka_spark.operators.dedup import _cosine_lsh_pairs
+
+    rng = np.random.default_rng(7)
+    n, dim = 600, 64
+    vecs = rng.normal(size=(n, dim))
+    # dominant signature: 90% of vectors positive in the 16 band dims
+    hot = rng.random(n) < 0.9
+    vecs[hot, :16] = np.abs(vecs[hot, :16])
+    # genuine near-dups inside the hot mass so the pair set is non-empty
+    vecs[50:100] = vecs[:50] + 0.05 * rng.normal(size=(50, dim))
+    d = str(tmp_path / "skewlsh")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+    import tests.conftest as cf
+
+    for name in ["region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents"]:
+        os.symlink(f"{cf.SMOKE_DIR}/{name}.parquet", f"{d}/{name}.parquet")
+
+    S = 4
+    unsalted = {(r["i"], r["j"], r["cos"])
+                for r in _cosine_lsh_pairs(spark, d).collect()}
+    salted = {(r["i"], r["j"], r["cos"])
+              for r in _cosine_lsh_pairs(spark, d, salt_buckets=S).collect()}
+    assert unsalted, "fixture produced no pairs — test is vacuous"
+    assert salted == unsalted
+
+    # Work balance in the dominant bucket, using the operator's OWN salt
+    # values (xxhash64 % S via Spark — not reimplemented in python):
+    salts = {
+        r["vec_id"]: r["s"]
+        for r in spark.range(0, n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(S)).alias("s"),
+        )
+        .collect()
+    }
+    hot_ids = [i for i in range(n) if hot[i]]
+    c = np.bincount([salts[i] for i in hot_ids], minlength=S).astype(float)
+    work = [c[a] * (c[a] - 1) / 2 if a == b else c[a] * c[b]
+            for a in range(S) for b in range(a, S)]
+    total = len(hot_ids) * (len(hot_ids) - 1) / 2
+    assert abs(sum(work) - total) < 1e-6  # decomposition covers all pairs
+    assert max(work) <= 2.0 * (sum(work) / len(work)), work
+    # and the single-task ceiling actually dropped by ~S(S+1)/2
+    assert max(work) <= total / 3
