@@ -318,17 +318,154 @@ def run_streaming_ingest_bench(
     }
 
 
+def run_sustained_streaming_bench(
+    spark: SparkSession,
+    rows_per_epoch: int = 500_000,
+    epochs: int = 8,
+    work_dir: str = "/tmp/quacfka_spark_ingest_sustained",
+    rotate_mb: float = 64.0,
+) -> dict:
+    """Opt-in SUSTAINED orchestrator run — the multi-epoch shape of the
+    reference's published benchmark (9 rotated .db files over 5 minutes,
+    /root/reference/README.md:170): ``epochs`` micro-batches through the
+    full StreamingPipeline with size-based rotation (D15) engaged,
+    reporting PER-EPOCH total-row rates, a flatness verdict (does
+    steady-state throughput hold within 20% of the post-warmup median
+    epoch-to-epoch?), and the completed-path feed shape (exactly one
+    published path per table x epoch, D20).
+
+    Epoch durations come from the engine's own StreamingQueryProgress
+    (triggerExecution ms per batch); per-epoch row counts come from
+    PipelineMetrics.epoch_rows(). Epoch 0 is excluded from the flatness
+    check — it pays plan compilation + JIT and, with rotate_mb set,
+    writes uncapped to learn bytes/record (documented D15 behavior).
+    """
+    import json as _json
+
+    from quacfka_spark.plans.normalizer import NormalizerSpec
+    from quacfka_spark.streaming import PipelineConfig, StreamingPipeline
+
+    cores = spark.sparkContext.defaultParallelism
+    src = os.path.join(work_dir, "src")
+    out = os.path.join(work_dir, "out")
+    shutil.rmtree(work_dir, ignore_errors=True)
+    fmt, encode, decode = _codec(spark)
+    mb = _gen_bytes(spark, rows_per_epoch * epochs, src, cores * epochs, encode)
+
+    # warm the decode hot path (see run_ingest_bench) so epoch 0 doesn't
+    # fold whole-pipeline JIT into the flatness baseline
+    warm = decode(spark.read.parquet(src).limit(50_000)).select("r.*")
+    for _ in range(3):
+        warm.write.format("noop").mode("overwrite").save()
+
+    source = (
+        spark.readStream.schema("value binary")
+        .option("maxFilesPerTrigger", str(cores))
+        .parquet(src)
+    )
+    pipe = StreamingPipeline(
+        spark,
+        source,
+        PipelineConfig(
+            output_dir=out,
+            dest_table="messages",
+            available_now=True,
+            rotate_mb=rotate_mb,
+        ),
+        decode=decode,
+        normalizer=NormalizerSpec(
+            fields=["r.site.id", "r.user_id", "r.amount", "r.deals.id", "r.deals.kind"],
+            aliases=["site", "user_id", "amount", "deal_id", "deal_kind"],
+        ),
+    )
+    t0 = time.perf_counter()
+    q = pipe.start()
+    q.awaitTermination()
+    elapsed = time.perf_counter() - t0
+
+    # engine-reported per-batch durations (dicts in pyspark's API)
+    durs: dict[int, float] = {}
+    for p in q.recentProgress:
+        prog = p if isinstance(p, dict) else _json.loads(p.json)
+        durs[int(prog["batchId"])] = (
+            float(prog["durationMs"]["triggerExecution"]) / 1000.0
+        )
+    rows = pipe.metrics.epoch_rows()
+    per_epoch = []
+    for e in sorted(rows):
+        consumed, raw, norm, custom = rows[e]
+        total = raw + norm + custom
+        sec = durs.get(e)
+        per_epoch.append(
+            {
+                "epoch": e,
+                "rows_total": total,
+                "seconds": round(sec, 3) if sec else None,
+                "rows_per_second": round(total / sec, 2) if sec else None,
+            }
+        )
+    steady = [p["rows_per_second"] for p in per_epoch[1:] if p["rows_per_second"]]
+    med = sorted(steady)[len(steady) // 2] if steady else 0.0
+    # strict verdict + outlier count: the host VM shows documented
+    # multi-second stalls (see run_ingest_bench), so a single stalled
+    # epoch is reported as an outlier rather than silently averaged away
+    within = [abs(r - med) <= 0.20 * med for r in steady]
+    flat = bool(steady) and all(within)
+    n_outliers = len(within) - sum(within)
+
+    # D20 feed shape: exactly one published path per table x epoch
+    tables = {"messages", "messages_norm"}
+    want_paths = len(tables) * len(rows)
+    paths_ok = (
+        len(pipe.completed_paths) == want_paths
+        and len(set(pipe.completed_paths)) == want_paths
+    )
+    rep = pipe.metrics.report()
+    total = rep["records_inserted"] + rep["norm_records_inserted"]
+    shutil.rmtree(work_dir, ignore_errors=True)
+    return {
+        "epochs": len(rows),
+        "rotate_mb": rotate_mb,
+        "records_consumed": rep["records_consumed"],
+        "records_inserted": rep["records_inserted"],
+        "norm_records_inserted": rep["norm_records_inserted"],
+        "duration_seconds": round(elapsed, 3),
+        "total_rows_per_second": round(total / elapsed, 2),
+        "mb_per_second": round(mb / elapsed, 2),
+        "per_epoch": per_epoch,
+        "steady_median_rows_per_second": med,
+        "flat_within_20pct": flat,
+        "steady_outlier_epochs": n_outliers,
+        "completed_paths": len(pipe.completed_paths),
+        "completed_paths_ok": paths_ok,
+        "cores": cores,
+        "decode": fmt,
+    }
+
+
 def main() -> None:
     """CLI: print one JSON line with both ingest reports. bench.py runs
     this in a SUBPROCESS so the ingest pipeline owns a fresh JVM — query
     jobs and ingest jobs measurably degrade each other's session (JIT/
-    GC aging), and the reference's run likewise owned its process."""
+    GC aging), and the reference's run likewise owned its process.
+    ``--sustained`` instead runs ONLY the opt-in multi-epoch
+    orchestrator benchmark (see run_sustained_streaming_bench)."""
     import json
     import sys
 
     from quacfka_spark.session import get_spark
 
     spark = get_spark("quacfka-spark-ingest-bench")
+    if "--sustained" in sys.argv:
+        rows = int(os.environ.get("SPARK_GRAFT_SUSTAINED_ROWS", "500000"))
+        epochs = int(os.environ.get("SPARK_GRAFT_SUSTAINED_EPOCHS", "8"))
+        out = {"ingest_sustained": run_sustained_streaming_bench(
+            spark, rows_per_epoch=rows, epochs=epochs
+        )}
+        json.dump(out, sys.stdout)
+        print()
+        spark.stop()
+        return
     deadline = time.monotonic() + BUDGET_S
     out: dict = {}
     try:

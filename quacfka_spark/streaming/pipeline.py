@@ -145,6 +145,15 @@ class PipelineMetrics:
     def report_json(self) -> str:
         return json.dumps(self.report())
 
+    def epoch_rows(self) -> "dict[int, tuple[int, int, int, int]]":
+        """Per-epoch (consumed, raw, norm, custom) counts for the epochs
+        still inside the bounded replay window — the per-epoch half of
+        the sustained-run report (durations come from the engine's own
+        StreamingQueryProgress; joining the two gives per-epoch rates
+        without any extra instrumentation in the hot path)."""
+        with self._lock:
+            return dict(self._recent)
+
 
 @dataclass
 class SQLRunner:
