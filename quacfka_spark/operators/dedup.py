@@ -1233,8 +1233,14 @@ def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_views(spark, sf_dir)
-    e = t["embeddings"].filter(F.col("embedding").isNotNull())
-    cents = train_centroids(e, _D10_K, dim=_D10_DIM).persist()
+    # conditional fan-out: the in-row top-PROBE assignment runs K
+    # interpreted cosine folds per row — a single-file scan would do
+    # all of them in ONE task (the t08 trap; spread skips the exchange
+    # on already-parallel scans)
+    e = spread_for_cpu(
+        t["embeddings"].filter(F.col("embedding").isNotNull())
+    )
+    cents = train_centroids(e, _D10_K, dim=_D10_DIM, spread=False).persist()
     _register_codebook(f"d10:{sf_dir}", cents)
     # ONE broadcast row holding all K (cid, ce) centroids, sorted by cid
     packed = cents.agg(

@@ -65,7 +65,13 @@ def _duckdb_sign_bucket(col: str, bits: int) -> str:
 def sim01_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_views(spark, sf_dir)
     q = _query_row(t)
-    e = t["embeddings"].filter(F.col("vec_id") != _QUERY_VEC_ID)
+    # conditional fan-out: the per-row cosine fold is an interpreted
+    # higher-order function, so a single-file fixture would score the
+    # whole corpus in ONE task (spread skips the exchange when the scan
+    # is already parallel — at scale this stays a shuffle-free scan)
+    e = spread_for_cpu(
+        t["embeddings"].filter(F.col("vec_id") != _QUERY_VEC_ID)
+    )
     return (
         e.crossJoin(F.broadcast(q))
         .select("vec_id", F.round(cosine("embedding", "q"), 4).alias("cos"))
@@ -172,7 +178,9 @@ _IVF_PROBE = 2   # cells probed per query
 _DIM = 64        # fixture embedding dimensionality (FIXTURES.md)
 
 
-def train_centroids(e: DataFrame, k: int, dim: int = _DIM) -> DataFrame:
+def train_centroids(
+    e: DataFrame, k: int, dim: int = _DIM, spread: bool = True
+) -> DataFrame:
     """One deterministic Lloyd round of spherical k-means — the shared
     coarse-quantizer trainer for sim04 (IVF cells) and d10 (SemDeDup
     cells), the same seed/refine/round recipe sim07 uses for its PQ
@@ -191,8 +199,16 @@ def train_centroids(e: DataFrame, k: int, dim: int = _DIM) -> DataFrame:
     map-side (the shuffle moves N rows once, not N x K) + one
     (cell x dim)-wide aggregate; SQL-oracle-expressible, which is why
     it is one round rather than to-convergence (each extra round is one
-    more N-row pass, same shapes)."""
+    more N-row pass, same shapes). The N x K cosine folds are
+    interpreted higher-order functions, so the input is conditionally
+    fanned out first (spread_for_cpu — a single-file fixture would
+    otherwise run every fold in ONE task, the t08 trap; an
+    already-parallel scan skips the exchange). Callers that already
+    fanned out their input pass ``spread=False`` so the corpus isn't
+    exchanged twice."""
     e = e.filter(F.col("embedding").isNotNull())
+    if spread:
+        e = spread_for_cpu(e)
     seeds = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
@@ -304,11 +320,13 @@ def sim04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH bucket, with trained data-adaptive cells.
     """
     t = load_views(spark, sf_dir)
-    e = t["embeddings"].filter(F.col("embedding").isNotNull())
+    # conditional fan-out for the N x K interpreted cosine folds (the
+    # t08 single-task trap on single-file fixtures; see train_centroids)
+    e = spread_for_cpu(t["embeddings"].filter(F.col("embedding").isNotNull()))
     # persist the trained 8-row centroid table: it feeds BOTH the
     # assignment and the probe (two consumers would otherwise re-run
     # the training pass); bounded by the shared registry
-    cents = train_centroids(e, _IVF_K).persist()
+    cents = train_centroids(e, _IVF_K, spread=False).persist()
     _register_codebook(f"ivf:{sf_dir}", cents)
     sims = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
@@ -433,7 +451,9 @@ def sim06_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrows = e.filter(F.col("vec_id") < _MQ_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    corpus = e.filter(F.col("vec_id") >= _MQ_QUERIES)
+    # conditional fan-out: K interpreted cosine folds per corpus row
+    # (see sim01); WindowGroupLimit still bounds the shuffle after it
+    corpus = spread_for_cpu(e.filter(F.col("vec_id") >= _MQ_QUERIES))
     scored = (
         corpus.join(F.broadcast(qrows))
         .select("qid", "vec_id", cosine("embedding", "qv").alias("c"))

@@ -52,6 +52,9 @@ OPS = [
     "sim04_ivf_topk",
     "x08_mix_resample",
     "t15_url_canonical_dedup",
+    "d09_chunk_freq_dedup",
+    "t12_sequence_pack",
+    "m05_binary_piecewise_dedup",
 ]
 
 
@@ -155,10 +158,11 @@ def main() -> None:
 
     qs = get_queries()
     results: dict[str, dict] = {}
-    for name in OPS:
+
+    def time_one(name, fn):
         t0 = time.perf_counter()
         try:
-            df = qs[name](spark, args.dir)
+            df = fn(spark, args.dir)
             # noop sink materializes every output column exactly once;
             # the row count rides on the same job via an Observation so
             # the timing window holds ONE execution, not write + count
@@ -176,6 +180,19 @@ def main() -> None:
         except Exception as e:  # keep probing the rest
             results[name] = {"error": str(e)[:200]}
         print(f"# {name}: {results[name]}", file=sys.stderr)
+
+    for name in OPS:
+        time_one(name, qs[name])
+
+    # d07 with the degenerate-bucket salting engaged (salt_buckets=4) on
+    # the same clustered corpus: same pair set, S(S+1)/2-way sub-bucket
+    # spread — the measured cost of the skew mitigation at probe scale
+    from quacfka_spark.operators.dedup import _cosine_lsh_pairs
+
+    time_one(
+        "d07_salted4",
+        lambda s, d: _cosine_lsh_pairs(s, d, salt_buckets=4),
+    )
 
     report = {
         "metric": "scale_probe_wall_time",
