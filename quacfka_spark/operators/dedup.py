@@ -1226,9 +1226,10 @@ def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ragged)."""
     import pandas as pd
 
-    from quacfka_spark.functions.vector import cosine
     from quacfka_spark.operators.similarity import (
         _register_codebook,
+        pack_centroids,
+        top_cells,
         train_centroids,
     )
 
@@ -1242,31 +1243,19 @@ def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = train_centroids(e, _D10_K, dim=_D10_DIM, spread=False).persist()
     _register_codebook(f"d10:{sf_dir}", cents)
-    # ONE broadcast row holding all K (cid, ce) centroids, sorted by cid
-    packed = cents.agg(
-        F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cbs")
-    )
-    # in-row top-PROBE cells: similarity to every centroid as a struct
-    # (-s, cid) array, sorted ascending = s desc with cid tie-break
-    # (the oracle's ROW_NUMBER ORDER BY s DESC, cid), sliced to PROBE
-    top_cells = F.slice(
-        F.array_sort(
-            F.transform(
-                "cbs",
-                lambda c: F.struct(
-                    (-F.round(cosine(F.col("embedding"), c["ce"]), 6)).alias(
-                        "ns"
-                    ),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        ),
-        1,
-        _D10_PROBE,
-    )
+    # in-row top-PROBE cell memberships over the packed broadcast
+    # centroid row (shared pack_centroids/top_cells helpers — the
+    # oracle's ROW_NUMBER ORDER BY s DESC, cid, with no N x K explosion
+    # and no assignment exchange)
     member = (
-        e.crossJoin(F.broadcast(packed))
-        .select("vec_id", "embedding", top_cells.alias("top"))
+        e.crossJoin(F.broadcast(pack_centroids(cents)))
+        .select(
+            "vec_id",
+            "embedding",
+            top_cells(F.col("embedding"), F.col("cbs"), _D10_PROBE).alias(
+                "top"
+            ),
+        )
         .select(
             "vec_id",
             "embedding",

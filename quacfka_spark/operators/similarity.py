@@ -178,6 +178,37 @@ _IVF_PROBE = 2   # cells probed per query
 _DIM = 64        # fixture embedding dimensionality (FIXTURES.md)
 
 
+def pack_centroids(cb_df: DataFrame) -> DataFrame:
+    """ONE broadcast row holding every (cid, ce) centroid, sorted by cid
+    — the carrier for in-row assignment (no N x K row explosion, no
+    argmax exchange; the sim07 packed-codebook pattern shared by
+    train_centroids, sim04, and d10)."""
+    return cb_df.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cbs")
+    )
+
+
+def top_cells(embedding, cbs, n: int):
+    """In-row top-``n`` cells by cosine against a packed centroid array:
+    struct (-rounded-similarity, cid) sorted ascending = similarity
+    descending with smaller-cid tie-break — exactly the oracle's
+    ROW_NUMBER OVER (ORDER BY s DESC, cid) <= n, with zero join fan-out
+    and zero exchange."""
+    return F.slice(
+        F.array_sort(
+            F.transform(
+                cbs,
+                lambda c: F.struct(
+                    (-F.round(cosine(embedding, c["ce"]), 6)).alias("ns"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ),
+        1,
+        n,
+    )
+
+
 def train_centroids(
     e: DataFrame, k: int, dim: int = _DIM, spread: bool = True
 ) -> DataFrame:
@@ -195,41 +226,29 @@ def train_centroids(
     No cell can come out empty: each seed is its own nearest seed.
 
     Returns (cid bigint, ce array<double>), ``k`` rows — a broadcast
-    dimension table. Cost shape: one broadcast crossJoin collapsed
-    map-side (the shuffle moves N rows once, not N x K) + one
-    (cell x dim)-wide aggregate; SQL-oracle-expressible, which is why
-    it is one round rather than to-convergence (each extra round is one
-    more N-row pass, same shapes). The N x K cosine folds are
-    interpreted higher-order functions, so the input is conditionally
-    fanned out first (spread_for_cpu — a single-file fixture would
-    otherwise run every fold in ONE task, the t08 trap; an
-    already-parallel scan skips the exchange). Callers that already
-    fanned out their input pass ``spread=False`` so the corpus isn't
-    exchanged twice."""
+    dimension table. Cost shape: the seed assignment is IN-ROW over the
+    packed broadcast seed array (no N x K explosion, no argmax
+    exchange), so the whole round's only shuffle is the (cell x dim)
+    refine aggregate; SQL-oracle-expressible, which is why it is one
+    round rather than to-convergence (each extra round is one more
+    N-row pass, same shapes). The N x K cosine folds are interpreted
+    higher-order functions, so the input is conditionally fanned out
+    first (spread_for_cpu — a single-file fixture would otherwise run
+    every fold in ONE task, the t08 trap; an already-parallel scan
+    skips the exchange). Callers that already fanned out their input
+    pass ``spread=False`` so the corpus isn't exchanged twice."""
     e = e.filter(F.col("embedding").isNotNull())
     if spread:
         e = spread_for_cpu(e)
     seeds = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
-    sims0 = e.crossJoin(F.broadcast(seeds)).select(
-        "vec_id",
-        "embedding",
-        "cid",
-        F.round(cosine("embedding", "ce"), 6).alias("s"),
-    )
-    assign0 = (
-        sims0.groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("s").alias("s"),
-                    (-F.col("cid")).alias("nc"),
-                    F.col("embedding").alias("emb"),
-                )
-            ).alias("m")
-        )
-        .select((-F.col("m.nc")).alias("cell"), F.col("m.emb").alias("emb"))
+    # in-row seed assignment over the packed seed array: no N x K row
+    # explosion and no argmax exchange — the refine aggregate below is
+    # the training round's ONLY shuffle
+    assign0 = e.crossJoin(F.broadcast(pack_centroids(seeds))).select(
+        top_cells(F.col("embedding"), F.col("cbs"), 1)[0]["cid"].alias("cell"),
+        F.col("embedding").alias("emb"),
     )
     return (
         assign0.groupBy("cell")
@@ -328,32 +347,28 @@ def sim04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the training pass); bounded by the shared registry
     cents = train_centroids(e, _IVF_K, spread=False).persist()
     _register_codebook(f"ivf:{sf_dir}", cents)
-    sims = e.crossJoin(F.broadcast(cents)).select(
+    packed = pack_centroids(cents)
+    # IN-ROW nearest-cell assignment over the packed broadcast centroid
+    # array (no N x K explosion, no argmax exchange — the d10/sim07
+    # pattern); with training's refine being the only aggregate, the
+    # whole query's single hash exchange is that refine.
+    assign = e.crossJoin(F.broadcast(packed)).select(
         "vec_id",
+        top_cells(F.col("embedding"), F.col("cbs"), 1)[0]["cid"].alias("cell"),
         "embedding",
-        "cid",
-        F.round(cosine("embedding", "ce"), 6).alias("s"),
     )
-    # argmax(s) with smaller-cid tie-break, carried embedding: one partial
-    # + final max of a struct ordered by (s, -cid); no window, no second join.
-    assign = (
-        sims.groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("s").alias("s"),
-                    (-F.col("cid")).alias("nc"),
-                    F.col("embedding").alias("emb"),
-                )
-            ).alias("m")
-        )
-        .select("vec_id", (-F.col("m.nc")).alias("cell"), F.col("m.emb").alias("embedding"))
-    )
+    # the query's top-PROBE cells: same in-row sort on its single row
     probe = (
-        sims.filter(F.col("vec_id") == _QUERY_VEC_ID)
-        .orderBy(F.desc("s"), F.asc("cid"))
-        .limit(_IVF_PROBE)
-        .select(F.col("cid").alias("cell"))
+        e.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(packed))
+        .select(
+            F.explode(
+                F.transform(
+                    top_cells(F.col("embedding"), F.col("cbs"), _IVF_PROBE),
+                    lambda s: s["cid"],
+                )
+            ).alias("cell")
+        )
     )
     q = _query_row(t)
     return (

@@ -167,17 +167,18 @@ def test_q27_cube_single_expand_single_shuffle(plans):
 
 
 def test_sim04_ivf_single_shuffle_broadcast_probe(plans):
-    """IVF ANN over trained cells: the data exchanges are exactly the
-    two training shuffles (vec_id argmax, cell refine — both collapsed
-    map-side) plus the N-row assignment argmax; centroids, probe cells,
-    and the query vector all broadcast, and nothing ever joins
-    merge-style."""
+    """IVF ANN over trained cells with IN-ROW assignment (packed
+    broadcast centroid array, the sim07/d10 pattern): the ONLY hash
+    exchange in the whole query is training's (cell x dim) refine
+    aggregate — seed assignment, final assignment, and the probe all
+    run in-row with zero argmax exchanges; centroids, probe cells, and
+    the query vector all broadcast, and nothing ever joins merge-style."""
     p = plans("sim04_ivf_topk")
     exchanges = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
     keys = sorted(e.split("#")[0] for e in exchanges)
-    assert keys == ["cell", "vec_id", "vec_id"], exchanges
+    assert keys == ["cell"], exchanges
     assert "SortMergeJoin" not in p
-    assert "partial_max" in p  # N x K collapses before the shuffle
+    assert "partial_avg" in p  # refine combines map-side
 
 
 def test_q31_decimal_sum_partial(plans):
@@ -486,21 +487,21 @@ def test_t11_single_scan_no_agg_exchange(plans):
 
 def test_d10_semdedup_partial_argmax_and_bounded_shuffles(plans):
     """SemDeDup's scale posture: trained centroids broadcast (the tiny
-    intentional K-row cross join), training's N x K argmax collapses
-    MAP-SIDE (partial_max below its vec_id exchange) and its refine
-    keys on cell; the multi-probe assignment itself is IN-ROW (packed
-    centroid array, no assignment exchange at all), so the only other
-    data shuffles are the (cell) exchange feeding the bucket-local
-    pandas verify and the per-vector flag merge — no candidate-pair
-    materialization, no all-pairs join anywhere."""
+    intentional K-row cross join); BOTH the training seed assignment
+    and the multi-probe assignment are IN-ROW over packed centroid
+    arrays (no N x K explosion, no argmax exchange anywhere), so the
+    only data shuffles are training's (cell) refine aggregate, the
+    (cell) exchange feeding the bucket-local pandas verify, and the
+    per-vector flag merge — no candidate-pair materialization, no
+    all-pairs join anywhere."""
     p = plans("d10_semdedup")
-    # partial argmax runs below the exchange (map-side combine)
-    assert "partial_max" in p, p[:800]
+    # training's refine combines map-side (the round's only aggregate)
+    assert "partial_avg" in p, p[:800]
     import re as _re
 
     exchanges = _re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
     keys = [e.split("#")[0] for e in exchanges]
-    assert sorted(keys) == ["cell", "cell", "vec_id", "vec_id"], exchanges
+    assert sorted(keys) == ["cell", "cell", "vec_id"], exchanges
     # the pairwise work is grouped-pandas, never a row-at-a-time UDF
     assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsIn" in p, p[:800]
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
