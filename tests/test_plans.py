@@ -166,13 +166,17 @@ def test_q27_cube_single_expand_single_shuffle(plans):
     assert "partial_count" in p  # map-side combine survives the Expand
 
 
-def test_sim04_ivf_single_shuffle_broadcast_probe(plans):
+def test_sim04_ivf_single_shuffle_broadcast_probe(plans, spark):
     """IVF ANN over trained cells with IN-ROW assignment (packed
     broadcast centroid array, the sim07/d10 pattern): the ONLY hash
     exchange in the whole query is training's (cell x dim) refine
     aggregate — seed assignment, final assignment, and the probe all
     run in-row with zero argmax exchanges; centroids, probe cells, and
     the query vector all broadcast, and nothing ever joins merge-style."""
+    # an earlier test may have executed sim04 and left its trained
+    # centroid table persisted — the cached subtree would then appear
+    # as InMemoryTableScan and hide training's exchange from the plan
+    spark.catalog.clearCache()
     p = plans("sim04_ivf_topk")
     exchanges = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
     keys = sorted(e.split("#")[0] for e in exchanges)
@@ -485,7 +489,7 @@ def test_t11_single_scan_no_agg_exchange(plans):
     assert len(_re.findall(r"Arguments: hashpartitioning", p)) == 0, p
 
 
-def test_d10_semdedup_partial_argmax_and_bounded_shuffles(plans):
+def test_d10_semdedup_partial_argmax_and_bounded_shuffles(plans, spark):
     """SemDeDup's scale posture: trained centroids broadcast (the tiny
     intentional K-row cross join); BOTH the training seed assignment
     and the multi-probe assignment are IN-ROW over packed centroid
@@ -494,6 +498,7 @@ def test_d10_semdedup_partial_argmax_and_bounded_shuffles(plans):
     (cell) exchange feeding the bucket-local pandas verify, and the
     per-vector flag merge — no candidate-pair materialization, no
     all-pairs join anywhere."""
+    spark.catalog.clearCache()  # see the sim04 plan test
     p = plans("d10_semdedup")
     # training's refine combines map-side (the round's only aggregate)
     assert "partial_avg" in p, p[:800]
