@@ -1172,7 +1172,7 @@ def _d10_assign_cte() -> str:
     {centroid_cte_sql(_D10_K, _D10_DIM)},
     d10_sims AS (
       SELECT e.vec_id, e.ve, c.cid,
-             ROUND(list_cosine_similarity(e.ve, c.ce), 6) AS s
+             COALESCE(ROUND(list_cosine_similarity(e.ve, c.ce), 6), -2.0) AS s
       FROM tc_e e, cents c),
     d10_member AS (
       SELECT vec_id, ve, cid AS cell, rn FROM (
@@ -1270,12 +1270,18 @@ def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         prims = pdf["prim"].to_numpy()
         m = np.array(pdf["embedding"].tolist(), dtype="float64")
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        # zero-norm rows -> NaN cosine -> below-threshold (they can
+        # never verify; same rule as d07's bucket_verify)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
         dup = np.zeros(len(ids), dtype=bool)
         for a in range(0, len(ids), _D07_CHUNK):
             b = min(a + _D07_CHUNK, len(ids))
-            cos = m[a:b] @ m.T
-            hit = (cos >= _D05_THRESHOLD) & (ids[None, :] < ids[a:b, None])
+            with np.errstate(invalid="ignore"):
+                cos = m[a:b] @ m.T
+                hit = (cos >= _D05_THRESHOLD) & (
+                    ids[None, :] < ids[a:b, None]
+                )
             dup[a:b] = hit.any(axis=1)
         return pd.DataFrame(
             {"vec_id": ids, "prim": prims, "is_dup": dup.astype("int32")}

@@ -193,13 +193,22 @@ def top_cells(embedding, cbs, n: int):
     struct (-rounded-similarity, cid) sorted ascending = similarity
     descending with smaller-cid tie-break — exactly the oracle's
     ROW_NUMBER OVER (ORDER BY s DESC, cid) <= n, with zero join fan-out
-    and zero exchange."""
+    and zero exchange. A zero-norm vector's cosine is NULL (try_divide);
+    it is pinned to -2 (below any real cosine) so such rows rank every
+    cell equal and deterministically take the lowest cids — the oracle
+    CTEs carry the same COALESCE, keeping both engines' assignment
+    identical instead of leaning on engine-specific NULL ordering."""
     return F.slice(
         F.array_sort(
             F.transform(
                 cbs,
                 lambda c: F.struct(
-                    (-F.round(cosine(embedding, c["ce"]), 6)).alias("ns"),
+                    (
+                        -F.coalesce(
+                            F.round(cosine(embedding, c["ce"]), 6),
+                            F.lit(-2.0),
+                        )
+                    ).alias("ns"),
                     c["cid"].alias("cid"),
                 ),
             )
@@ -278,7 +287,7 @@ def centroid_cte_sql(k: int, dim: int, src: str = "embeddings") -> str:
     tc_seeds AS (SELECT vec_id AS cid, ve AS ce FROM tc_e WHERE vec_id < {k}),
     tc_sims0 AS (
       SELECT e.vec_id, e.ve, c.cid,
-             ROUND(list_cosine_similarity(e.ve, c.ce), 6) AS s
+             COALESCE(ROUND(list_cosine_similarity(e.ve, c.ce), 6), -2.0) AS s
       FROM tc_e e, tc_seeds c),
     tc_assign0 AS (
       SELECT vec_id, ve, cid AS cell FROM (
@@ -299,7 +308,7 @@ def centroid_cte_sql(k: int, dim: int, src: str = "embeddings") -> str:
     WITH {centroid_cte_sql(_IVF_K, _DIM)},
     sims AS (
       SELECT e.vec_id, e.ve, c.cid,
-             ROUND(list_cosine_similarity(e.ve, c.ce), 6) AS s
+             COALESCE(ROUND(list_cosine_similarity(e.ve, c.ce), 6), -2.0) AS s
       FROM tc_e e, cents c),
     assign AS (
       SELECT vec_id, ve, cid AS cell FROM (

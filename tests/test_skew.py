@@ -129,6 +129,10 @@ def test_d10_semdedup_ground_truth(spark, tmp_path, monkeypatch):
     n, dim = 1500, 8
     vecs = rng.normal(size=(n, dim))
     vecs[200:400] = vecs[:200] + 0.05 * rng.normal(size=(200, dim))  # near-dups
+    # a zero-norm vector (failed-encoder artifact): its cosine is NULL
+    # in-engine and pinned to the -2 sentinel, so it deterministically
+    # takes the lowest cids and can never verify as a duplicate
+    vecs[777] = 0.0
     d = str(tmp_path / "sem")
     import os
 
@@ -146,18 +150,22 @@ def test_d10_semdedup_ground_truth(spark, tmp_path, monkeypatch):
     got = {r["vec_id"]: (r["cell"], r["is_dup"]) for r in
            d10_semdedup(spark, d).collect()}
 
-    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
     # one Lloyd round, exactly as train_centroids: 6dp-rounded seed
     # assignment (smaller-cid tie-break = argmax first index), then
-    # 6dp-rounded per-dimension means of the RAW assigned vectors
+    # 6dp-rounded per-dimension means of the RAW assigned vectors;
+    # zero-norm rows get the engine's -2 NULL-cosine sentinel
     seeds = m[:_D10_K]
     s0 = np.round(m @ seeds.T, 6)
+    s0 = np.where(np.isnan(s0), -2.0, s0)
     cells0 = s0.argmax(axis=1)
     cents = np.stack(
         [np.round(vecs[cells0 == c].mean(axis=0), 6) for c in range(_D10_K)]
     )
     cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     s = np.round(m @ cn.T, 6)
+    s = np.where(np.isnan(s), -2.0, s)
     # top-PROBE cells per vector ordered by (s desc, cid asc):
     # lexsort on (cid, -s) -> stable ascending cid within equal -s
     order = np.lexsort((np.tile(np.arange(_D10_K), (n, 1)), -s), axis=1)
