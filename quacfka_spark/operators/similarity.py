@@ -245,7 +245,14 @@ def train_centroids(
     first (spread_for_cpu — a single-file fixture would otherwise run
     every fold in ONE task, the t08 trap; an already-parallel scan
     skips the exchange). Callers that already fanned out their input
-    pass ``spread=False`` so the corpus isn't exchanged twice."""
+    pass ``spread=False`` so the corpus isn't exchanged twice.
+
+    ``dim`` must match the corpus dimensionality: larger values pad the
+    refined centroids with NULL coordinates, which nulls every cosine
+    and collapses all assignments onto the lowest cids via the -2
+    sentinel (structurally harmless — dedup gets MORE conservative —
+    but the cells stop being data-adaptive). The fixtures are 64-d
+    (FIXTURES.md); deployments with other encoders set dim explicitly."""
     e = e.filter(F.col("embedding").isNotNull())
     if spread:
         e = spread_for_cpu(e)

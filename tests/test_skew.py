@@ -247,3 +247,43 @@ def test_d07_salt_buckets_same_pairs_and_balanced_work(spark, tmp_path):
     assert max(work) <= 2.0 * (sum(work) / len(work)), work
     # and the single-task ceiling actually dropped by ~S(S+1)/2
     assert max(work) <= total / 3
+
+
+def test_trained_cells_tiny_corpus_smaller_than_k(spark, tmp_path):
+    """Corpus smaller than the seed count (N < K): training seeds with
+    every vector, cells = N, the packed array is shorter than PROBE
+    slices want — d10 and sim04 must still run and produce sane output
+    (every vector its own primary cell via self-similarity 1.0, no dups
+    among orthogonal vectors)."""
+    import os
+
+    import numpy as np
+
+    from quacfka_spark.operators.dedup import d10_semdedup
+    from quacfka_spark.operators.similarity import sim04_ivf_topk
+
+    n, dim = 3, 64  # N far below _D10_K=16 / _IVF_K=8; fixture dim
+    vecs = np.eye(n, dim)  # orthogonal: cosine 0 everywhere off-diagonal
+    d = str(tmp_path / "tiny")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+    import tests.conftest as cf
+
+    for name in ["region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents"]:
+        os.symlink(f"{cf.SMOKE_DIR}/{name}.parquet", f"{d}/{name}.parquet")
+
+    rows = {r["vec_id"]: (r["cell"], r["is_dup"])
+            for r in d10_semdedup(spark, d).collect()}
+    assert set(rows) == {0, 1, 2}
+    # each vector is its own seed -> self-similarity 1.0 -> own cell
+    assert all(rows[i][0] == i for i in range(n)), rows
+    assert all(rows[i][1] == 0 for i in range(n)), rows  # orthogonal
+
+    top = sim04_ivf_topk(spark, d).collect()
+    # query is vec 0; its 2 probed cells cover the orthogonal others
+    assert 0 < len(top) <= 2
+    assert all(abs(r["cos"]) < 1e-9 for r in top), top
