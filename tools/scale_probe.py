@@ -143,6 +143,13 @@ def main() -> None:
     ap.add_argument("--out", default="SCALE_PROBE.json")
     ap.add_argument("--dir", default="/tmp/quacfka_scale_probe")
     ap.add_argument("--fixture", default=FIXTURE)
+    ap.add_argument(
+        "--ops",
+        default=None,
+        help="comma-separated op subset (e.g. targeted larger-N runs); "
+        "the synthetic d07_salted4 row runs iff d07_cosine_lsh_pairs "
+        "is selected",
+    )
     args = ap.parse_args()
     FIXTURE = args.fixture
     if not os.path.isdir(FIXTURE):
@@ -181,18 +188,20 @@ def main() -> None:
             results[name] = {"error": str(e)[:200]}
         print(f"# {name}: {results[name]}", file=sys.stderr)
 
-    for name in OPS:
+    ops = OPS if not args.ops else [o for o in OPS if o in args.ops.split(",")]
+    for name in ops:
         time_one(name, qs[name])
 
     # d07 with the degenerate-bucket salting engaged (salt_buckets=4) on
     # the same clustered corpus: same pair set, S(S+1)/2-way sub-bucket
     # spread — the measured cost of the skew mitigation at probe scale
-    from quacfka_spark.operators.dedup import _cosine_lsh_pairs
+    if "d07_cosine_lsh_pairs" in ops:
+        from quacfka_spark.operators.dedup import _cosine_lsh_pairs
 
-    time_one(
-        "d07_salted4",
-        lambda s, d: _cosine_lsh_pairs(s, d, salt_buckets=4),
-    )
+        time_one(
+            "d07_salted4",
+            lambda s, d: _cosine_lsh_pairs(s, d, salt_buckets=4),
+        )
 
     report = {
         "metric": "scale_probe_wall_time",
