@@ -82,6 +82,7 @@ HEADLINE = [
     "t14_lm_perplexity",
     "d10_semdedup",
     "d10x_semdedup_recall",
+    "d07x_lsh_recall",
     "q45_grouping_sets",
     "t15_url_canonical_dedup",
 ]
