@@ -55,6 +55,8 @@ OPS = [
     "d09_chunk_freq_dedup",
     "t12_sequence_pack",
     "m05_binary_piecewise_dedup",
+    "d03p_minhash_xxhash_pairs",
+    "sim07_pq_topk",
 ]
 
 
