@@ -73,6 +73,7 @@ HEADLINE = [
     "d09_chunk_freq_dedup",
     "sim07_pq_topk",
     "x07_partition_pruned_rollup",
+    "x09_zorder_scan",
     "s07_funnel_join",
     "q44_hll_sketch",
     "t12_sequence_pack",

@@ -524,3 +524,83 @@ def x08_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "rate")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x09 — Z-order (Morton) clustering, the third at-rest layout demo next
+# to x06's bucketing and x07's directory partitioning: events rewritten
+# ONCE per (session, sf_dir) sorted by the bit-interleaved
+# (user_id, unix(ts)) Z-value, so a 2-dim range predicate can skip most
+# files via ordinary parquet min/max stats.
+_X09_U_LO, _X09_U_HI = 2, 4
+_X09_T_LO, _X09_T_HI = "2024-01-10 00:00:00", "2024-01-15 00:00:00"
+
+
+def _ensure_zordered(spark: SparkSession, sf_dir: str) -> str:
+    """Write events Z-ordered on (user_id, unix(ts)) once per
+    (warehouse, sf_dir), under the shared stale-artifact rule (x06/x07's
+    mtime-freshness + completion-marker convention). Returns the path."""
+    import os
+
+    from quacfka_spark.layout import artifact_dir, artifact_fresh, write_zordered
+
+    sf_dir, wh, tag = artifact_dir(spark, sf_dir, extra="zorder-v1")
+    path = os.path.join(wh, f"qs_events_z_{tag}")
+    if not artifact_fresh(
+        os.path.join(path, "_SUCCESS"), os.path.join(sf_dir, "events.parquet")
+    ):
+        t = load_views(spark, sf_dir)
+        ev = t["events"].withColumn("ts_unix", F.unix_timestamp("ts"))
+        write_zordered(ev, path, "user_id", "ts_unix")
+    return path
+
+
+@query(
+    "x09_zorder_scan",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE user_id BETWEEN {_X09_U_LO} AND {_X09_U_HI}
+      AND ts >= TIMESTAMP '{_X09_T_LO}' AND ts < TIMESTAMP '{_X09_T_HI}'
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="2-dim range rollup over a Z-ORDERED copy of events "
+    "(layout.write_zordered at ingest): rows are clustered by the "
+    "bit-interleaved (user_id, unix(ts)) Morton code, so every file's "
+    "min/max envelope is compact on BOTH dimensions and the pushed "
+    "user_id + ts range filters skip most files/row-groups via "
+    "ordinary parquet stats — where a single-column time sort prunes "
+    "only on time. The same one-time-cost-at-ingest story as x06's "
+    "bucketing, for multi-dimensional range predicates (the "
+    "Delta/Iceberg OPTIMIZE ZORDER technique, expressed as pure "
+    "Catalyst bit ops). Results identical to the unclustered oracle; "
+    "layout must never change results.",
+)
+def x09_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): the Z-value is a codegen bit-op
+    expression; layout cost is one min/max agg + one range-partitioned
+    sorted write at ingest. Every later 2-dim range query prunes at
+    file/row-group granularity with NO index structure to maintain —
+    parquet stats do the work. File-skipping effectiveness vs a
+    time-sorted layout is asserted from the actual parquet footers in
+    tests/test_layout.py."""
+    from quacfka_spark.catalog import normalize_ts
+
+    path = _ensure_zordered(spark, sf_dir)
+    ev = normalize_ts(spark.read.parquet(path))
+    return (
+        ev.filter(
+            (F.col("user_id") >= _X09_U_LO)
+            & (F.col("user_id") <= _X09_U_HI)
+            & (F.col("ts") >= F.lit(_X09_T_LO).cast("timestamp"))
+            & (F.col("ts") < F.lit(_X09_T_HI).cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

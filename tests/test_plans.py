@@ -526,3 +526,16 @@ def test_t15_prunes_text_single_groupby_exchange(plans):
     assert len(exchanges) == 1 and exchanges[0].startswith("canonical"), exchanges
     assert "partial_count" in p or "partial" in p
     assert "Join" not in p
+
+
+def test_x09_zorder_scan_pushes_both_range_filters(plans):
+    """The Z-ordered scan needs no special reader: pruning rides on the
+    ORDINARY pushed range filters — both the user_id bounds and the ts
+    bounds must reach the parquet scan as PushedFilters, and the scan
+    must prune to the queried columns."""
+    p = plans("x09_zorder_scan")
+    assert "GreaterThanOrEqual(user_id,2)" in p, p[:600]
+    assert "LessThanOrEqual(user_id,4)" in p
+    assert "GreaterThanOrEqual(ts," in p and "LessThan(ts," in p
+    schemas = read_schemas(p)
+    assert schemas and all("props" not in s for s in schemas), schemas
