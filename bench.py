@@ -84,6 +84,7 @@ HEADLINE = [
     "d10_semdedup",
     "d10x_semdedup_recall",
     "d07x_lsh_recall",
+    "d03r_minhash_recall",
     "q45_grouping_sets",
     "t15_url_canonical_dedup",
 ]

@@ -1525,3 +1525,131 @@ def d07x_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n_exact", "n_d07", "n_common", recall.alias("recall"), ok.alias("ok")
     )
+
+
+# --------------------------------------------------------------------------
+# d03r — measured recall certification for d03's MinHash-LSH banding,
+# the text-side sibling of d07x (vectors): banded-candidate recall
+# against the EXACT shingle-join pair set at the same 0.7 Jaccard
+# threshold. Theory: with r=3 rows x b=4 bands the S-curve gives
+# P(candidate) = 1-(1-t^3)^4 ≈ 0.81 at exactly t=0.7 and -> 1 quickly
+# above; the fixture's near-dups sit far above the knee, and measured
+# recall is 1.0000 at sf0.001/0.01/0.1. Gate at 0.95.
+_D03R_RECALL_GATE = 0.95
+
+
+@query(
+    "d03r_minhash_recall",
+    oracle=f"""
+    WITH toks AS ({_ORACLE_TOKS}),
+    sh AS ({_ORACLE_SHINGLES}),
+    ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    n AS (SELECT doc_id, len(shs) AS n FROM sh),
+    common AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    exact_pairs AS (
+      SELECT c.i, c.j FROM common c
+      JOIN n na ON na.doc_id = c.i JOIN n nb ON nb.doc_id = c.j
+      WHERE c.c * 1.0 / (na.n + nb.n - c.c) >= 0.7),
+    lsh_pairs AS (SELECT i, j FROM ({_D03_ORACLE.replace("ORDER BY i, j", "")})),
+    u AS (
+      SELECT i, j, 1 AS in_exact, 0 AS in_lsh FROM exact_pairs
+      UNION ALL
+      SELECT i, j, 0 AS in_exact, 1 AS in_lsh FROM lsh_pairs),
+    per AS (
+      SELECT i, j, MAX(in_exact) AS in_exact, MAX(in_lsh) AS in_lsh
+      FROM u GROUP BY i, j),
+    agg AS (
+      SELECT CAST(COALESCE(SUM(in_exact), 0) AS BIGINT) AS n_exact,
+             CAST(COALESCE(SUM(in_lsh), 0) AS BIGINT) AS n_lsh,
+             CAST(COALESCE(SUM(in_exact * in_lsh), 0) AS BIGINT) AS n_common
+      FROM per)
+    SELECT n_exact, n_lsh, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / NULLIF(n_exact, 0), 4) AS recall,
+           CAST(CASE WHEN n_exact = 0
+                       OR n_common >= {_D03R_RECALL_GATE} * n_exact
+                     THEN 1 ELSE 0 END AS INTEGER) AS ok
+    FROM agg
+    """,
+    doc="Self-verifying recall measurement for d03's MinHash-LSH banding "
+    "(the d07x pattern, text side): the exact pair set is the full "
+    "shingle self-join at Jaccard >= 0.7 (d02's machinery at d03's "
+    "threshold); d03's pairs are its banded subset by construction "
+    "(candidates re-verify with true Jaccard, so precision is 1 and "
+    "recall is the only number that can degrade). Counts + 4dp recall "
+    "+ a >= 95% gate flag, value-hashed by the driver — a signature/"
+    "banding regression that silently drops recall flips the hash even "
+    "while d03 stays exact-parity on its banded set. Measured 1.0000 "
+    "at sf0.001/0.01/0.1 (r=3 x b=4 puts the fixture's near-dups far "
+    "above the S-curve knee).",
+)
+def d03r_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-with-marker single-pass counts (the d03x/d07x/d10x shape).
+    The exact shingle self-join is inherently the oracle baseline's
+    cost — certification key, fixture scale; at 100 TB recall is
+    spot-checked on a sampled stratum."""
+    sh = _doc_shingles(spark, sf_dir)
+    ex = sh.select(
+        "doc_id", F.size("shs").alias("n"), F.explode_outer("shs").alias("s")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("i"),
+            F.col("b.doc_id").alias("j"),
+            F.col("a.n").alias("n_i"),
+            F.col("b.n").alias("n_j"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c") / (F.col("n_i") + F.col("n_j") - F.col("c"))
+    exact = common.filter(jac >= 0.7).select(
+        "i", "j", F.lit(1).alias("in_exact"), F.lit(0).alias("in_lsh")
+    )
+    lsh = minhash_pairs(spark, sf_dir).select(
+        "i", "j", F.lit(0).alias("in_exact"), F.lit(1).alias("in_lsh")
+    )
+    per = (
+        exact.unionByName(lsh)
+        .groupBy("i", "j")
+        .agg(
+            F.max("in_exact").alias("in_exact"),
+            F.max("in_lsh").alias("in_lsh"),
+        )
+    )
+    agg = per.agg(
+        F.coalesce(F.sum("in_exact"), F.lit(0)).cast("long").alias("n_exact"),
+        F.coalesce(F.sum("in_lsh"), F.lit(0)).cast("long").alias("n_lsh"),
+        F.coalesce(F.sum(F.col("in_exact") * F.col("in_lsh")), F.lit(0))
+        .cast("long")
+        .alias("n_common"),
+    )
+    recall = F.round(
+        F.try_divide(
+            F.col("n_common").cast("double"),
+            F.nullif(F.col("n_exact"), F.lit(0)).cast("double"),
+        ),
+        4,
+    )
+    ok = (
+        F.when(
+            (F.col("n_exact") == 0)
+            | (
+                F.col("n_common")
+                >= F.lit(_D03R_RECALL_GATE) * F.col("n_exact")
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    return agg.select(
+        "n_exact", "n_lsh", "n_common", recall.alias("recall"), ok.alias("ok")
+    )
