@@ -84,7 +84,11 @@ HEADLINE = [
     "d10_semdedup",
     "d10x_semdedup_recall",
     "d07x_lsh_recall",
-    "d03r_minhash_recall",
+    # d03r_minhash_recall is registered + mirror-checked but NOT in the
+    # headline: its exact-shingle-join baseline is d02-class cost (the
+    # same reason d02 itself isn't here) — certification keys ride the
+    # headline only when their baseline is already a headline member
+    # (d07x reuses d05, which is).
     "q45_grouping_sets",
     "t15_url_canonical_dedup",
 ]
