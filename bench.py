@@ -91,6 +91,10 @@ HEADLINE = [
     # (d07x reuses d05, which is).
     "q45_grouping_sets",
     "t15_url_canonical_dedup",
+    "q46_stats_profile",
+    "t16_bm25_topk",
+    "t17_dsir_resample",
+    "x10_compact_scan",
 ]
 
 

@@ -254,3 +254,34 @@ def write_zordered(
         .parquet(path)
     )
     touch_done(path)
+
+
+def compact_files(
+    df: DataFrame,
+    path: str,
+    *,
+    files: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Small-file compaction: rewrite ``df`` into ``files`` larger
+    parquet files, optionally range-clustered + sorted on ``sort_by``.
+
+    Streaming ingest (D13/D15's per-epoch rotation) necessarily emits
+    many small files; at 100 TB the small-files problem dominates read
+    cost — per-file open/footer overhead, no useful min/max envelopes,
+    tiny row groups. Compaction is the maintenance pass every table
+    format schedules (Delta OPTIMIZE / Iceberg rewrite_data_files),
+    expressed here as plain Spark: ONE range-exchange on the sort key
+    (clusters rows so each output file owns a compact key range — the
+    same stats-pruning story as write_zordered, in one dimension),
+    sortWithinPartitions (no global sort barrier), one write. With no
+    ``sort_by`` it is a pure coalesce-style rewrite with a round-robin
+    exchange to keep file sizes even.
+    """
+    if sort_by:
+        out = df.repartitionByRange(files, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.repartition(files)
+    out.write.mode(mode).parquet(path)
+    touch_done(path)

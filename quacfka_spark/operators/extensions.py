@@ -604,3 +604,85 @@ def x09_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# x10 — small-file compaction (the streaming-sink maintenance pass)
+_X10_FRAG_FILES = 96  # simulated micro-batch fragmentation
+_X10_OUT_FILES = 6
+_X10_T_LO, _X10_T_HI = "2024-01-05 00:00:00", "2024-01-09 00:00:00"
+
+
+def _ensure_compacted(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write a deliberately fragmented copy of events (96 tiny files —
+    the shape a per-epoch streaming sink leaves behind, D13/D15) and a
+    compacted copy (6 files, time-clustered via compact_files), once
+    per (warehouse, sf_dir) under the shared stale-artifact rule.
+    Returns (fragmented_path, compacted_path)."""
+    import os
+
+    from quacfka_spark.layout import artifact_dir, artifact_fresh, compact_files
+
+    sf_dir, wh, tag = artifact_dir(spark, sf_dir, extra="compact-v1")
+    frag = os.path.join(wh, f"qs_events_frag_{tag}")
+    comp = os.path.join(wh, f"qs_events_compact_{tag}")
+    src = os.path.join(sf_dir, "events.parquet")
+    if not (
+        artifact_fresh(os.path.join(frag, "_SUCCESS"), src)
+        and artifact_fresh(os.path.join(comp, "_SUCCESS"), src)
+    ):
+        t = load_views(spark, sf_dir)
+        ev = t["events"]
+        # round-robin exchange: every file tiny AND spanning the whole
+        # time range — worst case for both open cost and stats pruning
+        ev.repartition(_X10_FRAG_FILES).write.mode("overwrite").parquet(frag)
+        compact_files(
+            spark.read.parquet(frag), comp, files=_X10_OUT_FILES, sort_by=["ts"]
+        )
+    return frag, comp
+
+
+@query(
+    "x10_compact_scan",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '{_X10_T_LO}' AND ts < TIMESTAMP '{_X10_T_HI}'
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Time-range rollup over a COMPACTED copy of a deliberately "
+    "fragmented events table (96 micro-batch-sized files -> 6 "
+    "time-clustered files via layout.compact_files). Results must be "
+    "identical to the unfragmented oracle — compaction is a pure "
+    "layout rewrite. The payoff is read-side: each compacted file "
+    "owns a compact ts range, so the pushed time filter skips most "
+    "files on footer stats, and per-file open overhead drops 16x; "
+    "tests/test_layout.py asserts both from the actual parquet "
+    "footers. 100 TB: this is the OPTIMIZE pass a streaming sink "
+    "schedules per partition; one range exchange, no global sort.",
+)
+def x10_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design: compaction cost is one repartitionByRange exchange
+    over the rewritten slice only (per day/partition in production,
+    never the whole table), and the read path needs no index — parquet
+    min/max stats on the clustered key do the pruning (reference
+    parity: the reference's rotated duckdb files are exactly such
+    small-file output, /root/reference/README.md:170)."""
+    from quacfka_spark.catalog import normalize_ts
+
+    _, comp = _ensure_compacted(spark, sf_dir)
+    ev = normalize_ts(spark.read.parquet(comp))
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit(_X10_T_LO).cast("timestamp"))
+            & (F.col("ts") < F.lit(_X10_T_HI).cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

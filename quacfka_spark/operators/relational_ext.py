@@ -817,3 +817,53 @@ def q45_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
     )
+
+
+# --------------------------------------------------------------------------
+# Q46 — bivariate statistics profile (corr / covariance / regression)
+@query(
+    "q46_stats_profile",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+           ROUND(var_samp(l_discount), 8) AS var_disc,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_qty,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept_price_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Bivariate statistics the reference exposes via DuckDB's "
+    "aggregate dialect (duck.go:49-52 'arbitrary SQL'): Pearson "
+    "correlation, sample covariance, stddev/variance, and OLS "
+    "regression slope/intercept per group. All are single-pass "
+    "co-moment aggregates: Spark computes partial (n, mean, M2, "
+    "co-moment) tuples map-side and merges them in ONE exchange "
+    "carrying |groups| rows — the textbook parallel-moments form, so "
+    "100 TB costs one scan + a 3-row shuffle. Rounded on both sides "
+    "(engines merge partials in different orders; the estimators are "
+    "identical).",
+)
+def q46_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "covar_qty_price"
+            ),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_samp("l_discount"), 8).alias("var_disc"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+                "slope_price_qty"
+            ),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+                "icept_price_qty"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1153,3 +1153,222 @@ def t15_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical")
     )
+
+
+# --------------------------------------------------------------------------
+# t16 — BM25 retrieval scoring (Okapi BM25, Robertson-Sparck Jones idf)
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"COUNT(*) FILTER (tf{i} > 0) AS df{i}" for i in range(len(_BM25_TERMS))
+    )
+    score = " + ".join(
+        f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1)"
+        f" * tf{i} * ({_BM25_K1} + 1)"
+        f" / (tf{i} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(str_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents),
+    feat AS (
+      SELECT doc_id, len(toks) AS dl,
+             {tf_cols}
+      FROM tok),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(dl) AS avgdl,
+             {df_cols}
+      FROM feat)
+    SELECT doc_id, ROUND({score}, 6) AS bm25
+    FROM feat, stats
+    WHERE {" + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))} > 0
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """
+
+
+@query(
+    "t16_bm25_topk",
+    oracle=_bm25_oracle(),
+    doc="Okapi BM25 top-20 for a fixed query-term set: per-doc term "
+    "frequencies as in-row array folds (no explode), corpus stats "
+    "(N, avgdl, per-term df) as ONE tiny aggregate broadcast back, "
+    "scoring as pure codegen arithmetic, top-20 as "
+    "TakeOrderedAndProject. 100 TB: the only exchange is the 1-row "
+    "stats agg; candidate filtering (any tf>0) happens before the "
+    "top-k so non-matching docs never leave their scan task. For ad "
+    "hoc multi-query serving the t08 inverted-index layout replaces "
+    "the scan; this operator is the scorer both share.",
+)
+def t16_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Robertson idf, k1=1.2 b=0.75) — the lexical-retrieval
+    scorer a training-data pipeline uses for targeted corpus queries
+    and retrieval-based decontamination. The reference's surface is
+    arbitrary DuckDB SQL (/root/reference/duck.go:49-52); this is that
+    query expressed Spark-first."""
+    t = load_views(spark, sf_dir)
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+
+    def _tf(term: str):
+        # NB: a (x, term=...) default-arg lambda would be read by the
+        # higher-order-function binder as the 2-ary (element, index)
+        # form — close over the term instead.
+        return F.size(F.filter(toks, lambda x: x == term))
+
+    feat = t["documents"].select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[_tf(term).alias(f"tf{i}") for i, term in enumerate(_BM25_TERMS)],
+    )
+    stats = feat.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.count_if(F.col(f"tf{i}") > 0).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    n, avgdl = F.col("n"), F.col("avgdl")
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.ln((n - df + 0.5) / (df + 0.5) + 1)
+        term_score = (
+            idf
+            * tf
+            * (_BM25_K1 + 1)
+            / (tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl))
+        )
+        score = term_score if score is None else score + term_score
+    any_tf = sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS)))
+    return (
+        feat.join(F.broadcast(stats))
+        .filter(any_tf > 0)
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# t17 — DSIR importance weighting (Data Selection via Importance
+# Resampling, arXiv:2302.03169): hashed n-gram bucket counts estimate a
+# target and a raw unigram+bigram distribution; each doc is scored by
+# its log-likelihood ratio under the two.
+_DSIR_TARGET = "src0"  # the "high-quality target corpus" slice
+_DSIR_BUCKETS = 64
+
+
+@query(
+    "t17_dsir_resample",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+    gram AS (
+      SELECT doc_id, source,
+             unnest(list_concat(
+               toks,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1]))) AS g
+      FROM tok),
+    b AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+               % {_DSIR_BUCKETS} AS bucket
+      FROM gram),
+    cnt AS (
+      SELECT bucket, COUNT(*) AS rc,
+             COUNT(*) FILTER (source = '{_DSIR_TARGET}') AS tc
+      FROM b GROUP BY bucket),
+    w AS (
+      SELECT bucket,
+             ROUND(ln((tc + 1.0) / (SUM(tc) OVER () + {_DSIR_BUCKETS}))
+                 - ln((rc + 1.0) / (SUM(rc) OVER () + {_DSIR_BUCKETS})),
+                   6) AS w
+      FROM cnt),
+    dbc AS (
+      SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM b GROUP BY doc_id, bucket),
+    score AS (
+      SELECT doc_id, ROUND(SUM(c * w), 6) AS dsir_score
+      FROM dbc JOIN w USING (bucket) GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(s.dsir_score, 0.0) AS dsir_score,
+           COALESCE(s.dsir_score, 0.0) > 0 AS keep
+    FROM documents d LEFT JOIN score s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc="DSIR (arXiv:2303.09540's selection sibling, arXiv:2302.03169): "
+    "hashed unigram+bigram features into 64 buckets, add-1-smoothed "
+    "target/raw log-likelihood-ratio weights, per-doc importance = "
+    "sum(count_b * w_b), keep = more-target-like-than-raw. "
+    "Scale shape: the weight table is |buckets| rows computed from ONE "
+    "partial-agg count exchange over the exploded grams (map-side "
+    "combine collapses each task to <=64 rows) and broadcast back; the "
+    "per-doc score shuffles only (doc_id, bucket, count) integers — "
+    "text never moves. At 100 TB the target distribution would be a "
+    "precomputed 64-float table; the raw pass is one linear scan.",
+)
+def t17_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The importance-resampling data-selection scorer: keeps docs whose
+    hashed-n-gram profile is closer to the declared target slice than
+    to the raw corpus. Spark-first: every stage is codegen expressions
+    + partial aggregates; no Python, no collect, no all-pairs."""
+    from pyspark.sql.window import Window
+
+    t = load_views(spark, sf_dir)
+    toks = norm_tokens("text")
+    g = t["documents"].select(
+        "doc_id",
+        "source",
+        F.explode(F.concat(toks, grams(toks, 2))).alias("g"),
+    )
+    b = g.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint")
+            % _DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    cnt = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.count_if(F.col("source") == _DSIR_TARGET).alias("tc"),
+    )
+    whole = Window.partitionBy()  # 64-row frame: the OVER () is free
+    w = cnt.select(
+        "bucket",
+        F.round(
+            F.ln((F.col("tc") + 1.0) / (F.sum("tc").over(whole) + _DSIR_BUCKETS))
+            - F.ln((F.col("rc") + 1.0) / (F.sum("rc").over(whole) + _DSIR_BUCKETS)),
+            6,
+        ).alias("w"),
+    )
+    dbc = b.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    score = (
+        dbc.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("c") * F.col("w")), 6).alias("dsir_score"))
+    )
+    return (
+        t["documents"]
+        .select("doc_id")
+        .join(score, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dsir_score", F.lit(0.0)).alias("dsir_score"),
+            (F.coalesce("dsir_score", F.lit(0.0)) > 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

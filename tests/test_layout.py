@@ -227,3 +227,64 @@ def test_zorder_layout_prunes_both_dims(spark, tmp_path):
     )
     assert rows(zpath) == rows(tpath)
     assert len(rows(zpath)) > 0  # predicate actually selects something
+
+
+def test_compact_files_merges_and_prunes(spark, tmp_path):
+    """compact_files' contract, from the actual files: a 64-fragment
+    micro-batch layout collapses to the requested file count, results
+    are byte-identical, and the time-clustered rewrite prunes a narrow
+    time window down to a couple of files where every fragment was a
+    candidate before."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from quacfka_spark.layout import compact_files
+
+    n = 20_000
+    base = 1_704_067_200
+    df = spark.range(0, n).select(
+        F.col("id").alias("event_id"),
+        (F.lit(base) + (F.col("id") % n) * 128).alias("ts_unix"),  # ~30 days
+        (F.col("id") % 7).alias("user_id"),
+        (F.col("id") * 0.5).alias("value"),
+    )
+    frag = str(tmp_path / "frag")
+    comp = str(tmp_path / "comp")
+    # round-robin: every fragment spans the whole time range
+    df.repartition(64).write.parquet(frag)
+    compact_files(spark.read.parquet(frag), comp, files=4, sort_by=["ts_unix"])
+
+    files = lambda p: glob.glob(os.path.join(p, "part-*.parquet"))  # noqa: E731
+    assert len(files(frag)) >= 60
+    assert len(files(comp)) <= 5
+
+    # compaction is a pure layout rewrite
+    agg = lambda p: spark.read.parquet(p).agg(  # noqa: E731
+        F.count(F.lit(1)), F.sum("value"), F.min("ts_unix"), F.max("ts_unix")
+    ).collect()
+    assert agg(frag) == agg(comp)
+
+    # narrow 2-day window: candidates by footer min/max on ts_unix
+    t_lo, t_hi = base + 10 * 86400, base + 12 * 86400
+
+    def candidates(path):
+        c = 0
+        for f in files(path):
+            md = pq.ParquetFile(f).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            lo = min(
+                md.row_group(rg).column(names["ts_unix"]).statistics.min
+                for rg in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(rg).column(names["ts_unix"]).statistics.max
+                for rg in range(md.num_row_groups)
+            )
+            if hi >= t_lo and lo <= t_hi:
+                c += 1
+        return c
+
+    assert candidates(frag) >= 60  # every fragment is a candidate
+    assert candidates(comp) <= 2  # clustered files: ~1 of 4 survives
