@@ -867,3 +867,65 @@ def q46_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Q47 — median + deterministic mode per group
+@query(
+    "q47_median_mode",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag AS flag, l_quantity AS qty, COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2),
+    m AS (
+      SELECT flag, qty AS mode_qty, CAST(n AS BIGINT) AS mode_n
+      FROM (SELECT flag, qty, n,
+                   ROW_NUMBER() OVER (PARTITION BY flag
+                                      ORDER BY n DESC, qty) AS rn
+            FROM c)
+      WHERE rn = 1),
+    med AS (
+      SELECT l_returnflag AS flag,
+             ROUND(median(l_quantity), 4) AS median_qty
+      FROM lineitem GROUP BY 1)
+    SELECT med.flag AS l_returnflag, median_qty, mode_qty, mode_n
+    FROM med JOIN m ON med.flag = m.flag
+    ORDER BY l_returnflag
+    """,
+    doc="Exact median + MODE per group. Both engines' built-in mode() "
+    "breaks frequency ties arbitrarily, so the mode is computed "
+    "explicitly — value-count aggregate + row_number ordered by "
+    "(count DESC, value ASC) — making the answer deterministic and "
+    "portable. Scale shape: the count aggregate is partial+final on "
+    "(group, value) — the exchange carries distinct value counts, not "
+    "rows — and the per-group argmax is WindowGroupLimit-class work "
+    "on that reduced frame. The exact median's full-sort cost is the "
+    "declared parity baseline; q30p's t-digest sketch is the "
+    "registered production path for percentiles at 100 TB.",
+)
+def q47_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    li = t["lineitem"]
+    c = li.groupBy(
+        F.col("l_returnflag").alias("flag"), F.col("l_quantity").alias("qty")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    mode = (
+        c.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("flag").orderBy(F.desc("n"), F.asc("qty"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("flag", F.col("qty").alias("mode_qty"), F.col("n").alias("mode_n"))
+    )
+    med = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.round(F.median("l_quantity"), 4).alias("median_qty")
+    )
+    return (
+        med.join(mode, "flag")
+        .select(
+            F.col("flag").alias("l_returnflag"), "median_qty", "mode_qty", "mode_n"
+        )
+        .orderBy("l_returnflag")
+    )

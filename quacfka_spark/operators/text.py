@@ -1215,31 +1215,48 @@ def t16_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and retrieval-based decontamination. The reference's surface is
     arbitrary DuckDB SQL (/root/reference/duck.go:49-52); this is that
     query expressed Spark-first."""
+    return bm25_topk(spark, sf_dir)
+
+
+def bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = _BM25_TERMS,
+    k: int = 20,
+) -> DataFrame:
+    """Parametrized BM25 top-k (public API; t16 is the declared-terms
+    instance the oracle pins)."""
+    import re as _re
+
     t = load_views(spark, sf_dir)
-    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
 
     def _tf(term: str):
-        # NB: a (x, term=...) default-arg lambda would be read by the
-        # higher-order-function binder as the 2-ary (element, index)
-        # form — close over the term instead.
-        return F.size(F.filter(toks, lambda x: x == term))
+        # tf as a CODEGEN regexp_count over the raw text — the
+        # zero-width lookarounds pin the term to space/edge-delimited
+        # token boundaries, exactly the oracle's non-empty space-split
+        # tokens (the corpus contract is single-space separation; t01/
+        # t05 already lean on it). An array-HOF filter fold computes
+        # the same count but runs interpreted — 3-4x slower at probe
+        # scale even spread across cores.
+        pat = f"(?<=^| ){_re.escape(term)}(?= |$)"
+        return F.regexp_count(F.lower(F.col("text")), F.lit(pat))
 
-    feat = t["documents"].select(
+    feat = spread_for_cpu(t["documents"]).select(
         "doc_id",
-        F.size(toks).alias("dl"),
-        *[_tf(term).alias(f"tf{i}") for i, term in enumerate(_BM25_TERMS)],
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("dl"),
+        *[_tf(term).alias(f"tf{i}") for i, term in enumerate(terms)],
     )
     stats = feat.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("dl").alias("avgdl"),
         *[
             F.count_if(F.col(f"tf{i}") > 0).alias(f"df{i}")
-            for i in range(len(_BM25_TERMS))
+            for i in range(len(terms))
         ],
     )
     n, avgdl = F.col("n"), F.col("avgdl")
     score = None
-    for i in range(len(_BM25_TERMS)):
+    for i in range(len(terms)):
         tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
         idf = F.ln((n - df + 0.5) / (df + 0.5) + 1)
         term_score = (
@@ -1249,13 +1266,13 @@ def t16_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl))
         )
         score = term_score if score is None else score + term_score
-    any_tf = sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS)))
+    any_tf = sum(F.col(f"tf{i}") for i in range(len(terms)))
     return (
         feat.join(F.broadcast(stats))
         .filter(any_tf > 0)
         .select("doc_id", F.round(score, 6).alias("bm25"))
         .orderBy(F.desc("bm25"), "doc_id")
-        .limit(20)
+        .limit(k)
     )
 
 
@@ -1318,7 +1335,9 @@ _DSIR_BUCKETS = 64
     "combine collapses each task to <=64 rows) and broadcast back; the "
     "per-doc score shuffles only (doc_id, bucket, count) integers — "
     "text never moves. At 100 TB the target distribution would be a "
-    "precomputed 64-float table; the raw pass is one linear scan.",
+    "precomputed 64-float table, the raw pass is one linear scan, and "
+    "the portable md5 bucket hash swaps for xxhash64 & (B-1) exactly "
+    "as d03p does for minhash (same shape, 8x cheaper hash).",
 )
 def t17_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The importance-resampling data-selection scorer: keeps docs whose
@@ -1329,7 +1348,7 @@ def t17_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_views(spark, sf_dir)
     toks = norm_tokens("text")
-    g = t["documents"].select(
+    g = spread_for_cpu(t["documents"]).select(
         "doc_id",
         "source",
         F.explode(F.concat(toks, grams(toks, 2))).alias("g"),
@@ -1342,9 +1361,18 @@ def t17_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _DSIR_BUCKETS
         ).alias("bucket"),
     )
-    cnt = b.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("rc"),
-        F.count_if(F.col("source") == _DSIR_TARGET).alias("tc"),
+    # ONE pass over the exploded grams: the (doc, bucket) counts are the
+    # finest aggregate, and the corpus-wide bucket counts derive from
+    # them (doc_id -> source is functional, so source rides along) —
+    # Catalyst's ReuseExchange shares the single md5+explode stage
+    # between the weight table and the scoring branch instead of
+    # scanning/hashing the corpus twice.
+    dbc = b.groupBy("doc_id", "source", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    cnt = dbc.groupBy("bucket").agg(
+        F.sum("c").alias("rc"),
+        F.sum(F.when(F.col("source") == _DSIR_TARGET, F.col("c")).otherwise(0)).alias(
+            "tc"
+        ),
     )
     whole = Window.partitionBy()  # 64-row frame: the OVER () is free
     w = cnt.select(
@@ -1355,7 +1383,6 @@ def t17_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("w"),
     )
-    dbc = b.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
     score = (
         dbc.join(F.broadcast(w), "bucket")
         .groupBy("doc_id")

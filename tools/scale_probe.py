@@ -57,6 +57,8 @@ OPS = [
     "m05_binary_piecewise_dedup",
     "d03p_minhash_xxhash_pairs",
     "sim07_pq_topk",
+    "t16_bm25_topk",
+    "t17_dsir_resample",
 ]
 
 
@@ -192,6 +194,15 @@ def main() -> None:
 
     ops = OPS if not args.ops else [o for o in OPS if o in args.ops.split(",")]
     for name in ops:
+        if name == "t16_bm25_topk":
+            # the declared t16 terms are the FIXTURE corpus's vocabulary;
+            # this corpus is synthetic zipfian w0..w4999 — probe the same
+            # scorer with terms spanning its frequency tiers (a head, a
+            # torso and a tail word) so the top-k is non-trivial
+            from quacfka_spark.operators.text import bm25_topk
+
+            time_one(name, lambda s, d: bm25_topk(s, d, ("w3", "w40", "w400")))
+            continue
         time_one(name, qs[name])
 
     # d07 with the degenerate-bucket salting engaged (salt_buckets=4) on
