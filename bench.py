@@ -92,8 +92,10 @@ HEADLINE = [
     "q45_grouping_sets",
     "t15_url_canonical_dedup",
     "q46_stats_profile",
+    "q47_median_mode",
     "t16_bm25_topk",
     "t17_dsir_resample",
+    "sim08_rrf_hybrid",
     "x10_compact_scan",
 ]
 
@@ -181,7 +183,10 @@ def main() -> None:
     # a genuine tail regression can't hide behind "variance".
     import statistics
 
-    timings = {n: round(min(ts), 3) for n, ts in samples.items()}
+    # 2dp on the stdout line: per-query precision beyond that is VM
+    # noise, and the driver's tail capture is 2000 chars — full 4dp
+    # detail lives in BENCH_STATS.json / stderr
+    timings = {n: round(min(ts), 2) for n, ts in samples.items()}
     stats = {
         n: {
             "best": min(ts),
@@ -225,8 +230,15 @@ def main() -> None:
     except OSError:
         pass
     line = json.dumps(headline, separators=(",", ":"))
-    if len(line) > 1900:  # last-resort trim: driver tail capture is ~2 KB
-        headline["queries"] = {n: round(t, 2) for n, t in timings.items()}
+    if len(line) > 1960:  # last-resort trim: driver tail capture is 2000 chars
+        # keep the slowest queries individually, fold the fast tail into
+        # one "_others" bucket — headline value and per-query detail in
+        # BENCH_STATS.json are unaffected
+        keep = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:40])
+        rest = round(sum(t for n, t in timings.items() if n not in keep), 2)
+        keep["_others"] = rest
+        headline["queries"] = keep
+        headline["n_queries"] = len(timings)
         line = json.dumps(headline, separators=(",", ":"))
     print(line)
     spark.stop()

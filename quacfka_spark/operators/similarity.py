@@ -787,3 +787,98 @@ def sim07_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# sim08 — hybrid retrieval: BM25 lexical + cosine vector, fused by
+# reciprocal-rank fusion (RRF, Cormack et al.)
+_RRF_K = 60
+_RRF_DEPTH = 50  # per-side candidate depth (the production cutoff)
+
+
+def _sim08_oracle() -> str:
+    # top-down import is safe: text registers no similarity dependency
+    from quacfka_spark.operators.text import _bm25_oracle
+
+    return f"""
+    WITH lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lr
+      FROM ({_bm25_oracle(_RRF_DEPTH)})),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+    vtop AS (
+      SELECT e.vec_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.qv AS DOUBLE[])), 4) AS cos
+      FROM embeddings e, q
+      WHERE e.vec_id <> {_QUERY_VEC_ID}
+      ORDER BY cos DESC, vec_id LIMIT {_RRF_DEPTH}),
+    vec AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS vr
+      FROM vtop)
+    SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id,
+           ROUND(COALESCE(1.0 / ({_RRF_K} + lr), 0)
+               + COALESCE(1.0 / ({_RRF_K} + vr), 0), 6) AS rrf
+    FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.vec_id
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """
+
+
+@query(
+    "sim08_rrf_hybrid",
+    oracle=_sim08_oracle(),
+    doc="Hybrid retrieval: BM25 lexical top-50 + cosine vector top-50 "
+    "against the same query (term set + doc-0 embedding), fused with "
+    "reciprocal-rank fusion 1/(60+rank) — the standard two-tower "
+    "retrieval stack. Scale shape: each side is already bounded "
+    "(TakeOrderedAndProject depth-50), so the rank windows and the "
+    "full-outer fusion join run on 50-row frames — constant-size "
+    "driver-free work regardless of corpus size; the corpus-scale "
+    "cost is exactly t16's stats exchange and sim01's scan.",
+)
+def sim08_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion (Cormack & Clarke SIGIR'09) of the t16 lexical scorer
+    and the sim01 vector scorer. Both candidate lists arrive as bounded
+    top-N DataFrames; ranking within them is a single-partition window
+    over 50 rows (negligible by construction, unlike an unbounded
+    OVER ())."""
+    from pyspark.sql.window import Window
+
+    from quacfka_spark.operators.text import bm25_topk
+
+    t = load_views(spark, sf_dir)
+    lex = bm25_topk(spark, sf_dir, k=_RRF_DEPTH).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("lr"),
+    )
+    q = _query_row(t)
+    e = spread_for_cpu(t["embeddings"].filter(F.col("vec_id") != _QUERY_VEC_ID))
+    vtop = (
+        e.crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine("embedding", "q"), 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(_RRF_DEPTH)
+    )
+    vec = vtop.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos"), F.asc("vec_id")))
+        .alias("vr"),
+    )
+    return (
+        lex.join(vec, lex["doc_id"] == vec["vec_id"], "full_outer")
+        .select(
+            F.coalesce(lex["doc_id"], vec["vec_id"]).alias("doc_id"),
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("lr")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("vr")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )
+

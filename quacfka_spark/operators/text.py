@@ -1161,7 +1161,7 @@ _BM25_TERMS = ("spark", "join", "window")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(k: int = 20) -> str:
     tf_cols = ",\n             ".join(
         f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
         for i, t in enumerate(_BM25_TERMS)
@@ -1192,7 +1192,7 @@ def _bm25_oracle() -> str:
     SELECT doc_id, ROUND({score}, 6) AS bm25
     FROM feat, stats
     WHERE {" + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))} > 0
-    ORDER BY bm25 DESC, doc_id LIMIT 20
+    ORDER BY bm25 DESC, doc_id LIMIT {k}
     """
 
 
@@ -1347,11 +1347,19 @@ def t17_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     t = load_views(spark, sf_dir)
-    toks = norm_tokens("text")
-    g = spread_for_cpu(t["documents"]).select(
+    # materialize the token array BELOW the explode: Generate runs
+    # interpreted (no codegen, no common-subexpression elimination), so
+    # an inlined norm_tokens() would re-tokenize the doc inside every
+    # element_at of the bigram lambda — O(tokens^2) regex work per doc
+    # (the t04 tk-projection pattern)
+    docs = spread_for_cpu(t["documents"]).select(
+        "doc_id", "source", norm_tokens("text").alias("tk")
+    )
+    tk = F.col("tk")
+    g = docs.select(
         "doc_id",
         "source",
-        F.explode(F.concat(toks, grams(toks, 2))).alias("g"),
+        F.explode(F.concat(tk, grams(tk, 2))).alias("g"),
     )
     b = g.select(
         "doc_id",
@@ -1361,18 +1369,18 @@ def t17_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _DSIR_BUCKETS
         ).alias("bucket"),
     )
-    # ONE pass over the exploded grams: the (doc, bucket) counts are the
-    # finest aggregate, and the corpus-wide bucket counts derive from
-    # them (doc_id -> source is functional, so source rides along) —
-    # Catalyst's ReuseExchange shares the single md5+explode stage
-    # between the weight table and the scoring branch instead of
-    # scanning/hashing the corpus twice.
-    dbc = b.groupBy("doc_id", "source", "bucket").agg(F.count(F.lit(1)).alias("c"))
-    cnt = dbc.groupBy("bucket").agg(
-        F.sum("c").alias("rc"),
-        F.sum(F.when(F.col("source") == _DSIR_TARGET, F.col("c")).otherwise(0)).alias(
-            "tc"
-        ),
+    # Two-phase fit/transform, the DSIR production shape: the FIT pass
+    # reduces the corpus to 64 (bucket, rc, tc) rows via one map-side-
+    # combined partial aggregate (each task emits <=64 rows no matter
+    # how many grams it saw), the TRANSFORM pass re-walks the grams for
+    # per-doc counts. At 100 TB the fit output (64 floats) is persisted
+    # once per target and only the transform pass runs per corpus
+    # sweep; fusing the two into one traversal would require
+    # materializing the |docs|x|buckets| count table, which is the
+    # same bytes the transform shuffle already pays.
+    cnt = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.count_if(F.col("source") == _DSIR_TARGET).alias("tc"),
     )
     whole = Window.partitionBy()  # 64-row frame: the OVER () is free
     w = cnt.select(
@@ -1383,6 +1391,7 @@ def t17_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("w"),
     )
+    dbc = b.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
     score = (
         dbc.join(F.broadcast(w), "bucket")
         .groupBy("doc_id")

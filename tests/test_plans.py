@@ -539,3 +539,63 @@ def test_x09_zorder_scan_pushes_both_range_filters(plans):
     assert "GreaterThanOrEqual(ts," in p and "LessThan(ts," in p
     schemas = read_schemas(p)
     assert schemas and all("props" not in s for s in schemas), schemas
+
+
+def test_q46_single_exchange_partial_moments(plans):
+    """q46's whole posture: every bivariate statistic is a single-pass
+    co-moment aggregate — ONE hash exchange on the group key with the
+    partial aggregate below it, no join, no second scan."""
+    p = plans("q46_stats_profile")
+    exchanges = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
+    assert len(exchanges) == 1 and exchanges[0].startswith("l_returnflag"), exchanges
+    assert "partial" in p
+    assert "Join" not in p
+    (schema,) = read_schemas(p)
+    cols = sorted(c.split(":")[0] for c in schema.split(","))
+    assert cols == [
+        "l_discount", "l_extendedprice", "l_quantity", "l_returnflag",
+    ], cols
+
+
+def test_t16_bm25_is_codegen_scan_plus_topk(plans):
+    """BM25's scale shape: scoring is pure codegen (no Python, no
+    interpreted HOF over the fixture corpus), the corpus-wide stats are
+    a broadcast single row (never a shuffle of the docs), and the
+    top-20 is TakeOrderedAndProject — not a global sort."""
+    p = plans("t16_bm25_topk")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row stats rides broadcast
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning" not in p  # docs never hash-shuffle
+
+
+def test_t17_text_never_shuffles_weights_broadcast(plans):
+    """DSIR's scale shape: the corpus text stays in its scan stage
+    (every hash exchange carries only ids/buckets/counts), the 64-row
+    weight table joins by broadcast, and both gram aggregates combine
+    map-side before their exchange."""
+    p = plans("t17_dsir_resample")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    for args in re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p):
+        assert "text" not in args and " g#" not in args, args
+    assert "BroadcastHashJoin" in p
+    assert "partial_count" in p
+
+
+def test_sim08_bounded_candidates_no_cartesian(plans):
+    """RRF fusion: both candidate sides are depth-bounded
+    (TakeOrderedAndProject), the query vector is broadcast, and the
+    fusion never expands to a cartesian product."""
+    p = plans("sim08_rrf_hybrid")
+    assert p.count("TakeOrderedAndProject") >= 2  # lex top-50, vec top-50
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_x10_compacted_scan_pushes_time_filter(plans):
+    """The compacted copy must be read with the ts range pushed to the
+    parquet scan — that is what makes the clustered layout prune."""
+    p = plans("x10_compact_scan")
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(ts", p), p
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(ts", p), p
