@@ -11,6 +11,7 @@ the individual d*/t*/sim* operators exist for.
       -> text near-dup (MinHash+LSH, xxhash64)       drop non-representatives
       -> embedding near-dup keep-list (d07 -> d08)   drop keep=false rows
       -> benchmark decontamination (t08)             drop eval-overlap docs
+      -> DSIR importance selection (t17)             keep target-like docs
       -> mixture reweighting (x08 resampling)        flatten the language mix
       -> token accounting (t01 shape)                corpus stats
 
@@ -52,6 +53,7 @@ from quacfka_spark.operators.text import (
     t08_decontaminate,
     t11_repetition_rules,
     t13_url_filter,
+    t17_dsir_resample,
 )
 from quacfka_spark.functions.text import tokens
 
@@ -223,6 +225,17 @@ def curate(spark: SparkSession, sf_dir: str, quality_cut: float = 0.45) -> DataF
     # held-out eval set; they must not ship in a training corpus
     contaminated = t08_decontaminate(spark, sf_dir).select("doc_id").distinct()
     cleaned = cleaned.join(contaminated, "doc_id", "left_anti")
+
+    # 5b. DSIR importance selection (t17): keep docs whose hashed-n-gram
+    # profile is closer to the held-out reference slice than to the raw
+    # corpus (importance resampling against a quality reference the
+    # pipeline never ships — the same slice t08 holds out). Only ids
+    # cross the join; the scoring pass shuffles (doc_id, bucket, count)
+    # ints, never text.
+    dsir_keep = (
+        t17_dsir_resample(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    )
+    cleaned = cleaned.join(dsir_keep, "doc_id")
 
     # 6. mixture reweighting (x08): temperature-flatten the language mix
     # — heavy languages downsample by a deterministic md5-fraction, so
