@@ -37,6 +37,7 @@ __all__ = [
     # composed-pipeline building blocks (examples/training_data_pipeline.py)
     "minhash_pairs",
     "label_propagate",
+    "bm25_topk",
 ]
 __version__ = "0.1.0"
 
@@ -59,4 +60,8 @@ def __getattr__(name: str):
         from quacfka_spark.operators import dedup
 
         return getattr(dedup, name)
+    if name == "bm25_topk":
+        from quacfka_spark.operators.text import bm25_topk
+
+        return bm25_topk
     raise AttributeError(name)

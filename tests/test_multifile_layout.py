@@ -55,6 +55,9 @@ MULTIFILE_QUERIES = (
     "t13_url_filter",
     "x08_mix_resample",
     "t14_lm_perplexity",
+    "t16_bm25_topk",
+    "t17_dsir_resample",
+    "sim08_rrf_hybrid",
 )
 
 # few-files layout exercises the spread path; many-files exercises the

@@ -37,6 +37,12 @@ DRIFT_KEYS = (
     "d10_semdedup",
     "q45_grouping_sets",
     "t15_url_canonical_dedup",
+    "q46_stats_profile",
+    "q47_median_mode",
+    "t16_bm25_topk",
+    "t17_dsir_resample",
+    "sim08_rrf_hybrid",
+    "x10_compact_scan",
 )
 
 
