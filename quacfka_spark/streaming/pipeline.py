@@ -72,6 +72,20 @@ class PipelineConfig:
     rotate_mb: float | None = None
     sink_partitions: int | None = None  # D23 (~ duck connections)
     checkpoint_dir: str | None = None
+    # Cross-epoch exact dedup at the sink (beyond the reference, which
+    # has no dedup stage; complements S5's in-watermark dropDuplicates):
+    # rows whose md5(to_json(struct(dedup_keys))) digest was inserted by
+    # ANY earlier epoch are dropped before every sink. State is a
+    # per-epoch digest ledger under output_dir/_dedup_ledger/epoch=N —
+    # 16-byte digests only, never payloads — and epoch N deduplicates
+    # against strictly-earlier epochs, so a retried/replayed epoch
+    # recomputes the identical result (the D19 idempotence rule). At
+    # 100 TB the anti-join against the ledger is digest-vs-digest; AQE
+    # broadcasts it while small and injects a runtime Bloom filter on
+    # the batch side when large (tests/test_runtime_bloom_filter.py);
+    # a long-lived deployment buckets the ledger on the digest
+    # (layout.write_bucketed) so the probe side joins exchange-free.
+    dedup_keys: list[str] | None = None
 
     def checkpoint(self) -> str:
         return self.checkpoint_dir or os.path.join(self.output_dir, "_checkpoint")
@@ -374,11 +388,63 @@ class StreamingPipeline:
                         except (json.JSONDecodeError, KeyError):
                             continue  # torn tail write from a crash
         self._bytes_per_record: dict[str, float] = {}  # D15 size feedback
+        self._ledger_root = os.path.join(config.output_dir, "_dedup_ledger")
         self.query = None
 
     # -- epoch processing (D13/D17/D18/D20/D24) ----------------------------
     def _epoch_dir(self, table: str, epoch_id: int) -> str:
         return os.path.join(self.config.output_dir, table, f"epoch={epoch_id}")
+
+    # -- cross-epoch ingest dedup (config.dedup_keys) ----------------------
+    _DEDUP_COL = "__dedup_digest"
+
+    def _digest(self, df: DataFrame) -> "F.Column":
+        # to_json(struct(...)) is the null-safe portable row key: NULL
+        # keys serialize distinctly from empty strings, column order is
+        # the declared key order
+        return F.md5(F.to_json(F.struct(*self.config.dedup_keys)))
+
+    def _ledger_paths(self, epoch_id: int) -> list[str]:
+        """Ledger dirs for epochs STRICTLY earlier than ``epoch_id`` —
+        excluding the current epoch makes a retried/replayed epoch
+        deduplicate against exactly the state its first attempt saw."""
+        if not os.path.isdir(self._ledger_root):
+            return []
+        out = []
+        for name in os.listdir(self._ledger_root):
+            if not name.startswith("epoch="):
+                continue
+            try:
+                if int(name.split("=", 1)[1]) < epoch_id:
+                    out.append(os.path.join(self._ledger_root, name))
+            except ValueError:
+                continue
+        return sorted(out)
+
+    def _dedup_against_history(self, df: DataFrame, epoch_id: int) -> DataFrame:
+        """Drop rows already inserted by any earlier epoch (plus
+        within-batch duplicates). The anti-join probes 16-byte digests,
+        never payloads; the payload-side shuffle is avoided while the
+        ledger stays broadcastable and Bloom-prefiltered after that."""
+        df = df.withColumn(self._DEDUP_COL, self._digest(df))
+        df = df.dropDuplicates([self._DEDUP_COL])
+        prior = self._ledger_paths(epoch_id)
+        if prior:
+            hist = self.spark.read.parquet(*prior)
+            df = df.join(hist, self._DEDUP_COL, "left_anti")
+        return df.drop(self._DEDUP_COL)
+
+    def _write_ledger(self, src: DataFrame, epoch_id: int) -> None:
+        """Record the digests this epoch actually inserted. Overwrite
+        per-epoch dir: a replayed epoch rewrites the same state, so a
+        crash between sink write and ledger write heals on replay."""
+        path = os.path.join(self._ledger_root, f"epoch={epoch_id}")
+        (
+            src.select(self._digest(src).alias(self._DEDUP_COL))
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(path)
+        )
 
     def _write(self, df: DataFrame, path: str, table: str) -> int:
         # Row count via Observation: piggybacks on the write job itself
@@ -450,6 +516,12 @@ class StreamingPipeline:
         consumed_obs = Observation()
         observed = batch_df.observe(consumed_obs, F.count(F.lit(1)).alias("n"))
         decoded = self.decode(observed) if self.decode else observed
+        if self.config.dedup_keys:
+            # consumed (the observation below) stays the pre-dedup input
+            # count, inserted counts what survives — the gap IS the
+            # measured dedup, mirroring the reference's consumed vs
+            # inserted counter pair (metrics.go:142-156)
+            decoded = self._dedup_against_history(decoded, epoch_id)
         # Downstream-source strategy: with the raw sink ON, this epoch's
         # raw parquet IS the cache — decode runs exactly once (inside the
         # raw write) and norm/custom derive from a columnar, pruned,
@@ -463,9 +535,13 @@ class StreamingPipeline:
         derived_sinks = (self.normalizer is not None) + (
             len(self.custom.transforms) if self.custom is not None else 0
         )
-        use_readback = self.config.write_raw and derived_sinks > 0
+        # the dedup ledger write is one more consumer of the decoded
+        # batch (it derives from derived_src, so it rides the readback
+        # when the raw sink is on)
+        ledger_sinks = 1 if self.config.dedup_keys else 0
+        use_readback = self.config.write_raw and (derived_sinks + ledger_sinks) > 0
         decoded_consumers = int(self.config.write_raw) + (
-            0 if use_readback else derived_sinks
+            0 if use_readback else derived_sinks + ledger_sinks
         )
         to_unpersist = []
         if decoded_consumers > 1:
@@ -496,6 +572,10 @@ class StreamingPipeline:
                     custom_n += self._write(df, p, table)
                     written.append((table, p))
 
+            if self.config.dedup_keys:
+                # ledger AFTER the sinks: digests of what actually landed
+                self._write_ledger(derived_src, epoch_id)
+
             # D18: post-SQL over the *written* epoch output (the closed
             # file, not the in-flight batch) — true to DuckRunner.
             if self.runner is not None:
@@ -511,8 +591,10 @@ class StreamingPipeline:
             for table, path in written:
                 self._publish_path(path, epoch_id, table)
             # no sink materialized the batch (all stages toggled off):
-            # count directly, else read the piggybacked observation
-            consumed = decoded.count() if not written else int(consumed_obs.get["n"])
+            # count directly, else read the piggybacked observation (the
+            # ledger write also fires it — it consumes the observed node)
+            materialized = bool(written) or bool(self.config.dedup_keys)
+            consumed = int(consumed_obs.get["n"]) if materialized else decoded.count()
             self.metrics.record_batch(epoch_id, consumed, raw_n, norm_n, custom_n)
         finally:
             for df in to_unpersist:

@@ -1,0 +1,162 @@
+"""Cross-epoch ingest dedup (PipelineConfig.dedup_keys): rows already
+inserted by an earlier epoch never land in a later one, the digest
+ledger is the only cross-epoch state (16-byte digests, no payloads),
+and a replayed epoch reproduces its first attempt exactly (dedup is
+against strictly-earlier epochs, the D19 idempotence rule).
+
+This is the sink-level complement of S5's in-watermark dropDuplicates:
+S5 bounds state by event time and forgets; the ledger remembers the
+whole ingest history, which is what corpus-scale dedup-on-ingest for a
+training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from quacfka_spark.sources.kafka import decode_json
+from quacfka_spark.sources.mock import NESTED_SCHEMA, _nested_payload
+from quacfka_spark.streaming import PipelineConfig, StreamingPipeline
+
+
+def _write_batches(spark, d: str) -> None:
+    """3 single-file batches with known overlap: ids 0-99, 50-149,
+    100-199 + an in-batch duplicate of id 100. maxFilesPerTrigger=1
+    turns each file into its own epoch."""
+    ranges = [(0, 100), (50, 150), (100, 200)]
+    for i, (lo, hi) in enumerate(ranges):
+        df = spark.range(lo, hi)
+        if i == 2:  # in-batch duplicate
+            df = df.union(spark.range(100, 101))
+        (
+            df.select(
+                F.encode(F.to_json(_nested_payload(F.col("id"))), "utf-8").alias(
+                    "value"
+                )
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(d)
+        )
+
+
+def _run(spark, src: str, out: str) -> StreamingPipeline:
+    source = (
+        spark.readStream.schema("value binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    pipe = StreamingPipeline(
+        spark,
+        source,
+        PipelineConfig(
+            output_dir=out,
+            dest_table="messages",
+            available_now=True,
+            dedup_keys=["r.user_id", "r.amount"],
+        ),
+        decode=lambda df: decode_json(df, NESTED_SCHEMA),
+    )
+    q = pipe.start()
+    q.awaitTermination(180)
+    assert pipe.error() is None
+    return pipe
+
+
+def test_cross_epoch_dedup(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    _write_batches(spark, src)
+    pipe = _run(spark, src, out)
+
+    raw = spark.read.parquet(os.path.join(out, "messages"))
+    # 301 consumed rows (100+100+101), 200 distinct payload ids ->
+    # exactly one row per id
+    assert pipe.metrics.records_consumed == 301
+    assert pipe.metrics.records_inserted == 200
+    assert raw.count() == 200
+    assert raw.select("r.user_id", "r.amount").distinct().count() == 200
+
+    # the ledger holds one digest per inserted row, per-epoch, no payloads
+    ledger = spark.read.parquet(os.path.join(out, "_dedup_ledger"))
+    assert ledger.columns == ["__dedup_digest", "epoch"]
+    assert ledger.count() == 200
+    per_epoch = {
+        r["epoch"]: r["n"]
+        for r in ledger.groupBy("epoch").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # epochs arrive in file order: 100 new, 50 new, 50 new
+    assert sorted(per_epoch.values(), reverse=True) == [100, 50, 50]
+
+
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    """Re-running epoch N's processing must reproduce it exactly: the
+    ledger excludes epoch N itself, so the replay sees the same prior
+    state and overwrites the same sink + ledger dirs."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    _write_batches(spark, src)
+    pipe = _run(spark, src, out)
+
+    last_epoch = max(
+        int(p.rsplit("epoch=", 1)[1])
+        for p in os.listdir(os.path.join(out, "messages"))
+        if p.startswith("epoch=")
+    )
+    before = (
+        spark.read.parquet(os.path.join(out, "messages", f"epoch={last_epoch}"))
+        .select("r.user_id")
+        .collect()
+    )
+
+    # replay the final epoch's batch through the same pipeline object —
+    # exactly what foreachBatch does after a task failure or restart
+    # the file stream processes in modification-time order, so the
+    # latest-written file is the last epoch's batch (part-* names embed
+    # random UUIDs — lexicographic order is meaningless)
+    files = sorted(
+        (os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")),
+        key=os.path.getmtime,
+    )
+    batch = spark.read.schema("value binary").parquet(files[-1])
+    pipe._process_batch(batch, last_epoch)
+
+    after = (
+        spark.read.parquet(os.path.join(out, "messages", f"epoch={last_epoch}"))
+        .select("r.user_id")
+        .collect()
+    )
+    assert sorted(r["user_id"] for r in before) == sorted(
+        r["user_id"] for r in after
+    )
+    # global invariant still holds after the replay
+    raw = spark.read.parquet(os.path.join(out, "messages"))
+    assert raw.count() == 200
+    assert pipe.metrics.records_inserted == 200  # replay guard subtracted
+
+
+def test_dedup_off_is_unchanged(spark, tmp_path):
+    """Without dedup_keys the pipeline keeps every consumed row — the
+    feature is strictly opt-in."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    _write_batches(spark, src)
+    source = (
+        spark.readStream.schema("value binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    pipe = StreamingPipeline(
+        spark,
+        source,
+        PipelineConfig(output_dir=out, dest_table="messages", available_now=True),
+        decode=lambda df: decode_json(df, NESTED_SCHEMA),
+    )
+    q = pipe.start()
+    q.awaitTermination(180)
+    assert pipe.error() is None
+    assert spark.read.parquet(os.path.join(out, "messages")).count() == 301
+    assert not os.path.exists(os.path.join(out, "_dedup_ledger"))
