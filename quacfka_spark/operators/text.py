@@ -781,32 +781,44 @@ def t12_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     or is needed: each stream packs independently, exactly like
     per-worker packing in a training-data loader. The doc body never
     enters the window — only (doc_id, source, n_tokens) rows shuffle."""
-    from pyspark.sql.window import Window
-
     t = load_views(spark, sf_dir)
     n = t["documents"].select(
         "doc_id",
         "source",
         F.size(tokens("text")).cast("bigint").alias("n_tokens"),
     )
+    return pack_sequences(n).orderBy("source", "doc_id")
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = _T12_CAPACITY,
+    stream_col: str = "source",
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Concatenate-and-chop sequence packing (public API; t12 is the
+    declared-fixture instance the oracle pins): assigns every doc its
+    packed-sequence id / offset / boundary flag from a per-stream token
+    cumsum. One exchange keyed on the stream id; only
+    (order, stream, n_tokens) rows shuffle, never text."""
+    from pyspark.sql.window import Window
+
     w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
+        Window.partitionBy(stream_col)
+        .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    return (
-        n.select(
-            "doc_id",
-            "source",
-            "n_tokens",
-            F.floor(start / _T12_CAPACITY).cast("bigint").alias("seq_id"),
-            (start % _T12_CAPACITY).cast("bigint").alias("offset"),
-            ((start % _T12_CAPACITY) + F.col("n_tokens") > _T12_CAPACITY).alias(
-                "crosses_boundary"
-            ),
-        )
-        .orderBy("source", "doc_id")
+    start = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return df.select(
+        order_col,
+        stream_col,
+        tokens_col,
+        F.floor(start / capacity).cast("bigint").alias("seq_id"),
+        (start % capacity).cast("bigint").alias("offset"),
+        ((start % capacity) + F.col(tokens_col) > capacity).alias(
+            "crosses_boundary"
+        ),
     )
 
 
