@@ -97,6 +97,7 @@ HEADLINE = [
     "t17_dsir_resample",
     "sim08_rrf_hybrid",
     "x10_compact_scan",
+    "q48_fuzzy_match",
 ]
 
 
@@ -230,7 +231,7 @@ def main() -> None:
     except OSError:
         pass
     line = json.dumps(headline, separators=(",", ":"))
-    if len(line) > 1960:  # last-resort trim: driver tail capture is 2000 chars
+    if len(line) > 1985:  # last-resort trim: driver tail capture is 2000 chars
         # keep the slowest queries individually, fold the fast tail into
         # one "_others" bucket — headline value and per-query detail in
         # BENCH_STATS.json are unaffected

@@ -156,9 +156,13 @@ def run(spark: SparkSession, work_dir: str) -> dict:
     write_topic(spark, src, [(0, 400), (200, 600), (400, 800)])
     pipe = ingest(spark, src, out)
     curated = curate(spark, out)
-    shards = shard(curated, shards_dir)
+    shard(curated, shards_dir)
     back = spark.read.parquet(shards_dir)
-    return {
+    lang_mix = {
+        r["lang"]: r["n"]
+        for r in back.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    report = {
         "consumed": pipe.metrics.records_consumed,
         "inserted": pipe.metrics.records_inserted,
         "dedup_dropped": pipe.metrics.records_consumed
@@ -167,7 +171,16 @@ def run(spark: SparkSession, work_dir: str) -> dict:
         "shard_rows": back.count(),
         "sequences": back.select("source", "seq_id").distinct().count(),
         "tokens": back.agg(F.sum("n_tokens")).collect()[0][0],
+        "lang_mix": lang_mix,
+        "capacity": _CAPACITY,
+        "quality_cut": _QUALITY_CUT,
     }
+    # the dataset card every real pipeline ships next to its shards:
+    # provenance counts (what was consumed, deduped, gated), the mix,
+    # and the packing contract a loader needs
+    with open(os.path.join(shards_dir, "_manifest.json"), "w") as fh:
+        json.dump(report, fh, indent=1)
+    return report
 
 
 def main() -> None:

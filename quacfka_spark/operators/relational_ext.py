@@ -929,3 +929,59 @@ def q47_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Q48 — blocked fuzzy match (entity-resolution join)
+_Q48_MAX_DIST = 2
+_Q48_TOPK = 100
+
+
+@query(
+    "q48_fuzzy_match",
+    oracle=f"""
+    WITH p AS (
+      SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS blk
+      FROM part)
+    SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+           a.p_name AS name1, b.p_name AS name2,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= {_Q48_MAX_DIST}
+    ORDER BY dist, p1, p2 LIMIT {_Q48_TOPK}
+    """,
+    doc="Record-linkage fuzzy match: near-identical part names by "
+    "Levenshtein distance, BLOCKED on the name's noun token so the "
+    "join is a hash equi-join on the block key — never an all-pairs "
+    "cross join (the classic entity-resolution blocking strategy; "
+    "d02/d03's shingle banding is the same idea for documents). "
+    "Levenshtein runs only inside blocks, the p1<p2 key order halves "
+    "the candidate set, and the top-k is TakeOrderedAndProject. At "
+    "100 TB a hot block key (a noun shared by millions of names) is "
+    "the d07 degenerate-bucket problem - same salting answer.",
+)
+def q48_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    p = t["part"].select(
+        "p_partkey", "p_name", F.split_part("p_name", F.lit(" "), F.lit(2)).alias("blk")
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(dist <= _Q48_MAX_DIST)
+        .select(
+            F.col("a.p_partkey").alias("p1"),
+            F.col("b.p_partkey").alias("p2"),
+            F.col("a.p_name").alias("name1"),
+            F.col("b.p_name").alias("name2"),
+            dist.cast("bigint").alias("dist"),
+        )
+        .orderBy("dist", "p1", "p2")
+        .limit(_Q48_TOPK)
+    )

@@ -49,3 +49,9 @@ def test_ingest_to_training_invariants(spark, tmp_path):
     assert gaps.count() == 0  # concatenate-and-chop: no gaps, no overlap
     # token accounting matches the packing frame
     assert rep["tokens"] == shards.agg(F.sum("n_tokens")).collect()[0][0]
+    # the dataset manifest ships with the shards and matches the run
+    import json
+
+    with open(tmp_path / "train_shards" / "_manifest.json") as fh:
+        manifest = json.load(fh)
+    assert manifest == rep

@@ -599,3 +599,15 @@ def test_x10_compacted_scan_pushes_time_filter(plans):
     p = plans("x10_compact_scan")
     assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(ts", p), p
     assert re.search(r"PushedFilters: \[[^\]]*LessThan\(ts", p), p
+
+
+def test_q48_blocked_fuzzy_join_is_equi_hash(plans):
+    """The entity-resolution blocking contract: the fuzzy candidate
+    space comes from an EQUI join on the block key (hash or broadcast),
+    never a cartesian/BNLJ expansion, with the Levenshtein filter
+    inside the join stage and the top-k as TakeOrderedAndProject."""
+    p = plans("q48_fuzzy_match")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p

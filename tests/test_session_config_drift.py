@@ -43,6 +43,7 @@ DRIFT_KEYS = (
     "t17_dsir_resample",
     "sim08_rrf_hybrid",
     "x10_compact_scan",
+    "q48_fuzzy_match",
 )
 
 
