@@ -961,11 +961,16 @@ _Q48_TOPK = 100
     "the d07 degenerate-bucket problem - same salting answer.",
 )
 def q48_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quacfka_spark.plans.spread import spread_for_cpu
+
     t = load_views(spark, sf_dir)
     p = t["part"].select(
         "p_partkey", "p_name", F.split_part("p_name", F.lit(" "), F.lit(2)).alias("blk")
     )
-    a = p.alias("a")
+    # the probe side MUST be spread: with the dim side broadcast, a
+    # single-file scan would expand every in-block pair (25M at sf0.1)
+    # and run every Levenshtein in ONE task (measured 44s -> ~2s)
+    a = spread_for_cpu(p).alias("a")
     b = p.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     return (
@@ -973,6 +978,12 @@ def q48_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        # length-gap prefilter: |len(a)-len(b)| > d implies dist > d,
+        # and the length compare is codegen-cheap where Levenshtein is
+        # O(len^2) — the standard edit-distance candidate pruning
+        .filter(
+            F.abs(F.length("a.p_name") - F.length("b.p_name")) <= _Q48_MAX_DIST
         )
         .filter(dist <= _Q48_MAX_DIST)
         .select(
