@@ -611,3 +611,7 @@ def test_q48_blocked_fuzzy_join_is_equi_hash(plans):
     assert "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p
+    # the probe side must fan out on the single-file fixture: the whole
+    # 25M-pair in-block expansion otherwise runs in ONE task (measured
+    # 44s -> 2.7s at sf0.1)
+    assert "RoundRobinPartitioning" in p
