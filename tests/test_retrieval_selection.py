@@ -145,3 +145,48 @@ def test_dsir_matches_independent_ground_truth(spark, corpus_dir):
     tgt = [want[i] for i, _, s in _CORPUS if s == _DSIR_TARGET]
     raw = list(want.values())
     assert sum(tgt) / len(tgt) > sum(raw) / len(raw)
+
+
+def test_rrf_hybrid_matches_independent_ground_truth(spark, corpus_dir):
+    """sim08's fusion, re-derived from scratch: exact cosine ranks from
+    the fixture embeddings (numpy), BM25 ranks from the pure-Python
+    scorer above, RRF = 1/(60+r) summed over the lists a doc appears
+    in, top-10 by (score, doc_id)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from quacfka_spark.operators.similarity import (
+        _QUERY_VEC_ID,
+        _RRF_DEPTH,
+        _RRF_K,
+        sim08_rrf_hybrid,
+    )
+
+    tbl = pq.read_table(os.path.join(corpus_dir, "embeddings.parquet"))
+    vec_ids = tbl["vec_id"].to_pylist()
+    embs = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    q = embs[vec_ids.index(_QUERY_VEC_ID)]
+    cos = embs @ q / (np.linalg.norm(embs, axis=1) * np.linalg.norm(q))
+    vtop = sorted(
+        ((round(float(c), 4), i) for i, c in zip(vec_ids, cos) if i != _QUERY_VEC_ID),
+        key=lambda t: (-t[0], t[1]),
+    )[:_RRF_DEPTH]
+    vrank = {i: r + 1 for r, (_, i) in enumerate(vtop)}
+
+    lex = sorted(_py_bm25().items(), key=lambda kv: (-kv[1], kv[0]))[:_RRF_DEPTH]
+    lrank = {i: r + 1 for r, (i, _) in enumerate(lex)}
+
+    want = {
+        i: round(
+            (1.0 / (_RRF_K + lrank[i]) if i in lrank else 0.0)
+            + (1.0 / (_RRF_K + vrank[i]) if i in vrank else 0.0),
+            6,
+        )
+        for i in set(lrank) | set(vrank)
+    }
+    top10 = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = [(r["doc_id"], r["rrf"]) for r in sim08_rrf_hybrid(spark, corpus_dir).collect()]
+    assert [i for i, _ in got] == [i for i, _ in top10]
+    for (gi, gs), (wi, ws) in zip(got, top10):
+        assert gs == pytest.approx(ws, abs=2e-6), (gi, gs, ws)
