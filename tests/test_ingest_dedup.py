@@ -159,3 +159,44 @@ def test_dedup_off_is_unchanged(spark, tmp_path):
     assert pipe.error() is None
     assert spark.read.parquet(os.path.join(out, "messages")).count() == 301
     assert not os.path.exists(os.path.join(out, "_dedup_ledger"))
+
+
+def test_dedup_with_raw_sink_off(spark, tmp_path):
+    """dedup + write_raw=False exercises the persist fallback (no raw
+    read-back to derive from): the normalized sink still sees exactly
+    the deduped rows and the ledger still accumulates per epoch."""
+    from quacfka_spark.plans.normalizer import NormalizerSpec
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    _write_batches(spark, src)
+    source = (
+        spark.readStream.schema("value binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    pipe = StreamingPipeline(
+        spark,
+        source,
+        PipelineConfig(
+            output_dir=out,
+            dest_table="messages",
+            available_now=True,
+            write_raw=False,
+            dedup_keys=["r.user_id", "r.amount"],
+        ),
+        decode=lambda df: decode_json(df, NESTED_SCHEMA),
+        normalizer=NormalizerSpec(
+            fields=["r.user_id", "r.amount"], aliases=["user_id", "amount"]
+        ),
+    )
+    q = pipe.start()
+    q.awaitTermination(180)
+    assert pipe.error() is None
+    assert not os.path.exists(os.path.join(out, "messages", "epoch=0"))
+    norm = spark.read.parquet(os.path.join(out, "messages_norm"))
+    assert norm.count() == 200
+    assert norm.select("user_id", "amount").distinct().count() == 200
+    assert (
+        spark.read.parquet(os.path.join(out, "_dedup_ledger")).count() == 200
+    )
