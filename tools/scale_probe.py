@@ -192,6 +192,7 @@ def main() -> None:
             results[name] = {"error": str(e)[:200]}
         print(f"# {name}: {results[name]}", file=sys.stderr)
 
+    extra = [o for o in (args.ops.split(",") if args.ops else []) if o.startswith("d07_salted")]
     ops = OPS if not args.ops else [o for o in OPS if o in args.ops.split(",")]
     for name in ops:
         if name == "t16_bm25_topk":
@@ -208,9 +209,12 @@ def main() -> None:
     # d07 with the degenerate-bucket salting engaged (salt_buckets=4) on
     # the same clustered corpus: same pair set, S(S+1)/2-way sub-bucket
     # spread — the measured cost of the skew mitigation at probe scale
-    if "d07_cosine_lsh_pairs" in ops:
+    if "d07_cosine_lsh_pairs" in ops or extra:
         from quacfka_spark.operators.dedup import _cosine_lsh_pairs
 
+        # "--ops d07_salted4" (without the unsalted op) times ONLY the
+        # salted path — the way to probe sizes where the unsalted run
+        # no longer fits the measurement window
         time_one(
             "d07_salted4",
             lambda s, d: _cosine_lsh_pairs(s, d, salt_buckets=4),
