@@ -86,6 +86,14 @@ class PipelineConfig:
     # a long-lived deployment buckets the ledger on the digest
     # (layout.write_bucketed) so the probe side joins exchange-free.
     dedup_keys: list[str] | None = None
+    # Dedup horizon: only the most recent N ledger epochs participate in
+    # the anti-join (None = the whole ingest history). The bounded mode
+    # is the middle ground between S5's event-time watermark and the
+    # unbounded ledger: state stays O(horizon x epoch-digests) forever,
+    # at the cost of re-admitting content older than the horizon — the
+    # right trade for topics where duplicates cluster in time
+    # (redeliveries, replays) rather than recur forever.
+    dedup_ledger_epochs: int | None = None
 
     def checkpoint(self) -> str:
         return self.checkpoint_dir or os.path.join(self.output_dir, "_checkpoint")
@@ -418,16 +426,24 @@ class StreamingPipeline:
         deduplicate against exactly the state its first attempt saw."""
         if not os.path.isdir(self._ledger_root):
             return []
-        out = []
+        epochs = []
         for name in os.listdir(self._ledger_root):
             if not name.startswith("epoch="):
                 continue
             try:
-                if int(name.split("=", 1)[1]) < epoch_id:
-                    out.append(os.path.join(self._ledger_root, name))
+                e = int(name.split("=", 1)[1])
             except ValueError:
                 continue
-        return sorted(out)
+            if e < epoch_id:
+                epochs.append(e)
+        epochs.sort()
+        horizon = self.config.dedup_ledger_epochs
+        if horizon is not None:
+            # the horizon is relative to the CURRENT epoch, not to how
+            # many ledger dirs exist, so a replayed epoch N sees the
+            # same window its first attempt saw (D19 idempotence)
+            epochs = [e for e in epochs if e >= epoch_id - horizon]
+        return [os.path.join(self._ledger_root, f"epoch={e}") for e in epochs]
 
     def _dedup_against_history(self, df: DataFrame, epoch_id: int) -> DataFrame:
         """Drop rows already inserted by any earlier epoch (plus

@@ -200,3 +200,67 @@ def test_dedup_with_raw_sink_off(spark, tmp_path):
     assert (
         spark.read.parquet(os.path.join(out, "_dedup_ledger")).count() == 200
     )
+
+
+def test_ledger_horizon_readmits_old_content(spark, tmp_path):
+    """dedup_ledger_epochs=1: epoch N dedups only against epoch N-1, so
+    content replayed after the horizon is re-admitted — bounded state,
+    the documented trade."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    # batch 0: ids 0-99; batch 1: ids 100-199; batch 2 replays ids 0-99
+    ranges = [(0, 100), (100, 200), (0, 100)]
+    for lo, hi in ranges:
+        (
+            spark.range(lo, hi)
+            .select(
+                F.encode(
+                    F.to_json(_nested_payload(F.col("id"))), "utf-8"
+                ).alias("value")
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    source = (
+        spark.readStream.schema("value binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    pipe = StreamingPipeline(
+        spark,
+        source,
+        PipelineConfig(
+            output_dir=out,
+            dest_table="messages",
+            available_now=True,
+            dedup_keys=["r.user_id", "r.amount"],
+            dedup_ledger_epochs=1,
+        ),
+        decode=lambda df: decode_json(df, NESTED_SCHEMA),
+    )
+    q = pipe.start()
+    q.awaitTermination(180)
+    assert pipe.error() is None
+    # the epoch-2 replay of ids 0-99 is OUTSIDE the 1-epoch horizon
+    # (epoch 1 held ids 100-199), so all 300 rows land
+    assert pipe.metrics.records_consumed == 300
+    assert pipe.metrics.records_inserted == 300
+    # unbounded ledger on the same stream would have dropped the replay
+    out2 = str(tmp_path / "out2")
+    pipe2 = StreamingPipeline(
+        spark,
+        spark.readStream.schema("value binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        PipelineConfig(
+            output_dir=out2,
+            dest_table="messages",
+            available_now=True,
+            dedup_keys=["r.user_id", "r.amount"],
+        ),
+        decode=lambda df: decode_json(df, NESTED_SCHEMA),
+    )
+    pipe2.start().awaitTermination(180)
+    assert pipe2.error() is None
+    assert pipe2.metrics.records_inserted == 200
