@@ -204,11 +204,12 @@ def main() -> None:
         and BENCH_r05.json recorded "parsed": null)."""
         if "total_rows_per_second" not in rep:
             return rep
+        # rows/s only: duration/MBps live in BENCH_STATS.json — every
+        # byte here competes with per-query detail for the 2000-char
+        # driver capture
         return {
             "total_rows_per_second": round(rep["total_rows_per_second"]),
             "records_per_second": round(rep["records_per_second"]),
-            "duration_seconds": rep.get("duration_seconds"),
-            "mb_per_second": rep.get("mb_per_second"),
         }
 
     headline = {
@@ -231,7 +232,7 @@ def main() -> None:
     except OSError:
         pass
     line = json.dumps(headline, separators=(",", ":"))
-    if len(line) > 1985:  # last-resort trim: driver tail capture is 2000 chars
+    if len(line) > 1900:  # last-resort trim: driver tail capture is 2000 chars
         # keep the slowest queries individually, fold the fast tail into
         # one "_others" bucket — headline value and per-query detail in
         # BENCH_STATS.json are unaffected

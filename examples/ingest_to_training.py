@@ -109,7 +109,9 @@ def ingest(spark: SparkSession, src: str, out: str) -> StreamingPipeline:
         ),
     )
     q = pipe.start()
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("ingest did not finish within 300s")
     err = pipe.error()
     if err is not None:
         raise RuntimeError(f"ingest failed: {err}")

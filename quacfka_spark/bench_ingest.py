@@ -341,8 +341,12 @@ def run_dedup_streaming_bench(
     shutil.rmtree(work_dir, ignore_errors=True)
     fmt, encode, decode = _codec(spark)
     unique = rows // 2
-    # id % unique: each payload occurs exactly twice; with 2 epochs the
-    # second sees ~all of its rows already in the ledger
+    # id % unique: each payload id occurs exactly twice; with 2 epochs
+    # the second sees ~all of its rows already in the ledger. NB the
+    # dedup KEY tuple (site.id, user_id, amount) is itself periodic in
+    # lcm(1000, 997) = 997,000 ids, so inserted lands at
+    # min(unique, 997000) distinct keys — INGEST_DEDUP.json's 997,000
+    # at rows=2M is the key-space bound, not over-dropping
     df = spark.range(0, rows, 1, cores * 2).select(
         encode(_nested_payload(F.col("id") % unique)).alias("value")
     )

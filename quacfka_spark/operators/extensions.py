@@ -621,7 +621,12 @@ def _ensure_compacted(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     Returns (fragmented_path, compacted_path)."""
     import os
 
-    from quacfka_spark.layout import artifact_dir, artifact_fresh, compact_files
+    from quacfka_spark.layout import (
+        artifact_dir,
+        artifact_fresh,
+        compact_files,
+        touch_done,
+    )
 
     sf_dir, wh, tag = artifact_dir(spark, sf_dir, extra="compact-v1")
     frag = os.path.join(wh, f"qs_events_frag_{tag}")
@@ -636,6 +641,7 @@ def _ensure_compacted(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         # round-robin exchange: every file tiny AND spanning the whole
         # time range — worst case for both open cost and stats pruning
         ev.repartition(_X10_FRAG_FILES).write.mode("overwrite").parquet(frag)
+        touch_done(frag)  # two-marker freshness contract, like compact_files
         compact_files(
             spark.read.parquet(frag), comp, files=_X10_OUT_FILES, sort_by=["ts"]
         )

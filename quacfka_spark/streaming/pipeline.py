@@ -406,7 +406,7 @@ class StreamingPipeline:
     # -- cross-epoch ingest dedup (config.dedup_keys) ----------------------
     _DEDUP_COL = "__dedup_digest"
 
-    def _digest(self, df: DataFrame) -> "F.Column":
+    def _digest(self) -> "F.Column":
         # 128-bit key as two seed-split xxhash64s — the repo's production
         # hash family (d03p): native, type-aware, null-safe, ~3x cheaper
         # than md5(to_json(struct(...))) per row (measured in the
@@ -450,7 +450,7 @@ class StreamingPipeline:
         within-batch duplicates). The anti-join probes 16-byte digests,
         never payloads; the payload-side shuffle is avoided while the
         ledger stays broadcastable and Bloom-prefiltered after that."""
-        df = df.withColumn(self._DEDUP_COL, self._digest(df))
+        df = df.withColumn(self._DEDUP_COL, self._digest())
         df = df.dropDuplicates([self._DEDUP_COL])
         prior = self._ledger_paths(epoch_id)
         if prior:
@@ -464,11 +464,34 @@ class StreamingPipeline:
         crash between sink write and ledger write heals on replay."""
         path = os.path.join(self._ledger_root, f"epoch={epoch_id}")
         (
-            src.select(self._digest(src).alias(self._DEDUP_COL))
+            src.select(self._digest().alias(self._DEDUP_COL))
             .distinct()
             .write.mode("overwrite")
             .parquet(path)
         )
+        horizon = self.config.dedup_ledger_epochs
+        if horizon is None:
+            return
+        # bounded-state contract: epochs that can no longer enter ANY
+        # future anti-join window are deleted. Epoch N+1 (and every
+        # later epoch, and any bounded replay of them) reads only
+        # [current - horizon, current), so pruning < epoch_id + 1 -
+        # horizon removes exactly the unreachable dirs.
+        import shutil
+
+        cutoff = epoch_id + 1 - horizon
+        if os.path.isdir(self._ledger_root):
+            for name in os.listdir(self._ledger_root):
+                if not name.startswith("epoch="):
+                    continue
+                try:
+                    e = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if e < cutoff:
+                    shutil.rmtree(
+                        os.path.join(self._ledger_root, name), ignore_errors=True
+                    )
 
     def _write(self, df: DataFrame, path: str, table: str) -> int:
         # Row count via Observation: piggybacks on the write job itself

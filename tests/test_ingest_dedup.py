@@ -246,6 +246,14 @@ def test_ledger_horizon_readmits_old_content(spark, tmp_path):
     # (epoch 1 held ids 100-199), so all 300 rows land
     assert pipe.metrics.records_consumed == 300
     assert pipe.metrics.records_inserted == 300
+    # bounded-state contract: dirs outside every future window are
+    # PRUNED, not merely skipped (after epoch 2 with horizon 1, only
+    # epoch >= 2 survives)
+    ledger_dirs = sorted(
+        p for p in os.listdir(os.path.join(out, "_dedup_ledger"))
+        if p.startswith("epoch=")
+    )
+    assert ledger_dirs == ["epoch=2"], ledger_dirs
     # unbounded ledger on the same stream would have dropped the replay
     out2 = str(tmp_path / "out2")
     pipe2 = StreamingPipeline(

@@ -212,13 +212,17 @@ def main() -> None:
     if "d07_cosine_lsh_pairs" in ops or extra:
         from quacfka_spark.operators.dedup import _cosine_lsh_pairs
 
-        # "--ops d07_salted4" (without the unsalted op) times ONLY the
-        # salted path — the way to probe sizes where the unsalted run
-        # no longer fits the measurement window
-        time_one(
-            "d07_salted4",
-            lambda s, d: _cosine_lsh_pairs(s, d, salt_buckets=4),
-        )
+        # "--ops d07_saltedN" (without the unsalted op) times ONLY the
+        # salted path with salt_buckets=N — the way to probe sizes
+        # where the unsalted run no longer fits the measurement window
+        salts = sorted(
+            {int(o[len("d07_salted"):]) for o in extra if o[len("d07_salted"):].isdigit()}
+        ) or [4]
+        for s_n in salts:
+            time_one(
+                f"d07_salted{s_n}",
+                lambda s, d, s_n=s_n: _cosine_lsh_pairs(s, d, salt_buckets=s_n),
+            )
 
     report = {
         "metric": "scale_probe_wall_time",
