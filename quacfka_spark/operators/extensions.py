@@ -692,3 +692,90 @@ def x10_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# X11 — incremental changelog merge (CDC upsert/delete snapshot maintenance)
+_X11_CUTOFF = "2024-01-22"
+
+
+@query(
+    "x11_changelog_merge",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+             SUM(value) OVER (PARTITION BY user_id) AS sv
+      FROM events)
+    SELECT user_id, ts AS last_ts, event_type AS last_type,
+           ROUND(value, 2) AS last_value,
+           CAST(n_events AS BIGINT) AS n_events,
+           ROUND(sv, 2) AS sum_value
+    FROM r WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """,
+    doc="Incremental snapshot maintenance (the MERGE INTO / CDC-upsert "
+    "pattern): the event stream is a changelog keyed by user_id, "
+    "'error' rows are tombstones, and the live snapshot is "
+    "latest-wins per key plus additively mergeable stats. The Spark "
+    "side does it INCREMENTALLY — reduce the pre-cutoff history and "
+    "the post-cutoff delta separately, then merge the two partial "
+    "snapshots (argmax re-max + count/sum re-add) — exactly how a "
+    "100 TB snapshot is maintained without rescanning history: the "
+    "base reduce is amortized across ingests and only the delta is "
+    "new work each cycle. Tombstoned keys STAY in the merged state "
+    "(a later upsert must resurrect them); the delete filter applies "
+    "only on publish. The oracle recomputes the snapshot from the "
+    "full history in one window pass - agreement proves the "
+    "merge is lossless.",
+)
+def x11_changelog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design: each reduce is ONE partial+final aggregation on
+    the key with argmax as max-of-struct ordered by (ts, event_id) — no
+    window over raw rows. The struct-valued max buffer forces Spark's
+    sort-based agg fallback (SortAggregate: a map-side LOCAL sort by
+    key, no extra exchange), which is the right trade at 100 TB: the
+    partial agg still reduces each task to one row per key BEFORE the
+    shuffle, where the window formulation would shuffle every raw row.
+    The merge re-agg then runs with ZERO additional exchange — both
+    reduced inputs are already hash-partitioned on user_id, and Spark
+    stacks partial+final directly over the co-partitioned union
+    (plan-pinned). The reference delegates snapshot queries to DuckDB
+    (/root/reference/duck.go:70-72); the incremental-merge shape is the
+    extension."""
+    t = load_views(spark, sf_dir)
+    ev = t["events"]
+    cutoff = F.lit(_X11_CUTOFF).cast("timestamp")
+
+    def reduce_slice(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "event_type", "value")).alias("last"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sv"),
+        )
+
+    base = reduce_slice(ev.filter(F.col("ts") < cutoff))
+    delta = reduce_slice(ev.filter(F.col("ts") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.max("last").alias("last"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("sv").alias("sv"),
+        )
+    )
+    return (
+        merged.filter(F.col("last.event_type") != "error")
+        .select(
+            "user_id",
+            F.col("last.ts").alias("last_ts"),
+            F.col("last.event_type").alias("last_type"),
+            F.round(F.col("last.value"), 2).alias("last_value"),
+            "n_events",
+            F.round(F.col("sv"), 2).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
