@@ -101,6 +101,8 @@ HEADLINE = [
     "q49_pivot",
     "q50_unpivot",
     "x11_changelog_merge",
+    "q51_running_distinct",
+    "x12_gap_fill",
 ]
 
 

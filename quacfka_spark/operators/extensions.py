@@ -779,3 +779,87 @@ def x11_changelog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# X12 — time-series gap fill + forward fill (hypertable resample)
+@query(
+    "x12_gap_fill",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             COUNT(*) AS n, ROUND(SUM(value), 2) AS raw_sum
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi
+             FROM agg GROUP BY 1),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM span),
+    f AS (
+      SELECT s.event_type, s.hr, COALESCE(a.n, 0) AS n, a.raw_sum
+      FROM spine s LEFT JOIN agg a USING (event_type, hr))
+    SELECT event_type, hr, CAST(n AS BIGINT) AS n,
+           last_value(raw_sum IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY hr) AS sum_filled,
+           (raw_sum IS NULL) AS is_gap
+    FROM f ORDER BY event_type, hr
+    """,
+    doc="Gap fill + forward fill (the TimescaleDB time_bucket_gapfill / "
+    "locf op): hourly rollup per series, a generated dense hour spine "
+    "per series over its own [min, max] span, missing buckets joined "
+    "in as explicit zero-count gap rows, and the last observed hourly "
+    "total carried forward with last(ignorenulls) (a SUM, not an AVG: "
+    "sums of 2-decimal inputs stay on the 0.01 grid so cross-engine "
+    "rounding is stable, where an average of a 2-row bucket lands "
+    "exactly on the .005 boundary both engines round differently). The spine is "
+    "GENERATED (|series| rows exploding to buckets), never scanned, so "
+    "gap detection costs a |series x buckets| hash join against the "
+    "already-aggregated rollup — raw events are touched exactly once.",
+)
+def x12_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design: the rollup is one partial+final agg on (series,
+    bucket); everything after runs on aggregated rows. The forward-fill
+    window partitions on the series key — 5 types in the fixture, but
+    the production shape is millions of independent series (one per
+    metric/device), so the window parallelizes on the same key the
+    rollup already shuffled on. TimescaleDB's gapfill is the reference
+    analog of this rollup maintenance (the reference delegates its
+    aggregate-to-table queries to DuckDB, /root/reference/duck.go:70-72)."""
+    t = load_views(spark, sf_dir)
+    agg = (
+        t["events"]
+        .select("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"), "value")
+        .groupBy("event_type", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("raw_sum"),
+        )
+    )
+    spine = (
+        agg.groupBy("event_type")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("hr"),
+        )
+    )
+    return (
+        spine.join(agg, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("raw_sum", ignorenulls=True)
+            .over(
+                Window.partitionBy("event_type")
+                .orderBy("hr")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .alias("sum_filled"),
+            F.col("raw_sum").isNull().alias("is_gap"),
+        )
+        .orderBy("event_type", "hr")
+    )

@@ -1085,3 +1085,57 @@ def q50_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand", "metric")
     )
+
+
+# --------------------------------------------------------------------------
+# Q51 — running COUNT(DISTINCT) over a window (dialect-gap rewrite)
+@query(
+    "q51_running_distinct",
+    oracle="""
+    WITH dd AS (
+      SELECT DISTINCT event_type, date_trunc('day', ts) AS day, user_id
+      FROM events)
+    SELECT DISTINCT event_type, day,
+           CAST(count(DISTINCT user_id)
+                  OVER (PARTITION BY event_type ORDER BY day)
+                AS BIGINT) AS cum_users
+    FROM dd ORDER BY event_type, day
+    """,
+    doc="Cumulative distinct-user count per event type by day — "
+    "COUNT(DISTINCT) OVER, a window shape Spark does not support "
+    "directly (DuckDB does; it is the oracle formulation). The "
+    "distributed rewrite is first-occurrence flags + running sum: a "
+    "user contributes to the cumulative count exactly on their first "
+    "day, so min(day) per (type, user) -> new-user counts per (type, "
+    "day) -> cumulative sum over the per-day frame. Every aggregate is "
+    "partial+final on its key and the window runs over |types|x|days| "
+    "aggregated rows, never raw events — where a naive per-row distinct "
+    "window would hold per-partition hash sets of every user ever "
+    "seen. The same rewrite is how cumulative-reach dashboards scale.",
+)
+def q51_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    ev = t["events"].select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "user_id",
+    )
+    first = ev.groupBy("event_type", "user_id").agg(F.min("day").alias("day"))
+    new_users = first.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    days = ev.select("event_type", "day").distinct()
+    return (
+        days.join(new_users, ["event_type", "day"], "left")
+        .withColumn("new_users", F.coalesce("new_users", F.lit(0)))
+        .withColumn(
+            "cum_users",
+            F.sum("new_users").over(
+                W.partitionBy("event_type")
+                .orderBy("day")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .select("event_type", "day", "cum_users")
+        .orderBy("event_type", "day")
+    )

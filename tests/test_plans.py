@@ -662,3 +662,31 @@ def test_x11_merge_reuses_partitioning_filters_pushed(plans):
     assert len(re.findall(r"rangepartitioning\(user_id", p)) == 1
     # latest-wins via agg, not a raw-row window
     assert "row_number" not in p
+
+
+def test_q51_running_distinct_windows_aggregated_rows_only(plans):
+    """The COUNT(DISTINCT) OVER rewrite: every aggregate combines
+    map-side, the new-user side broadcasts into the day spine, and the
+    running-sum window runs over |types|x|days| AGGREGATED rows — no
+    raw-event window (the thing that can't scale)."""
+    p = plans("q51_running_distinct")
+    assert "partial_min" in p and "partial_count" in p
+    assert "BroadcastHashJoin" in p
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1
+    # the window's input partitioning is the aggregated event_type frame
+    assert "hashpartitioning(event_type" in p
+    for s in read_schemas(p):  # neither scan reads value/event_id
+        assert "value" not in s and "event_id" not in s
+
+
+def test_x12_gap_fill_generated_spine_single_rollup(plans):
+    """Gap fill: the hour spine is GENERATED from the |series|-row span
+    agg (one Generate node), the rollup is one partial+final agg on
+    (series, bucket), and the forward-fill window runs over the joined
+    aggregated frame — raw events are scanned for the rollup and span
+    only."""
+    p = plans("x12_gap_fill")
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 1
+    assert "partial_sum" in p and "partial_max" in p
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
