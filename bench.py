@@ -103,6 +103,7 @@ HEADLINE = [
     "x11_changelog_merge",
     "q51_running_distinct",
     "x12_gap_fill",
+    "q52_recursive_cte",
 ]
 
 

@@ -1139,3 +1139,49 @@ def q51_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "cum_users")
         .orderBy("event_type", "day")
     )
+
+
+# --------------------------------------------------------------------------
+# Q52 — recursive CTE (iterative fixpoint in the SQL surface)
+@query(
+    "q52_recursive_cte",
+    oracle="""
+    WITH RECURSIVE up AS (
+      SELECT s_suppkey AS k, s_suppkey AS a, 0 AS depth FROM supplier
+      UNION ALL
+      SELECT k, a // 10, depth + 1 FROM up WHERE a > 0
+    )
+    SELECT u.k AS s_suppkey, CAST(MAX(u.depth) AS BIGINT) AS depth,
+           ROUND(SUM(b.s_acctbal), 2) AS chain_bal
+    FROM up u JOIN supplier b ON u.a = b.s_suppkey
+    GROUP BY u.k ORDER BY s_suppkey
+    """,
+    doc="WITH RECURSIVE (Spark 4's UnionLoop): walk each supplier's "
+    "ancestor chain in a derived decimal hierarchy (parent = key DIV "
+    "10) and aggregate over the expanded paths — the recursion "
+    "operator the reference's DuckDB surface has always offered and "
+    "Spark only gained in 4.x. Every iteration is a full distributed "
+    "step (filter + project over the previous frontier), so depth — "
+    "O(log10 max_key) here, bounded by spark.sql.cteRecursionLevelLimit "
+    "— not data size, bounds the plan; the final join + agg are "
+    "ordinary hash operators. d06's driver-looped label propagation is "
+    "the DataFrame-side analog for fixpoints whose depth is data-"
+    "dependent.",
+)
+def q52_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    t["supplier"].createOrReplaceTempView("q52_supplier")
+    return spark.sql(
+        """
+        WITH RECURSIVE up AS (
+          SELECT s_suppkey AS k, s_suppkey AS a, 0 AS depth
+          FROM q52_supplier
+          UNION ALL
+          SELECT k, a DIV 10, depth + 1 FROM up WHERE a > 0
+        )
+        SELECT u.k AS s_suppkey, CAST(MAX(u.depth) AS BIGINT) AS depth,
+               ROUND(SUM(b.s_acctbal), 2) AS chain_bal
+        FROM up u JOIN q52_supplier b ON u.a = b.s_suppkey
+        GROUP BY u.k ORDER BY s_suppkey
+        """
+    )

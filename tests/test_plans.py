@@ -690,3 +690,12 @@ def test_x12_gap_fill_generated_spine_single_rollup(plans):
     assert "partial_sum" in p and "partial_max" in p
     assert len(re.findall(r"\(\d+\) Window", p)) == 1
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q52_recursive_cte_plans_union_loop(plans):
+    """WITH RECURSIVE compiles to Spark 4's UnionLoop operator (depth-
+    bounded iterative plan), with the post-recursion join + aggregate
+    as ordinary partial-agged hash operators — no driver-side loop."""
+    p = plans("q52_recursive_cte")
+    assert "UnionLoop" in p and "UnionLoopRef" in p
+    assert "partial_max" in p or "partial_sum" in p
