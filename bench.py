@@ -98,8 +98,6 @@ HEADLINE = [
     "sim08_rrf_hybrid",
     "x10_compact_scan",
     "q48_fuzzy_match",
-    "q49_pivot",
-    "q50_unpivot",
     "x11_changelog_merge",
     "q51_running_distinct",
     "x12_gap_fill",

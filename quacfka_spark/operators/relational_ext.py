@@ -999,95 +999,6 @@ def q48_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Q49 — PIVOT (wide conditional aggregation)
-@query(
-    "q49_pivot",
-    oracle="""
-    SELECT l_returnflag,
-           SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS f_qty,
-           ROUND(AVG(CASE WHEN l_linestatus = 'F'
-                          THEN l_extendedprice END), 2) AS f_avg_price,
-           SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS o_qty,
-           ROUND(AVG(CASE WHEN l_linestatus = 'O'
-                          THEN l_extendedprice END), 2) AS o_avg_price
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
-    """,
-    doc="PIVOT: rows-to-columns reshaping (sum qty + avg price per "
-    "linestatus as columns). The pivot values are DECLARED (['F','O']) "
-    "— without the explicit list Spark first runs a distinct job over "
-    "the pivot column to discover them, an extra full scan the caller "
-    "can always avoid when the domain is known. With values pinned "
-    "Spark plans the standard two-level shape: a partial+final hash "
-    "agg on (group, pivot_value) shrinks the input to |groups|x|values| "
-    "rows, then pivotfirst re-aggregates those to one wide row per "
-    "group — BOTH exchanges carry already-aggregated rows, so at "
-    "100 TB the cost is q04-class (scan + map-side combine), never a "
-    "row-level reshuffle. The oracle is the portable CASE-WHEN "
-    "formulation.",
-)
-def q49_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_views(spark, sf_dir)
-    piv = (
-        t["lineitem"]
-        .groupBy("l_returnflag")
-        .pivot("l_linestatus", ["F", "O"])
-        .agg(
-            F.sum("l_quantity").alias("qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-        )
-    )
-    return piv.select(
-        "l_returnflag",
-        F.col("F_qty").alias("f_qty"),
-        F.col("F_avg_price").alias("f_avg_price"),
-        F.col("O_qty").alias("o_qty"),
-        F.col("O_avg_price").alias("o_avg_price"),
-    ).orderBy("l_returnflag")
-
-
-# --------------------------------------------------------------------------
-# Q50 — UNPIVOT / melt (columns-to-rows reshaping)
-@query(
-    "q50_unpivot",
-    oracle="""
-    WITH up AS (
-      SELECT p_brand, 'retailprice' AS metric,
-             CAST(p_retailprice AS DOUBLE) AS val FROM part
-      UNION ALL
-      SELECT p_brand, 'size', CAST(p_size AS DOUBLE) FROM part)
-    SELECT p_brand, metric, COUNT(*) AS n, ROUND(SUM(val), 2) AS total
-    FROM up GROUP BY p_brand, metric ORDER BY p_brand, metric
-    """,
-    doc="UNPIVOT/melt: wide measure columns to (metric, value) rows, "
-    "then a long-format aggregate — the reshaping step every "
-    "metrics-collection pipeline runs before storing heterogeneous "
-    "measures in one table. Spark's DataFrame.unpivot compiles to a "
-    "single Expand over the scan (each input row emits one row per "
-    "measure) — one pass, no join, no union-of-scans — where the "
-    "oracle's portable UNION ALL formulation reads the table once per "
-    "measure. At 100 TB that difference is k-1 saved full scans for k "
-    "measures; the follow-up aggregation is an ordinary partial+final "
-    "shuffle on (brand, metric).",
-)
-def q50_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_views(spark, sf_dir)
-    p = t["part"].select(
-        "p_brand",
-        F.col("p_retailprice").cast("double").alias("retailprice"),
-        F.col("p_size").cast("double").alias("size"),
-    )
-    up = p.unpivot(["p_brand"], ["retailprice", "size"], "metric", "val")
-    return (
-        up.groupBy("p_brand", "metric")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("val"), 2).alias("total"),
-        )
-        .orderBy("p_brand", "metric")
-    )
-
-
-# --------------------------------------------------------------------------
 # Q51 — running COUNT(DISTINCT) over a window (dialect-gap rewrite)
 @query(
     "q51_running_distinct",

@@ -58,6 +58,10 @@ MULTIFILE_QUERIES = (
     "t16_bm25_topk",
     "t17_dsir_resample",
     "sim08_rrf_hybrid",
+    "q48_fuzzy_match",
+    "q51_running_distinct",
+    "x11_changelog_merge",
+    "x12_gap_fill",
 )
 
 # few-files layout exercises the spread path; many-files exercises the

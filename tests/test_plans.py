@@ -617,36 +617,6 @@ def test_q48_blocked_fuzzy_join_is_equi_hash(plans):
     assert "RoundRobinPartitioning" in p
 
 
-def test_q49_pivot_two_level_agg_no_distinct_job(plans):
-    """Pinned pivot values: no distinct-discovery job, and both
-    exchanges carry already-aggregated rows (partial_sum below the
-    first, pivotfirst between the two)."""
-    p = plans("q49_pivot")
-    assert "partial_pivotfirst" in p  # pivot itself combines map-side
-    assert "partial_sum" in p  # pre-agg on (group, value) combines too
-    assert "Expand" not in p
-    # lineitem scan reads exactly the 4 referenced columns
-    (schema,) = read_schemas(p)
-    cols = sorted(c.split(":")[0] for c in schema.split(","))
-    assert cols == [
-        "l_extendedprice",
-        "l_linestatus",
-        "l_quantity",
-        "l_returnflag",
-    ]
-
-
-def test_q50_unpivot_is_single_expand_single_scan(plans):
-    """DataFrame.unpivot compiles to ONE Expand over ONE scan — never
-    the oracle's union of per-measure scans — and the long-format agg
-    combines map-side before its exchange."""
-    p = plans("q50_unpivot")
-    assert len(re.findall(r"\(\d+\) Expand", p)) == 1
-    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
-    assert "Union" not in p
-    assert "partial_count" in p and "partial_sum" in p
-
-
 def test_x11_merge_reuses_partitioning_filters_pushed(plans):
     """Incremental changelog merge: both slice filters reach the scans,
     each slice reduces map-side (partial max-of-struct) before its

@@ -35,6 +35,9 @@ TS_QUERIES = (
     "s02_sliding_window",
     "s03_session_window",
     "q37_range_interval_frame",
+    "q51_running_distinct",
+    "x11_changelog_merge",
+    "x12_gap_fill",
 )
 
 _FLAVORS = {
