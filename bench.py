@@ -102,6 +102,7 @@ HEADLINE = [
     "q51_running_distinct",
     "x12_gap_fill",
     "q52_recursive_cte",
+    "d11_cdc_dedup",
 ]
 
 

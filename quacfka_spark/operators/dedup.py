@@ -1653,3 +1653,177 @@ def d03r_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n_exact", "n_lsh", "n_common", recall.alias("recall"), ok.alias("ok")
     )
+
+
+# --------------------------------------------------------------------------
+# d11 — content-defined chunking dedup (offset-robust exact-substring
+# removal). Fixed-grid chunking (d09) misses a duplicated passage the
+# moment an insertion shifts its alignment; CDC cuts where a hash of the
+# trailing W-gram crosses a threshold, so boundaries move WITH the
+# content and a long substring shared at ANY offset yields the same
+# interior chunks in every document containing it (the backup-dedup /
+# LBFS chunking idea applied to corpus text, and the practical
+# distributed stand-in for Lee et al. 2021's suffix-array ExactSubstr,
+# arXiv:2107.06499).
+_D11_W = 8          # boundary decision window (chars)
+_D11_MEAN = 24      # cut prob 1/MEAN -> mean chunk ~MEAN chars
+_D11_MIN_LEN = 20   # chunks shorter than this are never deduped
+#                     (ExactSubstr's min-match-length knob: common short
+#                     fragments are language, not duplication)
+
+
+@query(
+    "d11_cdc_dedup",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range({_D11_W}, len(text) + 1)) AS i
+      FROM documents),
+    cuts AS (
+      SELECT doc_id, list(i ORDER BY i) AS cs FROM pos
+      WHERE CAST(concat('0x',
+              substr(md5(CAST(substr(text, i - {_D11_W} + 1, {_D11_W})
+                              AS VARCHAR)), 1, 4)) AS INT) / 65536.0
+            < 1.0 / {_D11_MEAN}
+      GROUP BY doc_id),
+    b AS (
+      SELECT d.doc_id, d.text,
+             list_sort(list_distinct(list_concat(
+               list_concat([0], COALESCE(c.cs, [])), [len(d.text)])))
+               AS bounds
+      FROM documents d LEFT JOIN cuts c USING (doc_id)
+      WHERE len(d.text) > 0),
+    ch0 AS (
+      SELECT doc_id,
+             list_transform(range(1, len(bounds)),
+               j -> {{'cid': j, 'chunk':
+                      substr(text, bounds[j] + 1, bounds[j+1] - bounds[j])}})
+               AS cl
+      FROM b),
+    ch AS (
+      SELECT doc_id, u.cid AS chunk_id, u.chunk AS chunk
+      FROM ch0, unnest(cl) AS t(u)),
+    r AS (
+      SELECT doc_id, chunk_id, chunk,
+             ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, chunk_id) AS rn
+      FROM ch),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(COUNT(*) FILTER (len(chunk) >= {_D11_MIN_LEN} AND rn > 1)
+               AS BIGINT) AS n_dropped,
+             md5(array_to_string(
+               list(chunk ORDER BY chunk_id)
+                 FILTER (len(chunk) < {_D11_MIN_LEN} OR rn = 1),
+               '')) AS kept_md5
+      FROM r GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(a.n_chunks, 0) AS n_chunks,
+           COALESCE(a.n_dropped, 0) AS n_dropped,
+           COALESCE(a.kept_md5, md5('')) AS kept_md5
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="Content-defined chunking dedup: cut each document where the "
+    "md5-fraction of the trailing 8-gram falls under 1/24 (mean chunk "
+    "~24 chars), so chunk boundaries are a function of CONTENT, not "
+    "position — a passage duplicated at any offset chunks identically "
+    "everywhere it appears. Every duplicated chunk of >= 20 chars is "
+    "dropped except its corpus-wide first occurrence (doc_id, "
+    "chunk_id order); short chunks are exempt (common fragments are "
+    "language, not duplication). Output mirrors d09: per-doc chunk/"
+    "dropped counts + md5 of the reassembled surviving text. The "
+    "oracle formulates retention independently via ROW_NUMBER instead "
+    "of the engine's min-struct.",
+)
+def d11_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): boundary detection is pure per-row codegen
+    (no shuffle); the retention decision is ONE exchange keyed on the
+    16-byte chunk digest with the chunk text riding only to reassembly
+    (d09's documented trade), and reassembly is the same doc_id
+    exchange with map-side partial collect. The md5-per-position
+    boundary hash is the cross-engine-portable formulation; a
+    production deployment swaps in an O(1)-per-char gear/buzhash
+    rolling hash via pandas_udf with identical downstream plumbing —
+    the hash only has to be deterministic, not portable. Reference
+    relation: the reference has no text dedup at all (it delegates SQL
+    to DuckDB, /root/reference/duck.go:49-52); d11 extends the d09
+    family with the offset-robust variant."""
+    from pyspark.sql.window import Window
+
+    from quacfka_spark.functions.text import md5_frac
+
+    t = load_views(spark, sf_dir)
+    docs = _spread(spark, t["documents"]).select("doc_id", "text")
+    w_lit = F.lit(_D11_W)
+    pos = F.sequence(w_lit, F.length("text"))
+    cuts = F.filter(
+        pos,
+        lambda i: md5_frac(F.substring(F.col("text"), i - w_lit + F.lit(1), w_lit))
+        < (1.0 / _D11_MEAN),
+    )
+    bounds = F.array_distinct(
+        F.concat(F.array(F.lit(0)), cuts, F.array(F.length("text")))
+    )
+    # bounds is EXPENSIVE (one md5 per char position): materialize it in
+    # its own projection below the Generate so the chunk-slicing
+    # expressions reference the computed column — inlining it into the
+    # transform lambda re-evaluated the whole boundary scan once per
+    # reference (measured 3-4x the cost at sf0.1)
+    bdf = docs.filter(F.length("text") > 0).select(
+        "doc_id", "text", bounds.alias("bounds")
+    )
+    ch = (
+        bdf.select(
+            "doc_id",
+            "text",
+            "bounds",
+            F.posexplode(F.sequence(F.lit(0), F.size("bounds") - 2)).alias(
+                "cid0", "j"
+            ),
+        )
+        .select(
+            "doc_id",
+            (F.col("cid0") + 1).cast("bigint").alias("chunk_id"),  # oracle 1-based
+            F.substring(
+                F.col("text"),
+                F.get("bounds", F.col("j")) + F.lit(1),
+                F.get("bounds", F.col("j") + 1) - F.get("bounds", F.col("j")),
+            ).alias("chunk"),
+        )
+    )
+    w = Window.partitionBy(F.md5("chunk"))
+    first = F.min(F.struct("doc_id", "chunk_id")).over(w)
+    keep = (F.length("chunk") < _D11_MIN_LEN) | (
+        F.struct("doc_id", "chunk_id") == first
+    )
+    flagged = ch.withColumn("keep", keep)
+    agg = flagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.count_if(~F.col("keep")).cast("bigint").alias("n_dropped"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("chunk_id", "chunk"))
+                        )
+                    ),
+                    lambda s: s.chunk,
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+    return (
+        t["documents"]
+        .select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )

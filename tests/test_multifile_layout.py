@@ -59,6 +59,7 @@ MULTIFILE_QUERIES = (
     "t17_dsir_resample",
     "sim08_rrf_hybrid",
     "q48_fuzzy_match",
+    "d11_cdc_dedup",
     "q51_running_distinct",
     "x11_changelog_merge",
     "x12_gap_fill",

@@ -669,3 +669,20 @@ def test_q52_recursive_cte_plans_union_loop(plans):
     p = plans("q52_recursive_cte")
     assert "UnionLoop" in p and "UnionLoopRef" in p
     assert "partial_max" in p or "partial_sum" in p
+
+
+def test_d11_cdc_single_generate_one_digest_window(plans):
+    """CDC dedup: boundary detection materializes ONCE below the
+    Generate (inlining it into the chunk-slice lambda re-ran the per-
+    position hash scan 3-4x — measured), retention is one window
+    exchange on the chunk digest, and reassembly is the doc_id
+    aggregate — no cartesian, no raw-text second scan."""
+    p = plans("d11_cdc_dedup")
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 1
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    schemas = read_schemas(p)
+    assert all(
+        sorted(c.split(":")[0] for c in s.split(",")) in
+        (["doc_id"], ["doc_id", "text"]) for s in schemas
+    )
