@@ -1827,3 +1827,114 @@ def d11_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# d11 production twin: gearhash CDC boundaries as an Arrow pandas_udf.
+# The registered d11 key uses the md5-per-position boundary rule because
+# it is expressible in BOTH engines (oracle-checkable); a 100 TB
+# deployment swaps in this O(1)-per-char rolling gearhash — the chunker
+# used by content-defined dedup systems (FastCDC-family) — with the
+# SAME downstream plumbing (digest window -> first-occurrence keep ->
+# reassembly). Only determinism matters for correctness, not
+# portability, so the gear table is a fixed seeded PRNG draw.
+_GEAR_SEED = 0x5EED
+_GEAR_MASK = 31           # cut when (h & mask) == 0 -> mean chunk ~32 chars
+_GEAR_MIN = 8             # min chunk length (suppresses degenerate cuts)
+
+
+def _gear_table():
+    import numpy as np
+
+    rng = np.random.default_rng(_GEAR_SEED)
+    return rng.integers(0, 2**63, size=256, dtype=np.int64).astype(object)
+
+
+def gear_bounds_udf():
+    """pandas_udf: text -> array<int> of CDC cut positions (the same
+    [0, ..., len] bounds shape the registered d11 builds with the
+    portable md5 rule). Built lazily — pandas_udf needs a live session."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def bounds(texts):
+        import pandas as pd
+
+        gear = _gear_table()
+        out = []
+        for s in texts:
+            if s is None:
+                out.append(None)
+                continue
+            # positions are CODE POINTS, not bytes: downstream slicing
+            # uses substring() char offsets, which must match exactly
+            cuts = [0]
+            h = 0
+            last = 0
+            for i, c in enumerate(s, start=1):
+                h = ((h << 1) + int(gear[ord(c) & 0xFF])) & ((1 << 63) - 1)
+                if i - last >= _GEAR_MIN and (h & _GEAR_MASK) == 0:
+                    cuts.append(i)
+                    last = i
+            if cuts[-1] != len(s):
+                cuts.append(len(s))
+            out.append(cuts)
+        return pd.Series(out)
+
+    return bounds
+
+
+def cdc_dedup_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d11 with gearhash boundaries — the production chunker wired to
+    the identical retention/reassembly plumbing. Engine-tested (offset
+    robustness + planted-dup agreement vs the registered md5-rule d11);
+    not a registered key: its boundaries are not SQL-expressible, and
+    the d03p precedent already covers the 'production hash family'
+    reporting pattern."""
+    from pyspark.sql.window import Window
+
+    t = load_views(spark, sf_dir)
+    docs = _spread(spark, t["documents"]).select("doc_id", "text")
+    bdf = docs.filter(F.length("text") > 0).select(
+        "doc_id", "text", gear_bounds_udf()(F.col("text")).alias("bounds")
+    )
+    ch = (
+        bdf.select(
+            "doc_id",
+            "text",
+            "bounds",
+            F.posexplode(F.sequence(F.lit(0), F.size("bounds") - 2)).alias(
+                "cid0", "j"
+            ),
+        )
+        .select(
+            "doc_id",
+            (F.col("cid0") + 1).cast("bigint").alias("chunk_id"),
+            F.substring(
+                F.col("text"),
+                F.get("bounds", F.col("j")) + F.lit(1),
+                F.get("bounds", F.col("j") + 1) - F.get("bounds", F.col("j")),
+            ).alias("chunk"),
+        )
+    )
+    w = Window.partitionBy(F.md5("chunk"))
+    first = F.min(F.struct("doc_id", "chunk_id")).over(w)
+    keep = (F.length("chunk") < _D11_MIN_LEN) | (
+        F.struct("doc_id", "chunk_id") == first
+    )
+    flagged = ch.withColumn("keep", keep)
+    agg = flagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.count_if(~F.col("keep")).cast("bigint").alias("n_dropped"),
+    )
+    return (
+        t["documents"]
+        .select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+        .orderBy("doc_id")
+    )

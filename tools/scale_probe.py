@@ -59,6 +59,7 @@ OPS = [
     "sim07_pq_topk",
     "t16_bm25_topk",
     "t17_dsir_resample",
+    "d11_cdc_dedup",
 ]
 
 
