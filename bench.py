@@ -103,6 +103,7 @@ HEADLINE = [
     "x12_gap_fill",
     "q52_recursive_cte",
     "d11_cdc_dedup",
+    "x13_dynamic_pruned_join",
 ]
 
 

@@ -863,3 +863,76 @@ def x12_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hr")
     )
+
+
+# --------------------------------------------------------------------------
+# x13: dynamic partition pruning — the RUNTIME sibling of x07's static
+# pruning demo and the third leg of the layout triptych (x06 bucketing,
+# x07 static pruning, x13 runtime pruning). x07 prunes on a literal the
+# planner can see; x13 prunes on a predicate only known after evaluating
+# the DIM SIDE of a join (here: "event types whose category is
+# 'engagement'"), which is the shape every star-schema fact scan has at
+# 100 TB — the fact filter lives in a dimension attribute, not in the
+# fact table. Spark's InjectRuntimeFilter/DPP rule turns the broadcast
+# dim into a directory-listing filter on the partitioned fact scan
+# (PartitionFilters: [... dynamicpruningexpression(...)]), so the fact
+# table's non-matching partitions cost ZERO I/O even though no literal
+# partition predicate appears in the query.
+
+_X13_DIM = [
+    ("view", "engagement"),
+    ("click", "engagement"),
+    ("purchase", "revenue"),
+    ("signup", "acquisition"),
+    ("error", "ops"),
+]
+
+
+@query(
+    "x13_dynamic_pruned_join",
+    oracle="""
+    WITH dim AS (
+      SELECT * FROM (VALUES
+        ('view', 'engagement'), ('click', 'engagement'),
+        ('purchase', 'revenue'), ('signup', 'acquisition'),
+        ('error', 'ops')) AS t(event_type, category))
+    SELECT e.event_type,
+           d.category,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e JOIN dim d USING (event_type)
+    WHERE d.category = 'engagement'
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+    doc="Dynamic partition pruning: the fact (events, partitioned by "
+    "event_type on disk) is filtered by a DIMENSION attribute "
+    "(category = 'engagement'), never by a literal partition predicate "
+    "— Spark's DPP rule broadcasts the filtered dim and prunes the "
+    "fact scan's directories at runtime "
+    "(tests/test_plans.py::test_x13_dynamic_pruning_reaches_scan pins "
+    "the dynamicpruningexpression in PartitionFilters). The oracle "
+    "runs the same join on the unpartitioned view — layout must never "
+    "change results.",
+)
+def x13_dynamic_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): the canonical star-schema scan. The dim is
+    tiny (broadcast, reused as the pruning subquery — no extra job); the
+    fact scan lists only the 2 matching directories out of
+    |event_type|, so scan I/O tracks the SELECTED data, not the table.
+    One partial-agg exchange on (event_type, category) after the
+    broadcast join. Partition-column choice follows x07's rule
+    (low-cardinality filter keys); DPP is what keeps that choice useful
+    when the predicate arrives through a dimension instead of a
+    literal."""
+    path = _ensure_partitioned(spark, sf_dir)
+    ev = spark.read.parquet(path).select("event_type", "value")
+    dim = spark.createDataFrame(_X13_DIM, ["event_type", "category"])
+    return (
+        ev.join(F.broadcast(dim.filter(F.col("category") == "engagement")), "event_type")
+        .groupBy("event_type", "category")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -429,6 +429,26 @@ def test_x07_partition_pruning_reaches_scan(plans):
     assert "partial_count" in p or re.search(r"HashAggregate.*partial", p)
 
 
+def test_x13_dynamic_pruning_reaches_scan(plans):
+    """x13's fact filter lives in a DIM attribute (category), not a
+    literal — the partitioned scan must still prune at the directory
+    level via the runtime dynamicpruningexpression (the broadcast dim
+    reused as the pruning subquery). A plan that scans all event_type
+    partitions and filters after the join reads the whole fact table."""
+    p = plans("x13_dynamic_pruned_join")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "dynamicpruningexpression" in m.group(1), p[:800]
+    # dim rides a broadcast join — the fact side never shuffles pre-agg
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    # partial agg before the (event_type, category) exchange
+    assert "partial_count" in p or re.search(r"HashAggregate.*partial", p)
+    # scan reads only the join/agg columns, never ts/props/user_id
+    for schema in read_schemas(p):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert not cols & {"ts", "props", "user_id", "event_id"}, schema
+
+
 def test_t13_blocklist_broadcasts_and_prunes_text(plans):
     """The domain blocklist is a broadcast dim (no shuffle of the corpus
     for the filter) and the scan never reads the document body — URL
