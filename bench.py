@@ -107,6 +107,62 @@ HEADLINE = [
 ]
 
 
+def _compact_ingest(rep: dict) -> dict:
+    """Keep only the headline ingest fields on the stdout line (the
+    driver's tail capture is ~2 KB; round 5's full line overflowed it
+    and BENCH_r05.json recorded "parsed": null)."""
+    if "total_rows_per_second" not in rep:
+        return rep
+    # rows/s only: duration/MBps live in BENCH_STATS.json — every
+    # byte here competes with per-query detail for the 2000-char
+    # driver capture
+    return {
+        "total_rows_per_second": round(rep["total_rows_per_second"]),
+        "records_per_second": round(rep["records_per_second"]),
+    }
+
+
+# Hard byte budget for the single stdout JSON line: the driver's tail
+# capture truncates around 2000 chars, and a line that doesn't parse
+# loses the round's headline record (BENCH_r05.json). Guarded by
+# tests/test_bench_emit.py against query-count growth.
+LINE_BUDGET = 1900
+
+
+def build_headline_line(
+    timings: dict[str, float],
+    sf,
+    ingest: dict,
+    ingest_streaming: dict,
+    errors: dict[str, str] | None = None,
+    value: float | None = None,
+) -> str:
+    """Render the ONE parseable stdout line, trimming the per-query map
+    (slowest kept individually, fast tail folded into "_others") until
+    it fits LINE_BUDGET. The headline value is always the full sum."""
+    headline = {
+        "metric": "headline_query_wall_time",
+        "value": round(sum(timings.values()), 4) if value is None else value,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "ingest": _compact_ingest(ingest),
+        "ingest_streaming": _compact_ingest(ingest_streaming),
+        **({"errors": errors} if errors else {}),
+    }
+    line = json.dumps(headline, separators=(",", ":"))
+    keep_n = 40
+    while len(line) > LINE_BUDGET and keep_n >= 0:
+        keep = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:keep_n])
+        rest = round(sum(t for n, t in timings.items() if n not in keep), 2)
+        keep["_others"] = rest
+        headline["queries"] = keep
+        headline["n_queries"] = len(timings)
+        line = json.dumps(headline, separators=(",", ":"))
+        keep_n -= 8
+    return line
+
+
 def main() -> None:
     spark = get_spark("quacfka-spark-bench")
     queries = get_queries()
@@ -202,53 +258,30 @@ def main() -> None:
         }
         for n, ts in samples.items()
     }
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_str = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf = float(sf_str) if sf_str.replace(".", "").isdigit() else sf_str
+    value = round(sum(min(ts) for ts in samples.values()), 4)
 
-    def _compact_ingest(rep: dict) -> dict:
-        """Keep only the headline ingest fields on the stdout line (the
-        driver's tail capture is ~2 KB; round 5's full line overflowed it
-        and BENCH_r05.json recorded "parsed": null)."""
-        if "total_rows_per_second" not in rep:
-            return rep
-        # rows/s only: duration/MBps live in BENCH_STATS.json — every
-        # byte here competes with per-query detail for the 2000-char
-        # driver capture
-        return {
-            "total_rows_per_second": round(rep["total_rows_per_second"]),
-            "records_per_second": round(rep["records_per_second"]),
-        }
-
-    headline = {
-        "metric": "headline_query_wall_time",
-        "value": round(sum(min(ts) for ts in samples.values()), 4),
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "ingest": _compact_ingest(ingest),
-        "ingest_streaming": _compact_ingest(ingest_streaming),
-        **({"errors": errors} if errors else {}),
-    }
     # Full detail (per-query best/median/max + untrimmed ingest reports)
     # goes to stderr and a side file, never the parsed stdout line.
-    full = dict(headline, query_stats=stats, ingest=ingest, ingest_streaming=ingest_streaming)
+    full = {
+        "metric": "headline_query_wall_time",
+        "value": value,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "query_stats": stats,
+        "ingest": ingest,
+        "ingest_streaming": ingest_streaming,
+        **({"errors": errors} if errors else {}),
+    }
     print(json.dumps(full), file=sys.stderr)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_STATS.json"), "w") as fh:
             json.dump(full, fh, indent=1)
     except OSError:
         pass
-    line = json.dumps(headline, separators=(",", ":"))
-    if len(line) > 1900:  # last-resort trim: driver tail capture is 2000 chars
-        # keep the slowest queries individually, fold the fast tail into
-        # one "_others" bucket — headline value and per-query detail in
-        # BENCH_STATS.json are unaffected
-        keep = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:40])
-        rest = round(sum(t for n, t in timings.items() if n not in keep), 2)
-        keep["_others"] = rest
-        headline["queries"] = keep
-        headline["n_queries"] = len(timings)
-        line = json.dumps(headline, separators=(",", ":"))
-    print(line)
+    print(build_headline_line(timings, sf, ingest, ingest_streaming, errors, value=value))
     spark.stop()
 
 
