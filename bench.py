@@ -104,6 +104,7 @@ HEADLINE = [
     "q52_recursive_cte",
     "d11_cdc_dedup",
     "x13_dynamic_pruned_join",
+    "t18_shuffle_shard",
 ]
 
 

@@ -1420,3 +1420,70 @@ def t17_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# t18: deterministic shuffle + shard assignment — the LAST stage of every
+# training-data pipeline: the curated corpus must reach the trainer in a
+# reproducible pseudo-random order, split into fixed shards, WITHOUT a
+# global sort (a total ORDER BY md5 over 100 TB is one range exchange +
+# a full-corpus sort — the classic final-stage bottleneck). The shard id
+# is a pure hash of the doc key (retry/re-run stable, the x02 sampler
+# argument) and the within-shard position orders by the same hash, so
+# the only exchange is hashpartitioning(shard) and every sort is
+# shard-local (the write path is repartition(shard) +
+# sortWithinPartitions — exactly this plan).
+
+_T18_SHARDS = 16
+
+
+@query(
+    "t18_shuffle_shard",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM documents)
+    SELECT doc_id,
+           CAST(hv % {_T18_SHARDS} AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hv % {_T18_SHARDS}
+                                   ORDER BY hv, doc_id) AS BIGINT) AS pos
+    FROM h ORDER BY shard, pos
+    """,
+    doc="Deterministic corpus shuffle + sharding: shard = md5(doc_id) "
+    "mod N, within-shard position = rank by the same hash — a "
+    "reproducible pseudo-random training order with NO global sort. "
+    "Identical under task retries and re-runs (pure function of the "
+    "key), identical in the oracle.",
+)
+def t18_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): ONE exchange keyed on the shard id and a
+    shard-local sort (the window's partition sort) — wall-clock scales
+    with the largest shard, and shards are hash-balanced by
+    construction. The production writer is the same plan with the
+    window replaced by repartition(shard).sortWithinPartitions(hv) +
+    partitionBy(shard) parquet write; the registered key keeps the
+    row_number so the order is oracle-checkable. The doc body never
+    shuffles — join it back by doc_id at read time, or carry it
+    through the one exchange when writing shards directly."""
+    t = load_views(spark, sf_dir)
+    hv = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+    )
+    h = t["documents"].select("doc_id", hv.alias("hv"))
+    shard = (F.col("hv") % _T18_SHARDS).cast("bigint")
+    from pyspark.sql.window import Window as _W
+
+    return (
+        h.select(
+            "doc_id",
+            shard.alias("shard"),
+            F.row_number()
+            .over(_W.partitionBy(shard).orderBy("hv", "doc_id"))
+            .cast("bigint")
+            .alias("pos"),
+        )
+        .orderBy("shard", "pos")
+    )

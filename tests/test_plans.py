@@ -603,6 +603,20 @@ def test_t17_text_never_shuffles_weights_broadcast(plans):
     assert "partial_count" in p
 
 
+def test_t18_one_shard_exchange_no_text(plans):
+    """The reproducible-shuffle shard map: ONE hash exchange (keyed on
+    the shard hash) feeding a shard-local window sort; the scan reads
+    only doc_id (the body never shuffles), and the only range exchange
+    is the final presentation sort, not the shuffle computation."""
+    p = plans("t18_shuffle_shard")
+    hashex = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
+    assert len(hashex) == 1, hashex
+    assert len(re.findall(r"rangepartitioning", p)) <= 1
+    for schema in read_schemas(p):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols == {"doc_id"}, schema
+
+
 def test_sim08_bounded_candidates_no_cartesian(plans):
     """RRF fusion: both candidate sides are depth-bounded
     (TakeOrderedAndProject), the query vector is broadcast, and the
