@@ -105,6 +105,11 @@ HEADLINE = [
     "d11_cdc_dedup",
     "x13_dynamic_pruned_join",
     "t18_shuffle_shard",
+    "q49_histogram",
+    "q50_ntile_deciles",
+    "t19_split_assign",
+    "d12_ngram_novelty",
+    "sim09_range_search",
 ]
 
 

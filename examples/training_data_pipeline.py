@@ -54,6 +54,8 @@ from quacfka_spark.operators.text import (
     t11_repetition_rules,
     t13_url_filter,
     t17_dsir_resample,
+    t18_shuffle_shard,
+    t19_split_assign,
 )
 from quacfka_spark.functions.text import tokens
 
@@ -266,6 +268,26 @@ def main() -> None:
         f"curated corpus: {stats['docs']} docs, {stats['tokens']} tokens, "
         f"avg quality {stats['avg_quality']}"
     )
+
+    # 7. split + shard — the hand-off to the trainer: t19 assigns every
+    # curated doc its contamination-aware split (train/val/test, with
+    # benchmark-overlapping docs quarantined and the eval source held
+    # out), then t18's deterministic hash-shard map orders the TRAIN
+    # slice for consumption — reproducible under retries and re-runs,
+    # no global sort. Only (doc_id, split/shard) ids cross these joins.
+    splits = t19_split_assign(spark, sf_dir).select("doc_id", "split")
+    labeled = corpus.join(splits, "doc_id")
+    for r in sorted(labeled.groupBy("split").count().collect()):
+        print(f"  split {r['split']}: {r['count']} docs")
+    train_shards = (
+        labeled.filter(F.col("split") == "train")
+        .select("doc_id")
+        .join(t18_shuffle_shard(spark, sf_dir), "doc_id")
+        .groupBy("shard")
+        .count()
+    )
+    n_shards = train_shards.count()
+    print(f"train slice sharded into {n_shards} hash-balanced shards")
 
 
 if __name__ == "__main__":

@@ -1938,3 +1938,78 @@ def cdc_dedup_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# d12: per-document n-gram NOVELTY — the incremental-ingest accounting
+# twin of d09's removal: when new data lands on an existing corpus, how
+# much of each doc is genuinely new text vs n-grams the corpus already
+# holds? The per-doc novelty fraction drives keep/drop and mixture
+# decisions in growing-corpus pipelines (and, summed, reports the
+# marginal token value of a new crawl snapshot).
+@query(
+    "d12_ngram_novelty",
+    oracle="""
+    WITH toks AS (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                  FROM documents),
+    sh AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+               THEN list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                   for i in range(1, len(tk) - 1)])
+               ELSE [] END) AS s
+           FROM toks),
+    firsts AS (SELECT doc_id, s,
+                      MIN(doc_id) OVER (PARTITION BY md5(s)) AS first_doc
+               FROM sh)
+    SELECT t.doc_id,
+           CAST(COALESCE(COUNT(f.s), 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(SUM(CASE WHEN f.first_doc = f.doc_id
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = f.doc_id THEN 1 ELSE 0 END)
+                 / COUNT(f.s), 4) AS novelty
+    FROM toks t LEFT JOIN firsts f ON t.doc_id = f.doc_id
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+    doc="Per-doc n-gram novelty vs corpus arrival order: the fraction "
+    "of a doc's distinct 3-gram shingles whose FIRST corpus occurrence "
+    "(min doc_id over the shingle) is that doc. 1.0 = all-new text, "
+    "0.0 = everything already seen — the incremental-crawl value "
+    "report. Sub-3-token docs carry 0 shingles and NULL novelty.",
+)
+def d12_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): shuffle carries (16-byte shingle digest,
+    doc_id) pairs only — the doc body never moves (the d01/d09 digest
+    discipline) — and first-occurrence is a min window on the digest
+    key: one digest-keyed exchange + one doc_id-keyed agg exchange,
+    both partial-aggregated map-side where the planner allows. Same
+    O(total shingles) posture as t08's inverted index; never all-pairs.
+    Reference analog: none (opaque bytes, kafka.go:151) — this is the
+    accounting stage a training pipeline layers on."""
+    docs = spread_for_cpu(load_views(spark, sf_dir)["documents"])
+    toks = docs.select("doc_id", norm_tokens("text").alias("tk"))
+    sh = toks.select(
+        "doc_id",
+        F.explode_outer(
+            shingles(F.col("tk"), short_empty=True)
+        ).alias("s"),
+    ).select("doc_id", F.md5("s").alias("dg"), F.col("s").isNotNull().alias("has"))
+    from pyspark.sql.window import Window as _W
+
+    firsts = sh.withColumn(
+        "first_doc",
+        F.min(F.when(F.col("has"), F.col("doc_id"))).over(_W.partitionBy("dg")),
+    )
+    novel = F.when(F.col("has") & (F.col("first_doc") == F.col("doc_id")), 1).otherwise(
+        F.lit(0)
+    )
+    return (
+        firsts.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("has"), 1).otherwise(0)).cast("bigint").alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(
+                F.sum(novel) / F.sum(F.when(F.col("has"), 1)), 4
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

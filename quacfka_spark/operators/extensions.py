@@ -748,36 +748,53 @@ def x11_changelog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_views(spark, sf_dir)
     ev = t["events"]
     cutoff = F.lit(_X11_CUTOFF).cast("timestamp")
+    base = changelog_reduce(ev.filter(F.col("ts") < cutoff))
+    delta = changelog_reduce(ev.filter(F.col("ts") >= cutoff))
+    return changelog_publish(changelog_merge(base, delta)).orderBy("user_id")
 
-    def reduce_slice(df: DataFrame) -> DataFrame:
-        return df.groupBy("user_id").agg(
-            F.max(F.struct("ts", "event_id", "event_type", "value")).alias("last"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sv"),
-        )
 
-    base = reduce_slice(ev.filter(F.col("ts") < cutoff))
-    delta = reduce_slice(ev.filter(F.col("ts") >= cutoff))
-    merged = (
-        base.unionByName(delta)
-        .groupBy("user_id")
-        .agg(
-            F.max("last").alias("last"),
-            F.sum("n_events").alias("n_events"),
-            F.sum("sv").alias("sv"),
-        )
+def changelog_reduce(df: DataFrame) -> DataFrame:
+    """Reduce a changelog slice to ONE state row per key: latest-wins
+    argmax as max-of-struct ordered by (ts, event_id) + additively
+    mergeable count/sum. Public building block of x11's incremental
+    snapshot and the streaming (foreachBatch) form, where each
+    micro-batch delta is reduced with this exact aggregate before
+    merging into the state at rest (tests/test_streaming.py::s08)."""
+    return df.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("last"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sv"),
     )
-    return (
-        merged.filter(F.col("last.event_type") != "error")
-        .select(
-            "user_id",
-            F.col("last.ts").alias("last_ts"),
-            F.col("last.event_type").alias("last_type"),
-            F.round(F.col("last.value"), 2).alias("last_value"),
-            "n_events",
-            F.round(F.col("sv"), 2).alias("sum_value"),
-        )
-        .orderBy("user_id")
+
+
+def changelog_merge(*snapshots: DataFrame) -> DataFrame:
+    """Merge reduced snapshots: re-max the argmax struct, re-add the
+    additive stats. Associative and commutative, so any number of
+    epoch-reduced states merge in one agg — with inputs already
+    hash-partitioned on the key, Spark stacks partial+final over the
+    co-partitioned union with ZERO extra exchange (plan-pinned in
+    tests/test_plans.py)."""
+    out = snapshots[0]
+    for s in snapshots[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("user_id").agg(
+        F.max("last").alias("last"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("sv").alias("sv"),
+    )
+
+
+def changelog_publish(state: DataFrame) -> DataFrame:
+    """Publish view of a merged state: drop tombstoned keys (state
+    RETAINS them so later upserts resurrect; the filter is publish-time
+    only) and flatten the argmax struct to columns."""
+    return state.filter(F.col("last.event_type") != "error").select(
+        "user_id",
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.event_type").alias("last_type"),
+        F.round(F.col("last.value"), 2).alias("last_value"),
+        "n_events",
+        F.round(F.col("sv"), 2).alias("sum_value"),
     )
 
 

@@ -1101,3 +1101,116 @@ def q52_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY u.k ORDER BY s_suppkey
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Q49 — equi-width histogram (data-driven bounds, one stats broadcast)
+_Q49_BUCKETS = 12
+
+
+@query(
+    "q49_histogram",
+    oracle=f"""
+    WITH s AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+               FROM orders)
+    SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / {_Q49_BUCKETS})),
+                      {_Q49_BUCKETS - 1}) AS BIGINT) AS bucket,
+           ROUND(MIN(lo + ((hi - lo) / {_Q49_BUCKETS}) *
+                 LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / {_Q49_BUCKETS})),
+                       {_Q49_BUCKETS - 1})), 4) AS lo_edge,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS mass
+    FROM orders, s
+    GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Equi-width histogram with data-driven bounds: one tiny "
+    "min/max aggregate broadcast to every task (a 1-row dimension, "
+    "the t16 corpus-stats pattern), then bucket = floor((v-lo)/width) "
+    "as pure codegen arithmetic and a partial+final count per bucket. "
+    "Two passes over the fact by necessity (bounds, then counts) but "
+    "the only exchanges are the 1-row stats agg and the "
+    f"{_Q49_BUCKETS}-row bucket agg — the histogram every profiler "
+    "(ANALYZE, x05) builds, made explicit. At 100 TB the bounds pass "
+    "can read parquet footer min/max instead (x10's footer-stats "
+    "trick) making it metadata-only.",
+)
+def q49_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    o = t["orders"]
+    stats = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(_Q49_BUCKETS)
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+        F.lit(_Q49_BUCKETS - 1),
+    ).cast("bigint")
+    return (
+        o.join(F.broadcast(stats))
+        .select(
+            bucket.alias("bucket"),
+            (F.col("lo") + width * bucket).alias("edge"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.round(F.min("edge"), 4).alias("lo_edge"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("mass"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q50 — per-group decile statistics via NTILE
+@query(
+    "q50_ntile_deciles",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority,
+             ntile(10) OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey) AS decile,
+             o_totalprice
+      FROM orders)
+    SELECT o_orderpriority, CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM d GROUP BY o_orderpriority, decile
+    ORDER BY o_orderpriority, decile
+    """,
+    doc="Per-group decile table: NTILE(10) partitioned by order "
+    "priority with a (price, key) total order — the tie-break key "
+    "makes bucket assignment deterministic and engine-identical — "
+    "then count/min/max/avg per decile. One hash exchange on the "
+    "group key and a group-local sort; the decile agg is "
+    "partial+final over |groups|x10 rows. Exact NTILE sorts each "
+    "group, so this is the parity surface; at 100 TB the production "
+    "path is q30p's t-digest sketch (bucket edges from quantiles, "
+    "no per-group sort) — the same exact-vs-sketch split as "
+    "q30/q30p.",
+)
+def q50_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_views(spark, sf_dir)
+    d = t["orders"].select(
+        "o_orderpriority",
+        F.ntile(10)
+        .over(
+            W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+        )
+        .cast("bigint")
+        .alias("decile"),
+        "o_totalprice",
+    )
+    return (
+        d.groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority", "decile")
+    )

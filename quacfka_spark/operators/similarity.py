@@ -882,3 +882,102 @@ def sim08_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
 
+
+
+# --------------------------------------------------------------------------
+# sim09: RANGE search (radius query) with multi-probe LSH — the "all
+# neighbors within tau" complement to the top-k operators: retrieval
+# dedup gates, near-dup audits, and recommendation candidate pulls ask
+# "everything at least this similar", not "the best k". Single-probe
+# LSH (sim02) misses near-boundary vectors; probing the query bucket
+# PLUS every bucket at Hamming distance 1 (flip each sign bit once) is
+# the classic multi-probe recall boost that costs 1+BITS bucket reads
+# instead of another hash table.
+_SIM09_TAU = 0.2
+
+
+def _sim09_probes_sql(bits: int) -> str:
+    return f"""
+    probes AS (
+      SELECT qb AS p, CAST(0 AS BIGINT) AS hamming FROM q
+      UNION ALL
+      SELECT substr(qb, 1, i - 1) ||
+             (CASE WHEN substr(qb, i, 1) = '1' THEN '0' ELSE '1' END) ||
+             substr(qb, i + 1),
+             CAST(1 AS BIGINT)
+      FROM q, generate_series(1, {bits}) t(i))"""
+
+
+@query(
+    "sim09_range_search",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_duckdb_sign_bucket('embedding', _LSH_BITS)} AS bucket
+      FROM embeddings),
+    q AS (SELECT embedding AS qv, bucket AS qb FROM b
+          WHERE vec_id = {_QUERY_VEC_ID}),
+    {_sim09_probes_sql(_LSH_BITS)}
+    SELECT e.vec_id, p.hamming,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.qv AS DOUBLE[])), 4) AS cos
+    FROM b e JOIN probes p ON e.bucket = p.p, q
+    WHERE e.vec_id <> {_QUERY_VEC_ID}
+      AND list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                 CAST(q.qv AS DOUBLE[])) >= {_SIM09_TAU}
+    ORDER BY cos DESC, vec_id
+    """,
+    doc="Cosine RANGE search (all neighbors with cos >= tau) under "
+    "multi-probe sign-LSH: probe the query's bucket plus every "
+    "Hamming-distance-1 bucket (flip each of the 4 sign bits once), "
+    "exact-verify only inside probed buckets. Unbounded-result twin "
+    "of sim02's top-k; hamming reports which probe ring found each "
+    "neighbor.",
+)
+def sim09_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): the probe list is 1+BITS rows built from
+    the query row and BROADCAST — the corpus side is filtered to the
+    probed buckets at the scan (with the bucket as a partition/cluster
+    key, sim02's IVF layout, this is partition pruning: only 5 of 2^BITS
+    cells are read) and never shuffles; the verify fold is codegen, the
+    result is filter-not-sort. Candidate volume is bounded by the probed
+    cells' occupancy, independent of result count — the d07 posture."""
+    t = load_views(spark, sf_dir)
+    # spread before the fold: with the probe side broadcast, a single-file
+    # scan would run every interpreted cosine fold in ONE task (the d07/
+    # t08 conditional fan-out; skipped on already-parallel scans)
+    b = spread_for_cpu(t["embeddings"]).select(
+        "vec_id", "embedding", sign_bucket("embedding", _LSH_BITS).alias("bucket")
+    )
+    q = b.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qb")
+    )
+    qb = F.col("qb")
+    flips = [
+        F.struct(
+            F.concat(
+                F.substring(qb, 1, i - 1),
+                F.when(F.substring(qb, i, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+                F.substring(qb, i + 1, _LSH_BITS - i),
+            ).alias("p"),
+            F.lit(1).cast("bigint").alias("hamming"),
+        )
+        for i in range(1, _LSH_BITS + 1)
+    ]
+    probes = q.select(
+        "qv",
+        F.explode(
+            F.array(
+                F.struct(qb.alias("p"), F.lit(0).cast("bigint").alias("hamming")),
+                *flips,
+            )
+        ).alias("pr"),
+    ).select("qv", F.col("pr.p").alias("p"), F.col("pr.hamming").alias("hamming"))
+    cos = cosine("embedding", "qv")
+    return (
+        b.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(probes), F.col("bucket") == F.col("p"))
+        .filter(cos >= _SIM09_TAU)
+        .select("vec_id", "hamming", F.round(cos, 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+    )

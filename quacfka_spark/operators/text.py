@@ -1487,3 +1487,113 @@ def t18_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "pos")
     )
+
+
+# --------------------------------------------------------------------------
+# t19: contamination-aware train/val/test split — the stage between
+# decontamination (t08) and sharding (t18): every curated doc gets a
+# deterministic split label, benchmark-overlapping docs are quarantined
+# out of train, and the held-out eval source itself is labeled holdout.
+from quacfka_spark.functions.text import md5_frac, md5_frac_sql  # noqa: E402
+
+_T19_TEST = 0.01   # md5 fraction < 1% -> test
+_T19_VAL = 0.02    # 1-2% -> val, rest -> train
+
+_T19_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, source,
+                         regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                  FROM documents),
+    sh AS (SELECT doc_id, source,
+           CASE WHEN len(tk) >= 3
+                THEN list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                    for i in range(1, len(tk) - 1)])
+                ELSE [] END AS shs
+           FROM toks),
+    ev AS (SELECT doc_id, unnest(shs) AS s FROM sh WHERE source = '{T08_EVAL_SOURCE}'),
+    co AS (SELECT doc_id, unnest(shs) AS s FROM sh WHERE source <> '{T08_EVAL_SOURCE}'),
+    bad AS (SELECT DISTINCT co.doc_id
+            FROM co JOIN ev ON co.s = ev.s
+            GROUP BY co.doc_id, ev.doc_id
+            HAVING COUNT(DISTINCT co.s) >= {_T08_MIN_SHARED}),
+    base AS (SELECT doc_id, source,
+                    CASE WHEN {md5_frac_sql("doc_id")} < {_T19_TEST} THEN 'test'
+                         WHEN {md5_frac_sql("doc_id")} < {_T19_VAL} THEN 'val'
+                         ELSE 'train' END AS base_split,
+                    doc_id IN (SELECT doc_id FROM bad) AS is_bad
+             FROM documents)
+    SELECT doc_id,
+           CASE WHEN source = '{T08_EVAL_SOURCE}' THEN 'holdout'
+                WHEN is_bad AND base_split = 'train' THEN 'quarantined'
+                ELSE base_split END AS split,
+           CAST(CASE WHEN is_bad THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+    FROM base ORDER BY doc_id
+    """
+
+
+@query(
+    "t19_split_assign",
+    oracle=_T19_ORACLE,
+    doc="Contamination-aware dataset split: split = pure md5 hash of "
+    "doc_id (98/1/1 train/val/test, retry/re-run stable, the x02 "
+    "coin), docs sharing >= 3 distinct 3-gram shingles with the "
+    "held-out eval source are QUARANTINED out of train (they may "
+    "still serve as val/test, which never update weights), and eval "
+    "docs themselves are labeled holdout. The split decision a "
+    "training run must make exactly once, reproducibly.",
+)
+def t19_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): the contamination set is t08's inverted-
+    index join (eval side broadcast, never all-pairs) reduced to
+    DISTINCT doc_id — bounded by the eval set's reach, orders of
+    magnitude smaller than the corpus — and broadcast back as the
+    quarantine dimension; the split label itself is zero-shuffle
+    codegen arithmetic on md5(doc_id). The corpus is scanned once,
+    shuffles only its contaminated (doc_id) rows, and the body never
+    moves. Reference analog: none — the reference's DuckDB surface
+    would run this as SQL over completed files (duck.go:110-119)."""
+    t = load_views(spark, sf_dir)
+    docs = spread_for_cpu(t["documents"])
+    toks = docs.select("doc_id", "source", norm_tokens("text").alias("tk"))
+    sh = toks.select(
+        "doc_id", "source", shingles(F.col("tk"), short_empty=True).alias("shs")
+    )
+    ev = (
+        sh.filter(F.col("source") == T08_EVAL_SOURCE)
+        .select(F.col("doc_id").alias("eval_doc_id"), F.explode_outer("shs").alias("s"))
+    )
+    co = (
+        sh.filter(F.col("source") != T08_EVAL_SOURCE)
+        .select("doc_id", F.explode_outer("shs").alias("s"))
+    )
+    contaminated = (
+        co.join(F.broadcast(ev), "s")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count_distinct("s").alias("n_shared"))
+        .filter(F.col("n_shared") >= _T08_MIN_SHARED)
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    frac = md5_frac("doc_id")
+    base = F.when(frac < _T19_TEST, F.lit("test")).when(
+        frac < _T19_VAL, F.lit("val")
+    ).otherwise(F.lit("train"))
+    return (
+        t["documents"]
+        .select("doc_id", "source", base.alias("base_split"))
+        .join(F.broadcast(contaminated), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("source") == T08_EVAL_SOURCE, F.lit("holdout"))
+            .when(
+                (F.col("contaminated") == 1) & (F.col("base_split") == "train"),
+                F.lit("quarantined"),
+            )
+            .otherwise(F.col("base_split"))
+            .alias("split"),
+            F.coalesce(F.col("contaminated"), F.lit(0))
+            .cast("bigint")
+            .alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

@@ -720,3 +720,69 @@ def test_d11_cdc_single_generate_one_digest_window(plans):
         sorted(c.split(":")[0] for c in s.split(",")) in
         (["doc_id"], ["doc_id", "text"]) for s in schemas
     )
+
+
+def test_q49_pruned_scans_one_bucket_exchange(plans):
+    """Histogram: both passes over orders read ONLY o_totalprice, the
+    1-row bounds aggregate broadcasts (never a shuffle of the fact),
+    bucket counts partial-aggregate map-side, and the only hash
+    exchange is the |buckets|-row agg."""
+    p = plans("q49_histogram")
+    for schema in read_schemas(p):
+        assert schema == "o_totalprice:double", schema
+    assert "partial_min" in p and "partial_count" in p
+    assert "BroadcastExchange" in p
+    hashex = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
+    assert len(hashex) == 1 and "bucket" in hashex[0], hashex
+
+
+def test_q50_one_group_exchange_partial_agg(plans):
+    """Decile table: ONE hash exchange on the group key feeds both the
+    NTILE window sort and the decile aggregate (already co-partitioned,
+    no second exchange); the agg partial-combines map-side."""
+    p = plans("q50_ntile_deciles")
+    hashex = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
+    assert len(hashex) == 1 and "o_orderpriority" in hashex[0], hashex
+    assert "ntile(10)" in p
+    assert "partial_count" in p
+
+
+def test_t19_label_scan_never_reads_text(plans):
+    """Split assignment: the label pass reads only (doc_id, source) —
+    the body feeds ONLY the contamination subtree; the eval side's
+    source filter reaches its scan; contamination set and eval index
+    both broadcast (the corpus-side label pass never shuffles)."""
+    p = plans("t19_split_assign")
+    schemas = read_schemas(p)
+    assert any(
+        sorted(c.split(":")[0] for c in s.split(",")) == ["doc_id", "source"]
+        for s in schemas
+    ), schemas
+    assert "EqualTo(source,src0)" in p
+    assert len(re.findall(r"BroadcastHashJoin", p)) >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_d12_digest_shuffles_only(plans):
+    """Novelty: exactly two hash exchanges — the shingle-digest window
+    and the per-doc agg — and the digest exchange carries (dg, doc_id)
+    rows, never text; both aggregates partial-combine map-side."""
+    p = plans("d12_ngram_novelty")
+    hashex = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
+    assert len(hashex) == 2, hashex
+    assert any("dg" in h for h in hashex) and any("doc_id" in h for h in hashex)
+    assert "partial_sum" in p
+    for schema in read_schemas(p):
+        cols = sorted(c.split(":")[0] for c in schema.split(","))
+        assert cols == ["doc_id", "text"], schema
+
+
+def test_sim09_probes_broadcast_corpus_never_shuffles(plans):
+    """Range search: the 1+BITS probe rows broadcast; the corpus side
+    joins without ANY hash exchange (bucket-pruned at the scan in an
+    IVF layout) and the query-vector filter is pushed down."""
+    p = plans("sim09_range_search")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert len(re.findall(r"Arguments: hashpartitioning\(", p)) == 0
+    assert "Not(EqualTo(vec_id,0))" in p

@@ -489,3 +489,103 @@ def test_s02_streaming_sliding_window_equivalence(spark, tmp_path):
         map(tuple, get_queries()["s02_sliding_window"](spark, sf_dir).collect())
     )
     assert got == want
+
+
+def test_s08_streaming_changelog_foreachbatch_merge(spark, tmp_path):
+    """x11's streaming form, run through a REAL readStream: each
+    micro-batch delta is changelog_reduce'd and merged into the state
+    at rest (epoch-versioned parquet — the D19 idempotent-sink
+    discipline), tombstones survive in state so later upserts
+    resurrect the key, and the published snapshot after N micro-batches
+    equals the one-shot batch reduce over the full changelog — the
+    merge is lossless across any batch boundary placement."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quacfka_spark.operators.extensions import (
+        changelog_merge,
+        changelog_publish,
+        changelog_reduce,
+    )
+
+    def write_changelog(d, name, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(d, name))
+
+    B1 = [
+        (1, TS("2024-01-01 10:00:00"), 1, "click", 1.0),
+        (2, TS("2024-01-01 10:05:00"), 1, "view", 2.0),
+        (3, TS("2024-01-01 10:01:00"), 2, "click", 3.0),
+    ]
+    B2 = [
+        (4, TS("2024-01-01 10:10:00"), 2, "error", 0.0),  # tombstone u2
+        (5, TS("2024-01-01 10:02:00"), 3, "view", 5.0),
+        (6, TS("2024-01-01 10:20:00"), 1, "click", 7.0),
+    ]
+    B3 = [
+        (7, TS("2024-01-01 10:30:00"), 2, "view", 9.0),  # resurrect u2
+    ]
+
+    src = tmp_path / "changelog_in"
+    src.mkdir()
+    state_root = tmp_path / "state"
+    state_root.mkdir()
+    state_paths: list[str] = []
+
+    def upsert(batch_df, epoch_id):
+        delta = changelog_reduce(batch_df)
+        if state_paths:
+            prev = spark.read.parquet(state_paths[-1])
+            new = changelog_merge(prev, delta)
+        else:
+            new = delta
+        out = str(state_root / f"e{epoch_id}")
+        new.write.mode("overwrite").parquet(out)
+        state_paths.append(out)
+
+    write_changelog(str(src), "b1.parquet", B1)
+    q = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        tombstoned = spark.read.parquet(state_paths[-1])
+        write_changelog(str(src), "b2.parquet", B2)
+        q.processAllAvailable()
+        # tombstone RETAINED in state (publish would drop it) ...
+        mid = spark.read.parquet(state_paths[-1])
+        assert mid.filter("user_id = 2").count() == 1
+        assert (
+            changelog_publish(mid).filter("user_id = 2").count() == 0
+        ), "tombstoned key must not publish"
+        write_changelog(str(src), "b3.parquet", B3)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        map(tuple, changelog_publish(spark.read.parquet(state_paths[-1])).collect())
+    )
+    allrows = spark.createDataFrame(
+        [(r[0], r[1].to_pydatetime(), r[2], r[3], r[4]) for r in B1 + B2 + B3],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double",
+    )
+    want = sorted(map(tuple, changelog_publish(changelog_reduce(allrows)).collect()))
+    assert got == want and len(got) == 3  # u2 resurrected by B3's view

@@ -60,6 +60,10 @@ OPS = [
     "t16_bm25_topk",
     "t17_dsir_resample",
     "d11_cdc_dedup",
+    "d12_ngram_novelty",
+    "t18_shuffle_shard",
+    "t19_split_assign",
+    "sim09_range_search",
 ]
 
 
