@@ -320,3 +320,167 @@ def m05_binary_piecewise_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("i", "j", "n_shared", "exact")
         .orderBy("i", "j")
     )
+
+
+# --------------------------------------------------------------------------
+# m06 — perceptual average-hash (aHash) near-dup: the image-dedup
+# complement to m05's exact slice digests. m05 pairs payloads whose
+# BYTES match slice-for-slice; a perceptual hash pairs payloads whose
+# CONTENT DISTRIBUTION matches — a few changed bytes shift one bucket
+# mean slightly and usually flip no bits, so re-encoded / lightly
+# edited media still pair up. This is the classic aHash pipeline
+# (downsample -> per-cell mean -> threshold at the global mean -> bit
+# string -> Hamming match), run over the deterministic fake decode
+# (payload bytes as pixels — the m02 convention; a real image decode
+# is the documented decode_image drop-in) and built ENTIRELY from
+# integer codegen expressions: bucket_mean > global_mean is compared
+# as bucket_sum * n > total_sum * bucket_len, so there is no float
+# anywhere and the oracle matches bit-for-bit.
+_M06_BITS = 32
+_M06_BANDS = 4          # 4 bands x 8 bits
+_M06_MAX_HAMMING = 4
+
+
+@query(
+    "m06_ahash_neardup",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(text, '[\\s\\S]'),
+                            c -> ascii(c)) AS p
+      FROM documents),
+    h AS (
+      SELECT doc_id, p, len(p) AS n, list_sum(p) AS tot
+      FROM px WHERE len(p) >= {_M06_BITS}),
+    by AS (
+      SELECT doc_id, n, tot,
+             (pos * {_M06_BITS}) // n AS bucket, p[pos + 1] AS v
+      FROM h, unnest(range(0, n)) t(pos)),
+    bs AS (
+      SELECT doc_id, n, tot, bucket, SUM(v) AS bsum, COUNT(*) AS blen
+      FROM by GROUP BY 1, 2, 3, 4),
+    bits AS (
+      SELECT doc_id,
+             SUM(CASE WHEN bsum * n > tot * blen
+                      THEN (2**bucket)::BIGINT ELSE 0 END) AS ahash
+      FROM bs GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, ahash, j, (ahash >> (8*j)) & 255 AS bv
+      FROM bits, generate_series(0, {_M06_BANDS - 1}) t(j)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                      a.ahash AS ha, b.ahash AS hb
+      FROM bands a JOIN bands b
+        ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    SELECT da, db, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= {_M06_MAX_HAMMING}
+    ORDER BY da, db
+    """,
+    doc="Perceptual average-hash near-dup over binary payloads: "
+    f"{_M06_BITS}-bucket mean threshold hash (integer cross-multiplied "
+    "— float-free, engine-exact), banded into "
+    f"{_M06_BANDS}x8-bit LSH keys, verified at Hamming <= "
+    f"{_M06_MAX_HAMMING}. Robust to local byte edits where m05's "
+    "slice digests are not.",
+)
+def m06_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): the payload reduces to ONE 8-byte hash
+    per row in a single codegen projection (no Python, no shuffle of
+    payload bytes); the only exchanges carry (band, 8-bit value,
+    hash) rows — the d03/m05 banding posture, candidate-bounded by
+    bucket occupancy; the Hamming verify is two integer instructions
+    on already-joined rows. A hot band value (e.g. all-dark images
+    sharing a band) is the d07 degenerate-bucket case — same salting
+    answer. Reference analog: none (opaque bytes, kafka.go:151)."""
+    t = load_views(spark, sf_dir)
+    B, NB = _M06_BITS, _M06_BANDS
+    # the pixel array is touched by exactly THREE expressions (size,
+    # total fold, posexplode) before the agg barrier — an earlier
+    # all-array-fold formulation (transform of 32 slice-aggregates,
+    # reused through the bit fold) inlined the whole tree per reuse
+    # via projection collapse and never finished planning. The
+    # explode+groupBy shape is also the better 100 TB plan: bucket
+    # sums partial-aggregate INSIDE each task, so the exchange carries
+    # 32 narrow rows per payload while the bytes themselves never move.
+    # length gate on char_length BEFORE building the pixel array (equal
+    # to size(p) by construction), so the pushed-down filter compares an
+    # int instead of re-evaluating the transform; posexplode_outer keeps
+    # InferFiltersFromGenerate from re-inlining the array into a second
+    # pre-exchange filter (the t08/d03 Generate lesson — no-op here
+    # because the gate guarantees non-empty arrays)
+    px = _fanout(
+        t["documents"].filter(F.expr(f"char_length(text) >= {B}"))
+    ).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, char_length(text)),"
+            " i -> ascii(substring(text, i, 1)))"
+        ).alias("p"),
+    )
+    h = px.select(
+        "doc_id",
+        "p",
+        F.size("p").alias("n"),
+        F.expr("aggregate(p, 0L, (a, x) -> a + x)").alias("tot"),
+    )
+    by = h.select(
+        "doc_id", "n", "tot", F.posexplode_outer("p").alias("pos", "v")
+    ).select(
+        "doc_id",
+        "n",
+        "tot",
+        F.expr(f"(pos * {B}) DIV n").alias("bucket"),
+        "v",
+    )
+    bs = by.groupBy("doc_id", "n", "tot", "bucket").agg(
+        F.sum("v").alias("bsum"), F.count(F.lit(1)).alias("blen")
+    )
+    bits = bs.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("bsum") * F.col("n") > F.col("tot") * F.col("blen"),
+                F.expr("shiftleft(1L, CAST(bucket AS INT))"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("ahash")
+    )
+    # repartition on the band key so the self-join's second side is a
+    # ReusedExchange of the first (the d03 one-exchange band join) —
+    # the hash pipeline above is computed ONCE, and the shuffled join
+    # is the shape that survives 100 TB where broadcasting the full
+    # band table would not
+    bands = (
+        bits.select(
+            "doc_id",
+            "ahash",
+            F.expr(
+                f"explode(transform(sequence(0, {NB - 1}),"
+                " j -> struct(j AS j, shiftright(ahash, 8 * j) & 255 AS bv)))"
+            ).alias("band"),
+        )
+        .select(
+            "doc_id", "ahash", F.col("band.j").alias("j"), F.col("band.bv").alias("bv")
+        )
+        .repartition("j", "bv")
+    )
+    a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.filter(hamming <= _M06_MAX_HAMMING)
+        .select("da", "db", hamming.cast("bigint").alias("hamming"))
+        .orderBy("da", "db")
+    )

@@ -786,3 +786,38 @@ def test_sim09_probes_broadcast_corpus_never_shuffles(plans):
     assert "SortMergeJoin" not in p
     assert len(re.findall(r"Arguments: hashpartitioning\(", p)) == 0
     assert "Not(EqualTo(vec_id,0))" in p
+
+
+def test_m06_shuffled_band_join_pruned_scan(plans):
+    """Perceptual-hash near-dup: the band self-join is a SHUFFLED join
+    on (band, value) — never a broadcast of the full band table (the
+    shape that survives 100 TB) — the payload reduces to narrow rows
+    before any exchange (bucket partial-agg below the shuffle), and
+    the scan reads only (doc_id, text)."""
+    p = plans("m06_ahash_neardup")
+    assert "ShuffledHashJoin" in p
+    assert "BroadcastHashJoin" not in p
+    assert "partial_sum" in p
+    for schema in read_schemas(p):
+        cols = sorted(c.split(":")[0] for c in schema.split(","))
+        assert cols == ["doc_id", "text"], schema
+
+
+def test_m06_band_exchange_reused_at_runtime(spark):
+    """AQE-finalized check (executes at sf0.001): the band self-join's
+    second side must resolve to a ReusedExchange of the first — the
+    whole hash pipeline computes ONCE per run (the d03 one-exchange
+    band-join discipline), not once per join side."""
+    import contextlib
+    import io
+
+    from quacfka_spark.registry import get_queries
+
+    df = get_queries()["m06_ahash_neardup"](spark, SF)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "isFinalPlan=true" in p
+    assert "ReusedExchange" in p
