@@ -110,6 +110,7 @@ HEADLINE = [
     "t19_split_assign",
     "d12_ngram_novelty",
     "sim09_range_search",
+    "sim10_knn_graph",
     "m06_ahash_neardup",
 ]
 

@@ -981,3 +981,179 @@ def sim09_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "hamming", F.round(cos, 4).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
     )
+
+
+# --------------------------------------------------------------------------
+# sim10: k-NN GRAPH construction — every vector's top-k neighbors in ONE
+# job. The single-query operators (sim01/02/04/06/07/09) serve a probe;
+# curation wants the whole graph: SemDeDup-style cluster pruning, dataset
+# cartography, graph-based diversity sampling, and d06's connected
+# components all start from "who are each row's nearest neighbors".
+# All-pairs is N^2 and dead at corpus scale; this reuses d07's sign-LSH
+# banding (deterministic axis-aligned projections — engine-replicable,
+# dedup.py:665) but swaps the threshold verify for a bucket-local top-k:
+# each (band, sig) bucket computes its own cosine block and emits at most
+# k candidate edges PER MEMBER — pruning is sound because a neighbor cut
+# from a bucket's local top-k is beaten there by k emitted candidates, so
+# it can never enter the global top-k either.
+_SIM10_BANDS = 4
+_SIM10_BITS = 4  # same leading-16-dim band family as d07
+_SIM10_K = 5
+_SIM10_CHUNK = 1024
+
+
+def _sim10_oracle() -> str:
+    band_selects = []
+    for b in range(_SIM10_BANDS):
+        chars = " || ".join(
+            f"(CASE WHEN embedding[{b * _SIM10_BITS + k + 1}] > 0 "
+            "THEN '1' ELSE '0' END)"
+            for k in range(_SIM10_BITS)
+        )
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band, ({chars}) AS sig "
+            "FROM embeddings WHERE embedding IS NOT NULL"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+    v AS (
+      SELECT c.i, c.j,
+             ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                          CAST(y.embedding AS DOUBLE[])),
+                   4) AS cos
+      FROM cand c JOIN embeddings x ON x.vec_id = c.i
+                  JOIN embeddings y ON y.vec_id = c.j),
+    r AS (
+      SELECT i, j, cos,
+             ROW_NUMBER() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rnk
+      FROM v)
+    SELECT i, j, rnk, cos FROM r WHERE rnk <= {_SIM10_K}
+    ORDER BY i, rnk
+    """
+
+
+@query(
+    "sim10_knn_graph",
+    oracle=_sim10_oracle(),
+    doc="k-NN graph: every vector's top-5 neighbors under sign-LSH "
+    "banding (d07's 4x4 deterministic band family). Bucket-local "
+    "top-k inside applyInPandas bounds emitted edges to k per member "
+    "per band; a global per-source window merges bands. Rank order is "
+    "4dp-rounded cosine desc, neighbor id asc — identical in both "
+    "engines. The graph primitive behind SemDeDup cluster pruning, "
+    "cartography, and diversity sampling.",
+)
+def sim10_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): three exchanges, none carrying O(N^2).
+    (1) The band shuffle moves each vector exactly BANDS times (d07's
+    posture — volume independent of candidate count); the quadratic
+    cosine term never leaves the bucket's chunked numpy matrices, and
+    bucket-local pruning caps emission at k edges per member per band.
+    (2) The cross-band merge and (3) the per-source top-k window both
+    shuffle only narrow (i, j, cos) rows, <= N x BANDS x k of them; the
+    row_number + rank filter compiles to WindowGroupLimit, so each map
+    task pre-trims to k before the exchange. Degenerate buckets are the
+    d07 skew case — same salting answer applies. In-bucket ordering
+    uses an injective int64 key (4dp-quantized cosine, neighbor id as
+    tiebreak), so pruning agrees with the final window's ORDER BY and
+    with the DuckDB oracle's ROW_NUMBER — no float-tie ambiguity.
+    Reference analog: none (the reference's SQL surface has no ANN
+    graph; this extends its list_cosine_similarity capability)."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    t = load_views(spark, sf_dir)
+    band_sigs = [
+        F.concat(
+            *[
+                # try_element_at: ANSI-safe NULL -> '0' degradation,
+                # matching the oracle's CASE on out-of-range (see d07)
+                F.when(
+                    F.try_element_at(
+                        F.col("embedding"), F.lit(b * _SIM10_BITS + k + 1)
+                    )
+                    > 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0"))
+                for k in range(_SIM10_BITS)
+            ]
+        ).alias(f"band{b}")
+        for b in range(_SIM10_BANDS)
+    ]
+    # NULL embeddings drop on both sides (oracle bands WHERE NOT NULL):
+    # they could never rank (NULL cosine) and would raggedize the bucket
+    # matrix — the d10/d07 fixture-drift guard.
+    e = t["embeddings"].filter(F.col("embedding").isNotNull())
+    bands = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        F.posexplode_outer(F.array(*band_sigs)).alias("band", "sig"),
+    )
+
+    def bucket_topk(key, pdf):
+        empty = pd.DataFrame(
+            {
+                "i": pd.Series(dtype="int64"),
+                "j": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+            }
+        )
+        m = len(pdf)
+        if m < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.array(pdf["embedding"].tolist(), dtype="float64")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        # injective descending sort key: 4dp-quantized cosine in the
+        # high bits, bit-flipped neighbor id below (prefer smaller j on
+        # quantized ties). |q| <= 20001 so q << 40 stays far inside
+        # int64; requires vec_id < 2^40 (true by fixture/probe
+        # construction — ids are dense row numbers).
+        jkey = (1 << 40) - 1 - ids
+        out = []
+        for lo in range(0, m, _SIM10_CHUNK):
+            hi = min(lo + _SIM10_CHUNK, m)
+            with np.errstate(invalid="ignore"):
+                cos = mat[lo:hi] @ mat.T  # chunk x m
+            q = np.floor(np.nan_to_num(cos, nan=-2.0) * 1e4 + 0.5).astype(
+                "int64"
+            )
+            skey = q * (1 << 40) + jkey[None, :]
+            skey[ids[lo:hi, None] == ids[None, :]] = np.iinfo("int64").min
+            k = min(_SIM10_K, m - 1)
+            kth = np.partition(skey, m - k, axis=1)[:, m - k]
+            ii, jj = np.nonzero(skey >= kth[:, None])
+            out.append(
+                pd.DataFrame(
+                    {"i": ids[lo + ii], "j": ids[jj], "cos": cos[ii, jj]}
+                )
+            )
+        return pd.concat(out) if out else empty
+
+    local = bands.groupBy("band", "sig").applyInPandas(
+        bucket_topk, schema="i bigint, j bigint, cos double"
+    )
+    # cross-band dedup: the same edge from two buckets carries the same
+    # cosine up to BLAS accumulation ulps; MAX picks deterministically
+    # and 4dp rounding erases the difference before ranking.
+    merged = local.groupBy("i", "j").agg(F.max("cos").alias("cos"))
+    ranked = merged.select(
+        "i", "j", F.round("cos", 4).alias("cos")
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("i").orderBy(F.desc("cos"), F.asc("j"))
+        ),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= _SIM10_K)
+        .select("i", "j", "rnk", "cos")
+        .orderBy("i", "rnk")
+    )

@@ -94,6 +94,24 @@ class PipelineConfig:
     # right trade for topics where duplicates cluster in time
     # (redeliveries, replays) rather than recur forever.
     dedup_ledger_epochs: int | None = None
+    # Cross-epoch NEAR-dup gate at the sink: the approximate,
+    # signature-level streaming form of d03p. Each row's text column
+    # derives 12 seeded-xxhash64 minhashes (the production hash family,
+    # operators/dedup.py:186) banded 3-wide into 4 band keys; a row is
+    # dropped when >= neardup_min_bands of its band keys were recorded
+    # by any earlier epoch (within the same dedup_ledger_epochs
+    # horizon). This is candidate-level — no Jaccard verify at the
+    # sink, the standard ingest-time LSH-filter trade (verify needs the
+    # historical text, which the ledger deliberately never stores; the
+    # batch operators d03/d03p are the verified form). min_bands=2
+    # trades recall for precision vs any-band collision. Near-dups
+    # WITHIN one epoch land together (the gate sees strictly-earlier
+    # epochs only — the same replay-idempotence rule as exact dedup);
+    # exact in-batch copies still collapse via dedup_keys. State is
+    # (band, sig) int rows under output_dir/_neardup_ledger/epoch=N —
+    # 12 bytes per key, never payloads.
+    neardup_col: str | None = None
+    neardup_min_bands: int = 2
 
     def checkpoint(self) -> str:
         return self.checkpoint_dir or os.path.join(self.output_dir, "_checkpoint")
@@ -397,6 +415,7 @@ class StreamingPipeline:
                             continue  # torn tail write from a crash
         self._bytes_per_record: dict[str, float] = {}  # D15 size feedback
         self._ledger_root = os.path.join(config.output_dir, "_dedup_ledger")
+        self._neardup_root = os.path.join(config.output_dir, "_neardup_ledger")
         self.query = None
 
     # -- epoch processing (D13/D17/D18/D20/D24) ----------------------------
@@ -420,14 +439,18 @@ class StreamingPipeline:
             F.xxhash64(F.lit(0x9E3779B9), *keys).alias("h2"),
         )
 
-    def _ledger_paths(self, epoch_id: int) -> list[str]:
+    def _ledger_paths(self, epoch_id: int, root: str | None = None) -> list[str]:
         """Ledger dirs for epochs STRICTLY earlier than ``epoch_id`` —
         excluding the current epoch makes a retried/replayed epoch
-        deduplicate against exactly the state its first attempt saw."""
-        if not os.path.isdir(self._ledger_root):
+        deduplicate against exactly the state its first attempt saw.
+        Shared by the exact-digest ledger (default root) and the
+        near-dup band ledger; both obey the same horizon."""
+        if root is None:
+            root = self._ledger_root
+        if not os.path.isdir(root):
             return []
         epochs = []
-        for name in os.listdir(self._ledger_root):
+        for name in os.listdir(root):
             if not name.startswith("epoch="):
                 continue
             try:
@@ -443,7 +466,7 @@ class StreamingPipeline:
             # many ledger dirs exist, so a replayed epoch N sees the
             # same window its first attempt saw (D19 idempotence)
             epochs = [e for e in epochs if e >= epoch_id - horizon]
-        return [os.path.join(self._ledger_root, f"epoch={e}") for e in epochs]
+        return [os.path.join(root, f"epoch={e}") for e in epochs]
 
     def _dedup_against_history(self, df: DataFrame, epoch_id: int) -> DataFrame:
         """Drop rows already inserted by any earlier epoch (plus
@@ -469,19 +492,22 @@ class StreamingPipeline:
             .write.mode("overwrite")
             .parquet(path)
         )
+        self._prune_ledger(self._ledger_root, epoch_id)
+
+    def _prune_ledger(self, root: str, epoch_id: int) -> None:
+        """Bounded-state contract: ledger epochs that can no longer
+        enter ANY future anti-join window are deleted. Epoch N+1 (and
+        every later epoch, and any bounded replay of them) reads only
+        [current - horizon, current), so pruning < epoch_id + 1 -
+        horizon removes exactly the unreachable dirs."""
         horizon = self.config.dedup_ledger_epochs
         if horizon is None:
             return
-        # bounded-state contract: epochs that can no longer enter ANY
-        # future anti-join window are deleted. Epoch N+1 (and every
-        # later epoch, and any bounded replay of them) reads only
-        # [current - horizon, current), so pruning < epoch_id + 1 -
-        # horizon removes exactly the unreachable dirs.
         import shutil
 
         cutoff = epoch_id + 1 - horizon
-        if os.path.isdir(self._ledger_root):
-            for name in os.listdir(self._ledger_root):
+        if os.path.isdir(root):
+            for name in os.listdir(root):
                 if not name.startswith("epoch="):
                     continue
                 try:
@@ -490,8 +516,88 @@ class StreamingPipeline:
                     continue
                 if e < cutoff:
                     shutil.rmtree(
-                        os.path.join(self._ledger_root, name), ignore_errors=True
+                        os.path.join(root, name), ignore_errors=True
                     )
+
+    # -- cross-epoch NEAR-dup gate (config.neardup_col) --------------------
+    _ND_N = 12  # minhashes; banded 3-wide -> 4 band keys (the d03 shape)
+    _ND_BAND = 3
+
+    def _neardup_sigs(self, df: DataFrame) -> DataFrame:
+        """df + ``__nd_sigs`` array of 4 band keys: seeded-xxhash64
+        minhash folds over the row's text shingles (d03p's production
+        family — native hashes end to end, no hex strings). Tokens and
+        shingles materialize in their OWN projections so CollapseProject
+        cannot inline the regexp tokenizer into all 12 folds (the
+        measured 12x-regex trap, operators/dedup.py:68). A doc shorter
+        than one shingle hashes its whole token string (the dedup
+        convention), so short exact-ish repeats still gate."""
+        from quacfka_spark.functions.text import norm_tokens, shingles
+
+        df = df.select(
+            "*", norm_tokens(F.col(self.config.neardup_col)).alias("__nd_tk")
+        )
+        df = df.select(
+            "*", shingles(F.col("__nd_tk")).alias("__nd_shs")
+        ).drop("__nd_tk")
+
+        def mh(i: int) -> F.Column:
+            # seed via factory, not a default-arg lambda: a 2-parameter
+            # callable would make transform bind (element, index)
+            return F.array_min(
+                F.transform(F.col("__nd_shs"), lambda s: F.xxhash64(F.lit(i), s))
+            )
+
+        bands = F.array(
+            *[
+                F.xxhash64(*[mh(b * self._ND_BAND + k) for k in range(self._ND_BAND)])
+                for b in range(self._ND_N // self._ND_BAND)
+            ]
+        )
+        return df.select("*", bands.alias("__nd_sigs")).drop("__nd_shs")
+
+    def _neardup_against_history(self, df: DataFrame, epoch_id: int) -> DataFrame:
+        """Drop rows whose band keys collide with >= neardup_min_bands
+        bands recorded by earlier epochs. The history side is 12-byte
+        (band, sig) rows — AQE broadcasts it while small, exactly the
+        exact-ledger posture; the batch side shuffles only
+        (row-digest, band, sig) triples into the collision count, and
+        the final anti-join keys on the 8-byte row digest."""
+        prior = self._ledger_paths(epoch_id, root=self._neardup_root)
+        if not prior:
+            return df
+        hist = self.spark.read.parquet(*prior).distinct()
+        base = self._neardup_sigs(df).select(
+            "*",
+            F.xxhash64(F.struct(*[F.col(c) for c in df.columns])).alias("__nd_rid"),
+        )
+        exploded = base.select(
+            "__nd_rid", F.posexplode("__nd_sigs").alias("band", "sig")
+        )
+        drop = (
+            exploded.join(hist, ["band", "sig"])
+            .groupBy("__nd_rid")
+            .agg(F.count_distinct("band").alias("__nd_hits"))
+            .filter(F.col("__nd_hits") >= self.config.neardup_min_bands)
+            .select("__nd_rid")
+        )
+        return base.join(drop, "__nd_rid", "left_anti").drop(
+            "__nd_rid", "__nd_sigs"
+        )
+
+    def _write_neardup_ledger(self, src: DataFrame, epoch_id: int) -> None:
+        """Record the band keys of what this epoch actually inserted —
+        same overwrite-per-epoch replay-healing contract as
+        :meth:`_write_ledger`."""
+        path = os.path.join(self._neardup_root, f"epoch={epoch_id}")
+        (
+            self._neardup_sigs(src)
+            .select(F.posexplode("__nd_sigs").alias("band", "sig"))
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        self._prune_ledger(self._neardup_root, epoch_id)
 
     def _write(self, df: DataFrame, path: str, table: str) -> int:
         # Row count via Observation: piggybacks on the write job itself
@@ -569,6 +675,8 @@ class StreamingPipeline:
             # measured dedup, mirroring the reference's consumed vs
             # inserted counter pair (metrics.go:142-156)
             decoded = self._dedup_against_history(decoded, epoch_id)
+        if self.config.neardup_col:
+            decoded = self._neardup_against_history(decoded, epoch_id)
         # Downstream-source strategy: with the raw sink ON, this epoch's
         # raw parquet IS the cache — decode runs exactly once (inside the
         # raw write) and norm/custom derive from a columnar, pruned,
@@ -585,7 +693,9 @@ class StreamingPipeline:
         # the dedup ledger write is one more consumer of the decoded
         # batch (it derives from derived_src, so it rides the readback
         # when the raw sink is on)
-        ledger_sinks = 1 if self.config.dedup_keys else 0
+        ledger_sinks = (1 if self.config.dedup_keys else 0) + (
+            1 if self.config.neardup_col else 0
+        )
         use_readback = self.config.write_raw and (derived_sinks + ledger_sinks) > 0
         decoded_consumers = int(self.config.write_raw) + (
             0 if use_readback else derived_sinks + ledger_sinks
@@ -623,6 +733,10 @@ class StreamingPipeline:
                 # ledger AFTER the sinks: digests of what actually landed
                 self._write_ledger(derived_src, epoch_id)
 
+            if self.config.neardup_col:
+                # band-key ledger AFTER the sinks, same landed-rows rule
+                self._write_neardup_ledger(derived_src, epoch_id)
+
             # D18: post-SQL over the *written* epoch output (the closed
             # file, not the in-flight batch) — true to DuckRunner.
             if self.runner is not None:
@@ -640,7 +754,9 @@ class StreamingPipeline:
             # no sink materialized the batch (all stages toggled off):
             # count directly, else read the piggybacked observation (the
             # ledger write also fires it — it consumes the observed node)
-            materialized = bool(written) or bool(self.config.dedup_keys)
+            materialized = bool(written) or bool(
+                self.config.dedup_keys or self.config.neardup_col
+            )
             consumed = int(consumed_obs.get["n"]) if materialized else decoded.count()
             self.metrics.record_batch(epoch_id, consumed, raw_n, norm_n, custom_n)
         finally:

@@ -821,3 +821,23 @@ def test_m06_band_exchange_reused_at_runtime(spark):
     p = buf.getvalue()
     assert "isFinalPlan=true" in p
     assert "ReusedExchange" in p
+
+
+def test_sim10_three_narrow_exchanges_grouplimit_below_shuffle(plans):
+    """k-NN graph: exactly three hash exchanges — the (band, sig)
+    vector shuffle, the (i, j) cross-band merge, and the per-source
+    window — with partial MAX below the merge exchange and
+    WindowGroupLimit in Partial mode below the window exchange (each
+    map task pre-trims to k). Never a join, never a cartesian: the
+    quadratic term lives inside the bucket's numpy block."""
+    p = plans("sim10_knn_graph")
+    hashex = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
+    assert len(hashex) == 3, hashex
+    assert any("band" in h and "sig" in h for h in hashex)
+    assert any("i#" in h and "j#" in h for h in hashex)
+    assert "partial_max" in p
+    assert "Partial" in p and "WindowGroupLimit" in p
+    assert "Join" not in p and "Cartesian" not in p
+    for schema in read_schemas(p):
+        cols = sorted(c.split(":")[0] for c in schema.split(","))
+        assert cols == ["embedding", "vec_id"], schema

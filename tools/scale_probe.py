@@ -64,6 +64,7 @@ OPS = [
     "t18_shuffle_shard",
     "t19_split_assign",
     "sim09_range_search",
+    "sim10_knn_graph",
     "m06_ahash_neardup",
 ]
 
