@@ -111,6 +111,8 @@ HEADLINE = [
     "d12_ngram_novelty",
     "sim09_range_search",
     "sim10_knn_graph",
+    "t20_distill_classifier",
+    "t21_distill_auc",
     "m06_ahash_neardup",
 ]
 

@@ -1597,3 +1597,252 @@ def t19_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# t20: distill the rule-based quality filter into a smooth classifier —
+# the standard curation move (FineWeb-Edu, DCLM): heuristic labels are
+# cheap but brittle step functions; a trained scorer generalizes and
+# gives a tunable threshold. Training is logistic regression by
+# FULL-BATCH gradient descent run ENTIRELY inside the DataFrame DAG:
+# the weight vector lives in a broadcast 1-row frame, each GD step is
+# one crossJoin + one 4-column aggregate producing the next 1-row
+# frame, and the driver never sees a number (contrast the classic
+# collect-the-gradient loop — here even the O(d) gradient stays on the
+# executors). Weights round to 6dp after every step (the sim07 Lloyd
+# parity trick) so Spark's partial-agg summation order and DuckDB's
+# serial sum can never drift apart across iterations.
+_T20_LR = 1.0
+_T20_STEPS = 3
+_T20_QUALITY_THRESH = 0.55  # label balance ~56% positive at all SFs
+
+_T20_FEATS_SQL = f"""
+    m AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '{PUNCT_CLASS}')) AS BIGINT) AS n_punct,
+             CAST(len(regexp_extract_all(text,
+                  '\\b({'|'.join(STOPWORDS)})\\b')) AS BIGINT) AS n_stop
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+             LEAST(n_tokens, 100) / 100.0 AS x1,
+             n_stop * 1.0 / n_tokens AS x2,
+             n_punct * 1.0 / n_chars AS x3,
+             CAST(CASE WHEN n_stop * 1.0 / n_tokens - n_punct * 1.0 / n_chars
+                            + LEAST(n_tokens, 100) / 100.0
+                            >= {_T20_QUALITY_THRESH}
+                  THEN 1 ELSE 0 END AS BIGINT) AS y
+      FROM m)"""
+
+_T20_Z = "(b + w1*x1 + w2*x2 + w3*x3)"
+_T20_P = f"(1.0/(1.0+EXP(-{_T20_Z})))"
+
+
+def _t20_gd_sql() -> str:
+    """w0..wN CTEs: the GD chain, one CTE per step."""
+    ctes = ["w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"]
+    prev = "w0"
+    for t in range(1, _T20_STEPS + 1):
+        cols = ", ".join(
+            f"ROUND(FIRST({w}) - {_T20_LR}*AVG(({_T20_P} - y)*{x}), 6) AS {w}"
+            for w, x in [("b", "1.0"), ("w1", "x1"), ("w2", "x2"), ("w3", "x3")]
+        )
+        ctes.append(f"wt{t} AS (SELECT {cols} FROM f, {prev})")
+        prev = f"wt{t}"
+    return ", ".join(ctes)
+
+
+_T20_ORACLE = f"""
+    WITH {_T20_FEATS_SQL},
+    {_t20_gd_sql()}
+    SELECT f.doc_id, ROUND({_T20_P}, 4) AS score,
+           CAST(CASE WHEN ROUND({_T20_P}, 4) >= 0.5 THEN 1 ELSE 0 END
+                AS BIGINT) AS pred,
+           y
+    FROM f, wt{_T20_STEPS} ORDER BY doc_id
+    """
+
+
+def _t20_features(t: dict) -> DataFrame:
+    stop_re = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    m = t["documents"].select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(PUNCT_CLASS), 0))
+        .cast("bigint")
+        .alias("n_punct"),
+        F.size(F.regexp_extract_all("text", F.lit(stop_re), 0))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    x1 = F.least(F.col("n_tokens"), F.lit(100)) / 100.0
+    x2 = F.col("n_stop") * 1.0 / F.col("n_tokens")
+    x3 = F.col("n_punct") * 1.0 / F.col("n_chars")
+    # label formula written in the oracle's exact order (x2 - x3 + x1
+    # left-associated) so the 0.55 boundary compares the same double
+    return m.select(
+        "doc_id",
+        x1.alias("x1"),
+        x2.alias("x2"),
+        x3.alias("x3"),
+        (x2 - x3 + x1 >= _T20_QUALITY_THRESH).cast("bigint").alias("y"),
+    )
+
+
+def _t20_train(spark: SparkSession, feats: DataFrame) -> DataFrame:
+    """The trained 1-row weight frame (b, w1, w2, w3) after
+    ``_T20_STEPS`` declarative GD steps."""
+    w = spark.range(1).select(
+        F.lit(0.0).alias("b"),
+        F.lit(0.0).alias("w1"),
+        F.lit(0.0).alias("w2"),
+        F.lit(0.0).alias("w3"),
+    )
+    z = (
+        F.col("b")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    err = p - F.col("y")
+    for _ in range(_T20_STEPS):
+        w = feats.crossJoin(F.broadcast(w)).agg(
+            *[
+                F.round(F.first(name) - _T20_LR * F.avg(err * xcol), 6).alias(name)
+                for name, xcol in [
+                    ("b", F.lit(1.0)),
+                    ("w1", F.col("x1")),
+                    ("w2", F.col("x2")),
+                    ("w3", F.col("x3")),
+                ]
+            ]
+        )
+    return w
+
+
+@query(
+    "t20_distill_classifier",
+    oracle=_T20_ORACLE,
+    doc="Distilled quality classifier: logistic regression trained on "
+    "the rule-based quality label (t02's heuristic thresholded at "
+    f"{_T20_QUALITY_THRESH}) by {_T20_STEPS} full-batch GD steps run "
+    "entirely inside the DataFrame DAG — the weight vector is a "
+    "broadcast 1-row frame, never a driver value. 6dp weight rounding "
+    "per step keeps Spark/DuckDB summation orders from drifting. "
+    "Emits per-doc score (4dp sigmoid), prediction, and label.",
+)
+def t20_distill_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): each GD step is one scan + one partial-agg
+    exchange of FOUR doubles per task (the gradient — O(d), never O(N));
+    the evolving weight row rides as a broadcast, so no step shuffles
+    data rows at all. T steps = T scans: at corpus scale you persist the
+    8-byte-per-row feature frame once (or checkpoint it) and the scans
+    are columnar re-reads of that, not of the text. Scoring is one more
+    broadcast-join scan, ~zero over the labeling pass the heuristic
+    filter already costs. Reference analog: none — the reference has no
+    training surface; this is the curation-stack extension (FineWeb-Edu
+    -style classifier distillation) the engine exists to serve."""
+    t = load_views(spark, sf_dir)
+    feats = _t20_features(t)
+    w = _t20_train(spark, feats)
+    z = (
+        F.col("b")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    return (
+        feats.crossJoin(F.broadcast(w))
+        .select(
+            "doc_id",
+            score.alias("score"),
+            (score >= 0.5).cast("bigint").alias("pred"),
+            "y",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "t21_distill_auc",
+    oracle=f"""
+    WITH {_T20_FEATS_SQL},
+    {_t20_gd_sql()},
+    s AS (
+      SELECT ROUND({_T20_P}, 4) AS score, y FROM f, wt{_T20_STEPS}),
+    g AS (
+      SELECT score, SUM(y) AS n1s, SUM(1 - y) AS n0s
+      FROM s GROUP BY score),
+    c AS (
+      SELECT n1s, n0s,
+             COALESCE(SUM(n0s) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_n0
+      FROM g),
+    tot AS (SELECT SUM(n1s) AS n1, SUM(n0s) AS n0 FROM g)
+    SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+           ROUND((SUM(n1s * cum_n0) + 0.5 * SUM(n1s * n0s)) / (n1 * n0), 4)
+             AS auc
+    FROM c, tot GROUP BY n1, n0
+    """,
+    doc="AUC certification of the t20 distilled classifier against its "
+    "heuristic training label (Mann-Whitney with exact tie handling: "
+    "P(score_pos > score_neg) + 0.5 P(equal)). Computed by the "
+    "grouped-histogram identity — integer counts per distinct 4dp "
+    "score, cumulative-negative window, one final division — so the "
+    "whole statistic is exact integer arithmetic until the last "
+    "divide; no global row-level rank anywhere.",
+)
+def t21_distill_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): the naive AUC needs a global rank over N
+    scores (one giant sort partition). The 4dp-rounded score has at
+    most 10^4+1 distinct values, so group first: one partial-agg
+    exchange down to the per-score count frame, then the cumulative
+    window and the final fold run on <= 10001 rows. Deterministic under
+    ties by construction (counts, not rank assignment)."""
+    from pyspark.sql.window import Window
+
+    t = load_views(spark, sf_dir)
+    feats = _t20_features(t)
+    w = _t20_train(spark, feats)
+    z = (
+        F.col("b")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+    s = feats.crossJoin(F.broadcast(w)).select(
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias("score"),
+        "y",
+    )
+    g = s.groupBy("score").agg(
+        F.sum("y").alias("n1s"), F.sum(F.lit(1) - F.col("y")).alias("n0s")
+    )
+    # documented OVER () on the <=10001-row aggregated frame (the t07/
+    # x08 convention): cum_n0 needs the score order, totals need the
+    # whole frame — both windows run on the tiny post-agg result
+    cum = F.coalesce(
+        F.sum("n0s").over(
+            Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    c = g.select("n1s", "n0s", cum.alias("cum_n0"))
+    return c.agg(
+        F.sum("n1s").alias("n_pos"),
+        F.sum("n0s").alias("n_neg"),
+        F.round(
+            (
+                F.sum(F.col("n1s") * F.col("cum_n0"))
+                + 0.5 * F.sum(F.col("n1s") * F.col("n0s"))
+            )
+            / (F.sum("n1s") * F.sum("n0s")),
+            4,
+        ).alias("auc"),
+    )

@@ -823,6 +823,39 @@ def test_m06_band_exchange_reused_at_runtime(spark):
     assert "ReusedExchange" in p
 
 
+def test_t20_gd_chain_zero_hash_exchanges(plans):
+    """Distilled-classifier training: every GD step joins the broadcast
+    1-row weight frame (BroadcastNestedLoopJoin x STEPS + 1 for
+    scoring) and aggregates the O(d) gradient with map-side partials —
+    the whole train+score plan has ZERO hash exchanges; no data row
+    ever shuffles."""
+    p = plans("t20_distill_classifier")
+    assert len(re.findall(r"Arguments: hashpartitioning\(", p)) == 0
+    # formatted explain shows each node in tree + details: count the
+    # "(n) Node" detail headers for the true node count
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 4
+    assert "partial_avg" in p
+    # column pruning reaches every scan: the 3 GD scans read ONLY text
+    # (the gradient never touches doc_id); scoring reads doc_id + text
+    seen = []
+    for schema in read_schemas(p):
+        cols = sorted(c.split(":")[0] for c in schema.split(","))
+        assert cols in (["text"], ["doc_id", "text"]), schema
+        seen.append(cols)
+    assert seen.count(["text"]) == 3 and seen.count(["doc_id", "text"]) == 1
+
+
+def test_t21_auc_single_histogram_exchange(plans):
+    """AUC via the grouped-histogram identity: ONE hash exchange (the
+    per-4dp-score counts, partial-agg below it); the cumulative window
+    runs on the <=10001-row aggregated frame, never a global row-level
+    rank over N scores."""
+    p = plans("t21_distill_auc")
+    hashex = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
+    assert len(hashex) == 1 and "score" in hashex[0], hashex
+    assert "partial_sum" in p
+
+
 def test_sim10_three_narrow_exchanges_grouplimit_below_shuffle(plans):
     """k-NN graph: exactly three hash exchanges — the (band, sig)
     vector shuffle, the (i, j) cross-band merge, and the per-source
