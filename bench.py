@@ -113,6 +113,8 @@ HEADLINE = [
     "sim10_knn_graph",
     "t20_distill_classifier",
     "t21_distill_auc",
+    "x14_scd2_history",
+    "x15_cohort_retention",
     "m06_ahash_neardup",
 ]
 

@@ -953,3 +953,160 @@ def x13_dynamic_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "x14_scd2_history",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    r AS (
+      SELECT user_id, event_type, ts,
+             SUM(CASE WHEN prev IS NULL OR prev <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run
+      FROM o),
+    runs AS (
+      SELECT user_id, event_type, run,
+             MIN(ts) AS valid_from, COUNT(*) AS n_events
+      FROM r GROUP BY user_id, event_type, run)
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+             AS valid_to,
+           CAST(CASE WHEN LEAD(valid_from) OVER (
+                  PARTITION BY user_id ORDER BY run) IS NULL
+                THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM runs ORDER BY user_id, valid_from
+    """,
+    doc="SCD type-2 history build from an event stream: consecutive "
+    "equal attribute runs per user collapse into validity intervals "
+    "(valid_from, valid_to, is_current) — the gaps-and-islands LAG + "
+    "running-SUM run id + LEAD close-out, the standard warehouse "
+    "dimension-history derivation a DuckRunner user writes over "
+    "ingested events.",
+)
+def x14_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): every window and the run aggregation key
+    on user_id, so the whole derivation is ONE hash exchange reused by
+    all three stages (Spark keeps the user_id partitioning across the
+    LAG window, the run-id window, the group-by, and the LEAD window —
+    same-key exchange reuse); state per task is one user's runs. At
+    dimension scale valid_to never needs a self-join — LEAD over the
+    aggregated runs frame replaces the classic from/to range join.
+    Reference analog: post-ingest DuckDB SQL (duck.go:49-52)."""
+    t = load_views(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = t["events"].select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w).alias("prev"),
+        F.col("event_id"),
+    )
+    run = F.sum(
+        F.when(
+            F.col("prev").isNull() | (F.col("prev") != F.col("event_type")), 1
+        ).otherwise(0)
+    ).over(w)
+    runs = (
+        o.select("user_id", "event_type", "ts", run.alias("run"))
+        .groupBy("user_id", "event_type", "run")
+        .agg(
+            F.min("ts").alias("valid_from"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+    wr = Window.partitionBy("user_id").orderBy("run")
+    nxt = F.lead("valid_from").over(wr)
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().cast("bigint").alias("is_current"),
+        "n_events",
+    ).orderBy("user_id", "valid_from")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "x15_cohort_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events),
+    coh AS (
+      SELECT user_id, MIN(wk) AS cohort_week FROM act GROUP BY user_id),
+    cs AS (
+      SELECT cohort_week, COUNT(*) AS cohort_size
+      FROM coh GROUP BY cohort_week),
+    m AS (
+      SELECT c.cohort_week,
+             date_diff('day', c.cohort_week, a.wk) // 7 AS week_offset,
+             COUNT(*) AS n_active
+      FROM coh c JOIN act a ON a.user_id = c.user_id
+      GROUP BY 1, 2)
+    SELECT CAST(m.cohort_week AS VARCHAR) AS cohort_week, m.week_offset,
+           CAST(m.n_active AS BIGINT) AS n_active,
+           CAST(cs.cohort_size AS BIGINT) AS cohort_size,
+           ROUND(m.n_active * 1.0 / cs.cohort_size, 4) AS retention
+    FROM m JOIN cs ON cs.cohort_week = m.cohort_week
+    ORDER BY m.cohort_week, m.week_offset
+    """,
+    doc="Weekly cohort retention matrix: cohort = first active week per "
+    "user, retention = fraction of the cohort active at each week "
+    "offset — the canonical product-analytics rollup over ingested "
+    "events.",
+)
+def x15_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): the event stream reduces to DISTINCT
+    (user_id, week) FIRST — one partial-agg exchange carrying 12-byte
+    rows, after which everything operates on |users| x |weeks| rows.
+    Cohort assignment is a user_id-co-keyed self-join (no re-exchange
+    of the distinct frame on the probe side beyond its existing key),
+    the matrix agg shuffles |cohorts| x |offsets| rows, and the
+    cohort-size join is a broadcast. Per-user state never materializes
+    an activity array. Reference analog: post-ingest DuckDB SQL
+    (duck.go:49-52)."""
+    t = load_views(spark, sf_dir)
+    act = (
+        t["events"]
+        .select(
+            "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+        )
+        .distinct()
+    )
+    coh = act.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    cs = coh.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    m = (
+        coh.join(act, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    return (
+        m.join(F.broadcast(cs), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") * 1.0 / F.col("cohort_size"), 4).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

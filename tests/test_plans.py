@@ -823,6 +823,38 @@ def test_m06_band_exchange_reused_at_runtime(spark):
     assert "ReusedExchange" in p
 
 
+def test_x14_scd2_single_user_exchange(plans):
+    """SCD2 history: the LAG window, run-id window, run aggregation,
+    and LEAD close-out all key on user_id — ONE hash exchange reused
+    end to end, and LEAD over the aggregated runs frame replaces the
+    classic from/to self-join (no Join node at all)."""
+    p = plans("x14_scd2_history")
+    hashex = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
+    assert len(hashex) == 1 and "user_id" in hashex[0], hashex
+    assert "Join" not in p
+    for schema in read_schemas(p):
+        cols = sorted(c.split(":")[0] for c in schema.split(","))
+        assert cols == ["event_id", "event_type", "ts", "user_id"], schema
+
+
+def test_x15_cohort_partial_distinct_below_shuffle(plans, spark):
+    """Cohort retention: the event stream reduces via the map-side
+    (user_id, wk) dedup aggregate BELOW the first exchange — every
+    exchange carries deduped narrow rows, never raw events — and the
+    cohort-size join broadcasts."""
+    p = plans("x15_cohort_retention")
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+    for schema in read_schemas(p):
+        cols = sorted(c.split(":")[0] for c in schema.split(","))
+        assert cols == ["ts", "user_id"], schema
+    # toString prints deepest-last: the text below the LAST exchange
+    # (nearest the scan) must hold the dedup HashAggregate
+    df = get_queries()["x15_cohort_retention"](spark, SF)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    below_last_ex = tree.split("Exchange hashpartitioning")[-1]
+    assert "HashAggregate" in below_last_ex and "FileScan" in below_last_ex
+
+
 def test_t20_gd_chain_zero_hash_exchanges(plans):
     """Distilled-classifier training: every GD step joins the broadcast
     1-row weight frame (BroadcastNestedLoopJoin x STEPS + 1 for
