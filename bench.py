@@ -111,6 +111,7 @@ HEADLINE = [
     "d12_ngram_novelty",
     "sim09_range_search",
     "sim10_knn_graph",
+    "d13_cluster_quota",
     "t20_distill_classifier",
     "t21_distill_auc",
     "x14_scd2_history",

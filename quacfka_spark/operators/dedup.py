@@ -2013,3 +2013,120 @@ def d12_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# d13: cluster-quota diversity sampling — the generalization of d08's
+# keep-one: inside every near-dup cluster keep the Q highest-QUALITY
+# members instead of the smallest id. SemDeDup-style pruning keeps one
+# representative; curation practice often wants a small quota per
+# cluster (near-dups are rarely byte-identical — keeping the best 2-3
+# preserves phrasing diversity while still collapsing the cluster's
+# token mass). Quality is t02's heuristic; rank is (4dp quality DESC,
+# doc_id) so both engines break ties identically.
+_D13_QUOTA = 2
+
+
+def _d13_oracle() -> str:
+    from quacfka_spark.operators.text import PUNCT_CLASS, STOPWORDS
+
+    return f"""
+    WITH RECURSIVE
+    pairs AS (SELECT i, j FROM ({_D03_ORACLE})),
+    e AS (SELECT i AS a, j AS b FROM pairs
+          UNION SELECT j AS a, i AS b FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN e e2 ON e2.a = r.b),
+    lbl AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a),
+    m AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '{PUNCT_CLASS}')) AS BIGINT) AS n_punct,
+             CAST(len(regexp_extract_all(text,
+                  '\\b({'|'.join(STOPWORDS)})\\b')) AS BIGINT) AS n_stop
+      FROM documents),
+    q AS (
+      SELECT doc_id,
+             ROUND(n_stop * 1.0 / n_tokens - n_punct * 1.0 / n_chars
+                   + LEAST(n_tokens, 100) / 100.0, 4) AS quality
+      FROM m),
+    r AS (
+      SELECT l.doc_id, l.cluster_id, q.quality,
+             ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                ORDER BY q.quality DESC, l.doc_id) AS rnk
+      FROM lbl l JOIN q ON q.doc_id = l.doc_id)
+    SELECT doc_id, cluster_id, quality,
+           CAST(rnk AS BIGINT) AS rnk,
+           (rnk <= {_D13_QUOTA}) AS keep
+    FROM r ORDER BY doc_id
+    """
+
+
+@query(
+    "d13_cluster_quota",
+    oracle=_d13_oracle(),
+    doc="Cluster-quota diversity sampling: connected components over "
+    "the Jaccard-verified MinHash pairs (d06's clusters), then keep "
+    f"the {_D13_QUOTA} highest-quality members per cluster (t02's "
+    "heuristic, 4dp, doc_id tiebreak) — the keep-the-best-Q "
+    "generalization of d08's keep-the-smallest. Only near-dup members "
+    "appear (singletons trivially keep).",
+)
+def d13_cluster_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): clusters come from the shared
+    label_propagate core (one equi-join + min-agg per round, scalar-only
+    driver traffic); the quality join is co-keyed on doc_id against a
+    codegen-scored projection of documents (no second text scan beyond
+    it), and the per-cluster quota is a WindowGroupLimit-trimmed
+    row_number — rank state per task is one cluster's members, and the
+    result scales with duplicates found, not corpus size."""
+    from quacfka_spark.operators.text import PUNCT_CLASS, STOPWORDS
+
+    from pyspark.sql.window import Window
+
+    t = load_views(spark, sf_dir)
+    pairs = minhash_pairs(spark, sf_dir).select("i", "j")
+    labels = label_propagate(pairs).select(
+        F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+    stop_re = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    m = t["documents"].select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(PUNCT_CLASS), 0))
+        .cast("bigint")
+        .alias("n_punct"),
+        F.size(F.regexp_extract_all("text", F.lit(stop_re), 0))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    quality = F.round(
+        F.col("n_stop") * 1.0 / F.col("n_tokens")
+        - F.col("n_punct") * 1.0 / F.col("n_chars")
+        + F.least(F.col("n_tokens"), F.lit(100)) / 100.0,
+        4,
+    )
+    scored = m.select("doc_id", quality.alias("quality"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        labels.join(scored, "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality",
+            "rnk",
+            (F.col("rnk") <= _D13_QUOTA).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
