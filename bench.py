@@ -111,6 +111,7 @@ HEADLINE = [
     "d12_ngram_novelty",
     "sim09_range_search",
     "sim10_knn_graph",
+    "sim11_knn_pagerank",
     "d13_cluster_quota",
     "t20_distill_classifier",
     "t21_distill_auc",

@@ -1064,6 +1064,13 @@ def sim10_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the DuckDB oracle's ROW_NUMBER — no float-tie ambiguity.
     Reference analog: none (the reference's SQL surface has no ANN
     graph; this extends its list_cosine_similarity capability)."""
+    return knn_edges(spark, sf_dir).orderBy("i", "rnk")
+
+
+def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered top-k neighbor edges (i, j, rnk, cos) — sim10's core,
+    public so graph consumers (sim11 PageRank, composed pipelines) can
+    build on the edge list without the presentation sort."""
     import numpy as np
 
     from pyspark.sql.window import Window
@@ -1152,8 +1159,123 @@ def sim10_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("i").orderBy(F.desc("cos"), F.asc("j"))
         ),
     )
-    return (
-        ranked.filter(F.col("rnk") <= _SIM10_K)
-        .select("i", "j", "rnk", "cos")
-        .orderBy("i", "rnk")
+    return ranked.filter(F.col("rnk") <= _SIM10_K).select(
+        "i", "j", "rnk", "cos"
     )
+
+
+# --------------------------------------------------------------------------
+# sim11: PageRank over the k-NN graph — hub-document centrality. On a
+# near-neighbor graph, high PageRank marks vectors sitting in dense
+# semantic neighborhoods (template families, boilerplate clusters,
+# over-represented topics); curation uses it as a down-sampling /
+# representativeness signal the plain degree count misses. Fixed 3
+# damped iterations (d = 0.85) from the uniform vector, computed in
+# INTEGER FIXED-POINT (rank mass scaled by 1e12, floor division for
+# the per-edge share and the damping factor) — the m06 float-free
+# trick applied to an iterative algorithm: every intermediate value is
+# a BIGINT, so Spark and DuckDB agree bit-for-bit regardless of
+# summation order, where a per-iteration ROUND(double) chain provably
+# straddles half-boundaries (shares like pr/2 land exactly on decimal
+# boundaries and the two engines' ulps pick different sides).
+# Dangling-node mass is dropped (the deterministic simplification).
+_SIM11_SCALE = 10**12
+_SIM11_ITERS = 3
+# damping 0.85 as the integer pair 85/100
+
+
+def _sim11_oracle() -> str:
+    knn = _sim10_oracle().replace("ORDER BY i, rnk", "")
+    S = _SIM11_SCALE
+    chain = [f"r0 AS (SELECT id, {S} // nn AS pr FROM nodes, nt)"]
+    prev = "r0"
+    for t in range(1, _SIM11_ITERS + 1):
+        chain.append(f"""r{t} AS (
+      SELECT n.id,
+             ({15 * S} // (100 * nt.nn))
+               + (85 * COALESCE(c.m, 0)) // 100 AS pr
+      FROM nodes n CROSS JOIN nt
+      LEFT JOIN (
+        SELECT e.j AS id, CAST(SUM(r.pr // o.deg) AS BIGINT) AS m
+        FROM edges e JOIN {prev} r ON r.id = e.i
+                     JOIN outdeg o ON o.id = e.i
+        GROUP BY e.j) c ON c.id = n.id)""")
+        prev = f"r{t}"
+    return f"""
+    WITH knn AS ({knn}),
+    edges AS (SELECT i, j FROM knn),
+    nodes AS (SELECT vec_id AS id FROM embeddings
+              WHERE embedding IS NOT NULL),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nodes),
+    outdeg AS (SELECT i AS id, CAST(COUNT(*) AS BIGINT) AS deg
+               FROM edges GROUP BY i),
+    {", ".join(chain)}
+    SELECT id AS vec_id, CAST(pr AS BIGINT) AS pr_fixed,
+           pr * 1.0 / {S} AS pagerank
+    FROM {prev} ORDER BY vec_id
+    """
+
+
+@query(
+    "sim11_knn_pagerank",
+    oracle=_sim11_oracle(),
+    doc="PageRank over the sim10 k-NN graph: hub-document centrality "
+    f"as a curation down-sampling signal. {_SIM11_ITERS} damped "
+    "iterations (d=85/100) from the uniform vector in INTEGER "
+    "fixed-point (1e12 mass scale, floor-division shares) — zero "
+    "floats in any intermediate, so both engines agree bit-for-bit; "
+    "dangling mass dropped (deterministic variant). The oracle "
+    "replicates the knn construction AND the iteration chain as CTEs.",
+)
+def sim11_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): each iteration is one co-keyed join of the
+    rank frame with the (i -> j) edge list (both narrow: 8-byte ids +
+    an int64) plus one partial-agg sum exchange on j — the classic
+    join-agg PageRank round, O(edges) shuffle with map-side combine,
+    no vertex state beyond the rank frame. The vector count N rides as
+    a broadcast 1-row aggregate (the t20 pattern — no collect); edges
+    come from knn_edges, whose own plan is the pinned 3-exchange sim10
+    shape. Fixed iterations = fixed lineage; a convergence-driven run
+    would localCheckpoint per round exactly like label_propagate.
+    Reference analog: none (graph analytics beyond the reference's
+    surface)."""
+    t = load_views(spark, sf_dir)
+    S = _SIM11_SCALE
+    edges = knn_edges(spark, sf_dir).select("i", "j")
+    nodes = (
+        t["embeddings"]
+        .filter(F.col("embedding").isNotNull())
+        .select(F.col("vec_id").alias("id"))
+    )
+    nt = nodes.agg(F.count(F.lit(1)).alias("nn"))
+    outdeg = edges.groupBy(F.col("i").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ranks = nodes.crossJoin(F.broadcast(nt)).select(
+        "id", F.expr(f"{S} div nn").alias("pr")
+    )
+    for _ in range(_SIM11_ITERS):
+        shares = ranks.join(outdeg, "id").select(
+            F.col("id").alias("i"), F.expr("pr div deg").alias("share")
+        )
+        contrib = (
+            edges.join(shares, "i")
+            .groupBy(F.col("j").alias("id"))
+            .agg(F.sum("share").alias("m"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nt))
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.expr(f"{15 * S} div (100 * nn)")
+                    + F.expr("(85 * coalesce(m, 0)) div 100")
+                ).alias("pr"),
+            )
+        )
+    return ranks.select(
+        F.col("id").alias("vec_id"),
+        F.col("pr").alias("pr_fixed"),
+        (F.col("pr") * 1.0 / S).alias("pagerank"),
+    ).orderBy("vec_id")
