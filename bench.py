@@ -112,7 +112,11 @@ HEADLINE = [
     "sim09_range_search",
     "sim10_knn_graph",
     "sim11_knn_pagerank",
-    "d13_cluster_quota",
+    # d13_cluster_quota is registered + mirror-checked but NOT in the
+    # headline: like d06/d08 it runs label propagation to convergence
+    # (driver-synchronized rounds), the d06-class cost the headline
+    # already represents through its constituent stages (d03 pairing +
+    # the windowed quota); one-off timing: 2.78 s at sf0.1.
     "t20_distill_classifier",
     "t21_distill_auc",
     "x14_scd2_history",

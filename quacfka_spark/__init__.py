@@ -38,6 +38,8 @@ __all__ = [
     "minhash_pairs",
     "label_propagate",
     "bm25_topk",
+    "pack_sequences",
+    "knn_edges",
 ]
 __version__ = "0.1.0"
 
@@ -64,4 +66,12 @@ def __getattr__(name: str):
         from quacfka_spark.operators.text import bm25_topk
 
         return bm25_topk
+    if name == "pack_sequences":
+        from quacfka_spark.operators.text import pack_sequences
+
+        return pack_sequences
+    if name == "knn_edges":
+        from quacfka_spark.operators.similarity import knn_edges
+
+        return knn_edges
     raise AttributeError(name)
