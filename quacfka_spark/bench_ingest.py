@@ -404,6 +404,101 @@ def run_dedup_streaming_bench(
     }
 
 
+def run_neardup_streaming_bench(
+    spark: SparkSession,
+    rows: int = 1_000_000,
+    work_dir: str = "/tmp/quacfka_spark_ingest_neardup",
+) -> dict:
+    """Opt-in: the measured cost of the minhash band-ledger NEAR-dup
+    gate (PipelineConfig.neardup_col). JSON text payloads: the second
+    half of the stream carries one-token VARIANTS of the first half's
+    texts (19 of ~21 shingles shared, J~0.86 — re-crawl-style edits an
+    exact digest can never catch), so epoch 2 is gated against epoch
+    1's band ledger. Reports consumed-rows/s with the gate engaged,
+    the measured near-dup drop ratio (candidate-level: expected well
+    below 100% at J~0.86 by LSH design — the band-probability knob,
+    not a bug), and the ledger band-key count (12 bytes per key, the
+    ONLY cross-epoch state)."""
+    from quacfka_spark.sources.kafka import decode_json
+    from quacfka_spark.streaming import PipelineConfig, StreamingPipeline
+
+    cores = spark.sparkContext.defaultParallelism
+    src = os.path.join(work_dir, "src")
+    out = os.path.join(work_dir, "out")
+    shutil.rmtree(work_dir, ignore_errors=True)
+    unique = rows // 2
+    base = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(19)),
+            lambda i: F.concat(
+                F.lit("w"), ((F.col("id") % unique) * 7 + i * 13) % 5000
+            ),
+        ),
+    )
+    text = F.concat(
+        base,
+        F.when(F.col("id") < unique, F.lit(" alpha")).otherwise(F.lit(" beta")),
+    )
+    df = spark.range(0, rows, 1, cores * 2).select(
+        F.encode(
+            F.to_json(F.struct(F.col("id").alias("doc_id"), text.alias("text"))),
+            "utf-8",
+        ).alias("value")
+    )
+    df.write.mode("overwrite").parquet(src)
+    mb = float(
+        spark.read.parquet(src)
+        .select((F.sum(F.octet_length("value")) / (1024 * 1024)).alias("mb"))
+        .collect()[0]["mb"]
+    )
+
+    def one_pass(i: int) -> tuple[float, dict, int]:
+        source = (
+            spark.readStream.schema("value binary")
+            .option("maxFilesPerTrigger", str(cores))
+            .parquet(src)
+        )
+        pipe = StreamingPipeline(
+            spark,
+            source,
+            PipelineConfig(
+                output_dir=f"{out}_{i}",
+                dest_table="messages",
+                available_now=True,
+                neardup_col="r.text",
+            ),
+            decode=lambda d: decode_json(d, "doc_id bigint, text string"),
+        )
+        t0 = time.perf_counter()
+        q = pipe.start()
+        q.awaitTermination()
+        elapsed = time.perf_counter() - t0
+        ledger = spark.read.parquet(
+            os.path.join(f"{out}_{i}", "_neardup_ledger")
+        ).count()
+        return elapsed, pipe.metrics.report(), ledger
+
+    # best-of-2: pass 0 pays JVM/codegen warmup in this fresh subprocess
+    elapsed, rep, ledger_keys = min(one_pass(0), one_pass(1), key=lambda t: t[0])
+    shutil.rmtree(work_dir, ignore_errors=True)
+    consumed = rep["records_consumed"]
+    dropped = consumed - rep["records_inserted"]
+    return {
+        "records_consumed": consumed,
+        "records_inserted": rep["records_inserted"],
+        "neardup_dropped": dropped,
+        "drop_ratio_of_variant_half": round(dropped / (rows / 2), 4),
+        "ledger_band_keys": ledger_keys,
+        "batches": rep["batches"],
+        "duration_seconds": round(elapsed, 3),
+        "consumed_rows_per_second": round(consumed / elapsed, 2),
+        "mb_per_second": round(mb / elapsed, 2),
+        "cores": cores,
+        "decode": "json",
+    }
+
+
 def run_sustained_streaming_bench(
     spark: SparkSession,
     rows_per_epoch: int = 500_000,
@@ -545,6 +640,13 @@ def main() -> None:
     if "--dedup" in sys.argv:
         rows = int(os.environ.get("SPARK_GRAFT_DEDUP_ROWS", "2000000"))
         out = {"ingest_dedup": run_dedup_streaming_bench(spark, rows=rows)}
+        json.dump(out, sys.stdout)
+        print()
+        spark.stop()
+        return
+    if "--neardup" in sys.argv:
+        rows = int(os.environ.get("SPARK_GRAFT_NEARDUP_ROWS", "1000000"))
+        out = {"ingest_neardup": run_neardup_streaming_bench(spark, rows=rows)}
         json.dump(out, sys.stdout)
         print()
         spark.stop()

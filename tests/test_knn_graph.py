@@ -1,0 +1,105 @@
+"""knn_edges / sim10 edge-case semantics the TPC-H-ish fixtures never
+exercise: total-order tie-breaking inside a degenerate all-identical
+bucket, k larger than the candidate set, and the documented LSH-miss
+behavior (a pair sharing NO band is absent regardless of cosine).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from quacfka_spark.catalog import TABLES
+from quacfka_spark.operators.similarity import _SIM10_K, knn_edges
+
+SF = "/root/testdata/sf0.001"
+DIM = 64
+
+
+def _mk_dir(tmp_path, vecs) -> str:
+    """Probe-style dir: custom embeddings + symlinked fixture tables."""
+    d = str(tmp_path / "knn")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+                "embedding": pa.array(
+                    [[float(x) for x in v] for v in vecs],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    for name in TABLES:
+        if name == "embeddings":
+            continue
+        os.symlink(
+            os.path.join(SF, f"{name}.parquet"),
+            os.path.join(d, f"{name}.parquet"),
+        )
+    return d
+
+
+def test_identical_vectors_tie_break_by_id(spark, tmp_path):
+    """12 identical vectors: every cosine ties at 1.0, so ranking is
+    decided purely by the injective (quantized cos, id) key — each
+    vector's neighbors must be exactly the 5 smallest OTHER ids, in
+    ascending order, and identically so in every bucket they collide
+    in (cross-band merge must not double-count)."""
+    n = 12
+    vecs = [[1.0] * DIM] * n
+    d = _mk_dir(tmp_path, vecs)
+    rows = knn_edges(spark, d).orderBy("i", "rnk").collect()
+    by_i = {}
+    for r in rows:
+        by_i.setdefault(r.i, []).append((r.rnk, r.j, r.cos))
+    assert set(by_i) == set(range(n))
+    for i, lst in by_i.items():
+        expect = [j for j in range(n) if j != i][:_SIM10_K]
+        assert [j for _, j, _ in lst] == expect, (i, lst)
+        assert [rk for rk, _, _ in lst] == list(range(1, _SIM10_K + 1))
+        assert all(c == 1.0 for _, _, c in lst)
+
+
+def test_fewer_candidates_than_k(spark, tmp_path):
+    """3 identical vectors: only 2 candidates each — ranks 1..2, no
+    padding, no phantom rows."""
+    vecs = [[0.5] * DIM] * 3
+    d = _mk_dir(tmp_path, vecs)
+    rows = knn_edges(spark, d).collect()
+    assert len(rows) == 6  # 3 sources x 2 neighbors
+    assert {(r.i, r.rnk) for r in rows} == {
+        (i, rk) for i in range(3) for rk in (1, 2)
+    }
+
+
+def test_no_shared_band_means_no_edge(spark, tmp_path):
+    """Documented LSH-miss semantics: vectors whose leading 16 dims
+    (the band family) all differ in sign share NO bucket and therefore
+    never pair — even though their tail dims agree and the true cosine
+    is positive. This is the recall/cost knob (more bands would catch
+    it), asserted so the contract stays visible."""
+    a = [1.0] * 16 + [1.0] * (DIM - 16)
+    b = [-1.0] * 16 + [1.0] * (DIM - 16)
+    # a third vector colliding with `a` so the job emits something
+    c = [1.0] * 16 + [0.5] * (DIM - 16)
+    d = _mk_dir(tmp_path, [a, b, c])
+    rows = knn_edges(spark, d).collect()
+    pairs = {(r.i, r.j) for r in rows}
+    assert (0, 1) not in pairs and (1, 0) not in pairs
+    assert (0, 2) in pairs and (2, 0) in pairs
+    # vector 1 is alone in its buckets -> no edges at all
+    assert not any(r.i == 1 or r.j == 1 for r in rows)
+
+
+@pytest.mark.parametrize("n", [1, 0])
+def test_tiny_corpora(spark, tmp_path, n):
+    """0 or 1 vectors: no candidates, empty edge list (m < 2 guard)."""
+    vecs = [[1.0] * DIM] * n
+    d = _mk_dir(tmp_path, vecs)
+    assert knn_edges(spark, d).count() == 0
