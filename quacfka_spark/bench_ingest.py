@@ -427,12 +427,16 @@ def run_neardup_streaming_bench(
     out = os.path.join(work_dir, "out")
     shutil.rmtree(work_dir, ignore_errors=True)
     unique = rows // 2
+    # token values keyed modulo > `unique` so every base text is
+    # DISTINCT (an early % 5000 vocab collapsed 500k docs onto 5000
+    # texts, making the ledger unrealistically tiny and the drop ratio
+    # inflated by intra-corpus repeats)
     base = F.concat_ws(
         " ",
         F.transform(
             F.sequence(F.lit(0), F.lit(19)),
             lambda i: F.concat(
-                F.lit("w"), ((F.col("id") % unique) * 7 + i * 13) % 5000
+                F.lit("w"), ((F.col("id") % unique) * 7919 + i * 13) % 1000003
             ),
         ),
     )

@@ -523,21 +523,25 @@ class StreamingPipeline:
     _ND_N = 12  # minhashes; banded 3-wide -> 4 band keys (the d03 shape)
     _ND_BAND = 3
 
-    def _neardup_sigs(self, df: DataFrame) -> DataFrame:
-        """df + ``__nd_sigs`` array of 4 band keys: seeded-xxhash64
-        minhash folds over the row's text shingles (d03p's production
-        family — native hashes end to end, no hex strings). Tokens and
-        shingles materialize in their OWN projections so CollapseProject
-        cannot inline the regexp tokenizer into all 12 folds (the
-        measured 12x-regex trap, operators/dedup.py:68). A doc shorter
-        than one shingle hashes its whole token string (the dedup
+    def _nd_band_sigs(self, narrow: DataFrame) -> DataFrame:
+        """narrow frame (carrying ``__nd_txt``) + ``__nd_sigs`` array of
+        4 band keys: seeded-xxhash64 minhash folds over the text's
+        shingles (d03p's production family — native hashes end to end,
+        no hex strings). MUST be fed a NARROW projection (id + text):
+        on a wide frame downstream column pruning re-derives this
+        subtree per consumer and CollapseProject then inlines the
+        from_json/tokenizer chain into all 12 folds AND every
+        element_at of the shingle window — measured 27 s vs 1 s on a
+        100k-row epoch; the narrow-frame + single-consumer shape is
+        what keeps the boundary projections intact. A doc shorter than
+        one shingle hashes its whole token string (the dedup
         convention), so short exact-ish repeats still gate."""
         from quacfka_spark.functions.text import norm_tokens, shingles
 
-        df = df.select(
-            "*", norm_tokens(F.col(self.config.neardup_col)).alias("__nd_tk")
-        )
-        df = df.select(
+        out = narrow.select(
+            "*", norm_tokens(F.col("__nd_txt")).alias("__nd_tk")
+        ).drop("__nd_txt")
+        out = out.select(
             "*", shingles(F.col("__nd_tk")).alias("__nd_shs")
         ).drop("__nd_tk")
 
@@ -554,25 +558,29 @@ class StreamingPipeline:
                 for b in range(self._ND_N // self._ND_BAND)
             ]
         )
-        return df.select("*", bands.alias("__nd_sigs")).drop("__nd_shs")
+        return out.select("*", bands.alias("__nd_sigs")).drop("__nd_shs")
 
     def _neardup_against_history(self, df: DataFrame, epoch_id: int) -> DataFrame:
         """Drop rows whose band keys collide with >= neardup_min_bands
         bands recorded by earlier epochs. The history side is 12-byte
         (band, sig) rows — AQE broadcasts it while small, exactly the
-        exact-ledger posture; the batch side shuffles only
-        (row-digest, band, sig) triples into the collision count, and
-        the final anti-join keys on the 8-byte row digest."""
+        exact-ledger posture. The sig subtree hangs off a NARROW
+        (row-digest, text) projection consumed ONLY by the exploded
+        collision branch — the probe side carries just the 8-byte row
+        digest, so the expensive chain is planned exactly once (see
+        _nd_band_sigs) and the batch side shuffles only
+        (row-digest, band, sig) triples into the collision count."""
         prior = self._ledger_paths(epoch_id, root=self._neardup_root)
         if not prior:
             return df
         hist = self.spark.read.parquet(*prior).distinct()
-        base = self._neardup_sigs(df).select(
-            "*",
-            F.xxhash64(F.struct(*[F.col(c) for c in df.columns])).alias("__nd_rid"),
+        rid = F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))
+        base = df.withColumn("__nd_rid", rid)
+        narrow = base.select(
+            "__nd_rid", F.col(self.config.neardup_col).alias("__nd_txt")
         )
-        exploded = base.select(
-            "__nd_rid", F.posexplode("__nd_sigs").alias("band", "sig")
+        exploded = self._nd_band_sigs(narrow).select(
+            "__nd_rid", F.posexplode_outer("__nd_sigs").alias("band", "sig")
         )
         drop = (
             exploded.join(hist, ["band", "sig"])
@@ -581,18 +589,18 @@ class StreamingPipeline:
             .filter(F.col("__nd_hits") >= self.config.neardup_min_bands)
             .select("__nd_rid")
         )
-        return base.join(drop, "__nd_rid", "left_anti").drop(
-            "__nd_rid", "__nd_sigs"
-        )
+        return base.join(drop, "__nd_rid", "left_anti").drop("__nd_rid")
 
     def _write_neardup_ledger(self, src: DataFrame, epoch_id: int) -> None:
         """Record the band keys of what this epoch actually inserted —
         same overwrite-per-epoch replay-healing contract as
-        :meth:`_write_ledger`."""
+        :meth:`_write_ledger` (and the same narrow-projection rule as
+        the gate)."""
         path = os.path.join(self._neardup_root, f"epoch={epoch_id}")
+        narrow = src.select(F.col(self.config.neardup_col).alias("__nd_txt"))
         (
-            self._neardup_sigs(src)
-            .select(F.posexplode("__nd_sigs").alias("band", "sig"))
+            self._nd_band_sigs(narrow)
+            .select(F.posexplode_outer("__nd_sigs").alias("band", "sig"))
             .distinct()
             .write.mode("overwrite")
             .parquet(path)
