@@ -121,7 +121,9 @@ HEADLINE = [
     "t21_distill_auc",
     "x14_scd2_history",
     "x15_cohort_retention",
+    "x16_snapshot_timeline",
     "m06_ahash_neardup",
+    "m07_dhash_neardup",
 ]
 
 

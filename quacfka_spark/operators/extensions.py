@@ -1110,3 +1110,90 @@ def x15_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "x16_snapshot_timeline",
+    oracle="""
+    WITH wks AS (
+      SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events),
+    r AS (
+      SELECT w.wk, e.user_id, e.ts, e.event_type, e.value,
+             ROW_NUMBER() OVER (PARTITION BY w.wk, e.user_id
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY w.wk, e.user_id) AS n_events,
+             SUM(e.value) OVER (PARTITION BY w.wk, e.user_id) AS sv
+      FROM wks w JOIN events e ON e.ts < w.wk + INTERVAL 7 DAY)
+    SELECT CAST(CAST(wk + INTERVAL 7 DAY AS DATE) AS VARCHAR) AS as_of,
+           user_id, ts AS last_ts, event_type AS last_type,
+           ROUND(value, 2) AS last_value,
+           CAST(n_events AS BIGINT) AS n_events,
+           ROUND(sv, 2) AS sum_value
+    FROM r WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY as_of, user_id
+    """,
+    doc="Changelog TIME TRAVEL: the published snapshot AS OF every week "
+    "boundary, reconstructed in ONE pass over the events changelog — "
+    "per-(key, week) partial states (x11's changelog_reduce aggregate) "
+    "then a cumulative re-max/re-add window ACROSS weeks per key, so "
+    "raw events are scanned and reduced exactly once for all W "
+    "snapshots. Tombstone semantics match x11: a key deleted as of "
+    "week k disappears from that snapshot but resurrects in a later "
+    "one if upserted again. The oracle recomputes each snapshot from "
+    "the full prefix — agreement proves the cumulative merge lossless "
+    "at every boundary, not just the final state.",
+)
+def x16_snapshot_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): the per-(key, week) reduce is one
+    partial+final aggregation — each task emits at most one row per
+    (key, week) before the exchange, the same map-side discipline as
+    x11. Everything after operates on the |keys| x W reduced frame
+    (dimension-scale): the dense spine is a broadcast |W|-row dim
+    crossed against the distinct keys already co-partitioned by the
+    reduce, and the cumulative window partitions by key over W rows.
+    The naive form — W separate prefix scans — reads the fact table W
+    times; this reads it once. Reference analog: snapshot queries
+    delegated to DuckDB (duck.go:70-72); the timeline shape is the
+    time-travel extension."""
+    t = load_views(spark, sf_dir)
+    ev = t["events"]
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    red = (
+        ev.select("user_id", wk.alias("wk"), "ts", "event_id", "event_type", "value")
+        .groupBy("user_id", "wk")
+        .agg(
+            F.max(F.struct("ts", "event_id", "event_type", "value")).alias("last"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sv"),
+        )
+    )
+    weeks = red.select("wk").distinct()
+    spine = red.select("user_id").distinct().crossJoin(F.broadcast(weeks))
+    dense = spine.join(red, ["user_id", "wk"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("wk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dense.select(
+        "user_id",
+        "wk",
+        F.max("last").over(w).alias("last"),
+        F.sum("n_events").over(w).alias("n_events"),
+        F.sum("sv").over(w).alias("sv"),
+    ).filter(F.col("last").isNotNull())
+    return (
+        cum.filter(F.col("last.event_type") != "error")
+        .select(
+            F.date_add(F.col("wk"), 7).cast("string").alias("as_of"),
+            "user_id",
+            F.col("last.ts").alias("last_ts"),
+            F.col("last.event_type").alias("last_type"),
+            F.round(F.col("last.value"), 2).alias("last_value"),
+            "n_events",
+            F.round(F.col("sv"), 2).alias("sum_value"),
+        )
+        .orderBy("as_of", "user_id")
+    )

@@ -336,6 +336,53 @@ def m05_binary_piecewise_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer codegen expressions: bucket_mean > global_mean is compared
 # as bucket_sum * n > total_sum * bucket_len, so there is no float
 # anywhere and the oracle matches bit-for-bit.
+def _hash_band_pairs(
+    bits: DataFrame, col: str, n_bands: int, max_hamming: int
+) -> DataFrame:
+    """Shared m06/m07 tail: band a 64-bit perceptual hash column into
+    ``n_bands`` 8-bit LSH keys, self-join on (band, value) with the
+    repartition placed so the second side is a ReusedExchange of the
+    first (the d03 one-exchange band join), and verify candidates at
+    ``hamming <= max_hamming``. Shuffled join, never a broadcast of
+    the full band table — the shape that survives 100 TB."""
+    bands = (
+        bits.select(
+            "doc_id",
+            col,
+            F.expr(
+                f"explode(transform(sequence(0, {n_bands - 1}),"
+                f" j -> struct(j AS j, shiftright({col}, 8 * j) & 255 AS bv)))"
+            ).alias("band"),
+        )
+        .select(
+            "doc_id", col, F.col("band.j").alias("j"), F.col("band.bv").alias("bv")
+        )
+        .repartition("j", "bv")
+    )
+    a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col(f"a.{col}").alias("ha"),
+            F.col(f"b.{col}").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.filter(hamming <= max_hamming)
+        .select("da", "db", hamming.cast("bigint").alias("hamming"))
+        .orderBy("da", "db")
+    )
+
+
 _M06_BITS = 32
 _M06_BANDS = 4          # 4 bands x 8 bits
 _M06_MAX_HAMMING = 4
@@ -448,39 +495,109 @@ def m06_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the hash pipeline above is computed ONCE, and the shuffled join
     # is the shape that survives 100 TB where broadcasting the full
     # band table would not
-    bands = (
-        bits.select(
-            "doc_id",
-            "ahash",
-            F.expr(
-                f"explode(transform(sequence(0, {NB - 1}),"
-                " j -> struct(j AS j, shiftright(ahash, 8 * j) & 255 AS bv)))"
-            ).alias("band"),
-        )
-        .select(
-            "doc_id", "ahash", F.col("band.j").alias("j"), F.col("band.bv").alias("bv")
-        )
-        .repartition("j", "bv")
+    return _hash_band_pairs(bits, "ahash", NB, _M06_MAX_HAMMING)
+
+
+# --------------------------------------------------------------------------
+# m07 — perceptual difference-hash (dHash): m06's gradient-based twin.
+# aHash thresholds each cell against the GLOBAL mean, so a uniform
+# brightness shift that crosses the mean flips many bits at once;
+# dHash compares each cell to its NEIGHBOR (is the signal rising or
+# falling here?), which is invariant to any monotone global shift —
+# the standard aHash/dHash pair every perceptual-dedup stack ships.
+# Same float-free discipline: mean_b > mean_{b+1} is compared as
+# bsum_b * blen_{b+1} > bsum_{b+1} * blen_b, pure integer codegen.
+_M07_CELLS = 33   # 33 cells -> 32 adjacent comparisons = 64/2 bits
+_M07_BANDS = 4
+_M07_MAX_HAMMING = 4
+
+
+@query(
+    "m07_dhash_neardup",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(text, '[\\s\\S]'),
+                            c -> ascii(c)) AS p
+      FROM documents),
+    h AS (
+      SELECT doc_id, p, len(p) AS n
+      FROM px WHERE len(p) >= {_M07_CELLS}),
+    by AS (
+      SELECT doc_id, (pos * {_M07_CELLS}) // n AS bucket, p[pos + 1] AS v
+      FROM h, unnest(range(0, n)) t(pos)),
+    bs AS (
+      SELECT doc_id, bucket, SUM(v) AS bsum, COUNT(*) AS blen
+      FROM by GROUP BY 1, 2),
+    bits AS (
+      SELECT b1.doc_id,
+             SUM(CASE WHEN b1.bsum * b2.blen > b2.bsum * b1.blen
+                      THEN (2**b1.bucket)::BIGINT ELSE 0 END) AS dhash
+      FROM bs b1 JOIN bs b2
+        ON b2.doc_id = b1.doc_id AND b2.bucket = b1.bucket + 1
+      GROUP BY b1.doc_id),
+    bands AS (
+      SELECT doc_id, dhash, j, (dhash >> (8*j)) & 255 AS bv
+      FROM bits, generate_series(0, {_M07_BANDS - 1}) t(j)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                      a.dhash AS ha, b.dhash AS hb
+      FROM bands a JOIN bands b
+        ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    SELECT da, db, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= {_M07_MAX_HAMMING}
+    ORDER BY da, db
+    """,
+    doc="Perceptual difference-hash (dHash) near-dup over binary "
+    f"payloads: {_M07_CELLS} cells, each bit = is this cell's mean "
+    "above its right neighbor's (integer cross-multiplied — "
+    "float-free, engine-exact), banded into "
+    f"{_M07_BANDS}x8-bit LSH keys, verified at Hamming <= "
+    f"{_M07_MAX_HAMMING}. Gradient-based, so invariant to global "
+    "brightness shifts where m06's global-mean aHash is not.",
+)
+def m07_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): identical posture to m06 — the payload
+    reduces map-side to 33 narrow (bucket, sum, len) rows per doc
+    (partial agg below the exchange, bytes never move), then ONE
+    in-row integer fold turns the sorted cell array into the 8-byte
+    hash (the adjacent comparison needs no self-join in Spark: 33
+    structs per doc fold inside one projection; the oracle's
+    bucket+1 self-join is the same arithmetic), and the band
+    self-join reuses one exchange (_hash_band_pairs). Reference
+    analog: none (opaque bytes, kafka.go:151)."""
+    t = load_views(spark, sf_dir)
+    C = _M07_CELLS
+    px = _fanout(
+        t["documents"].filter(F.expr(f"char_length(text) >= {C}"))
+    ).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, char_length(text)),"
+            " i -> ascii(substring(text, i, 1)))"
+        ).alias("p"),
     )
-    a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.j") == F.col("b.j"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
-            F.col("a.ahash").alias("ha"),
-            F.col("b.ahash").alias("hb"),
-        )
-        .distinct()
+    by = px.select(
+        "doc_id", F.size("p").alias("n"), F.posexplode_outer("p").alias("pos", "v")
+    ).select(
+        "doc_id", F.expr(f"(pos * {C}) DIV n").alias("bucket"), "v"
     )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        cand.filter(hamming <= _M06_MAX_HAMMING)
-        .select("da", "db", hamming.cast("bigint").alias("hamming"))
-        .orderBy("da", "db")
+    bs = by.groupBy("doc_id", "bucket").agg(
+        F.sum("v").alias("bsum"), F.count(F.lit(1)).alias("blen")
     )
+    # n >= C guarantees every cell is non-empty, so the sorted array is
+    # exactly C structs and the 1-based element_at window below never
+    # leaves range (ANSI-safe by construction)
+    arr = bs.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("bucket", "bsum", "blen"))).alias("a")
+    )
+    bits = arr.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(sequence(0, {C - 2}), 0L, (acc, b) -> acc + IF("
+            "element_at(a, b + 1).bsum * element_at(a, b + 2).blen > "
+            "element_at(a, b + 2).bsum * element_at(a, b + 1).blen, "
+            "shiftleft(1L, b), 0L))"
+        ).alias("dhash"),
+    )
+    return _hash_band_pairs(bits, "dhash", _M07_BANDS, _M07_MAX_HAMMING)

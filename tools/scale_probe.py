@@ -70,6 +70,7 @@ OPS = [
     "t20_distill_classifier",
     "t21_distill_auc",
     "m06_ahash_neardup",
+    "m07_dhash_neardup",
 ]
 
 
