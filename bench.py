@@ -75,6 +75,7 @@ HEADLINE = [
     "x07_partition_pruned_rollup",
     "x09_zorder_scan",
     "s07_funnel_join",
+    "s08_stream_static_enrich",
     "q44_hll_sketch",
     "t12_sequence_pack",
     "m05_binary_piecewise_dedup",

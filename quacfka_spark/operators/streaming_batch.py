@@ -199,3 +199,55 @@ def s07_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id", "view_id")
     )
+
+
+# --------------------------------------------------------------------------
+# S8 — stream-static enrichment join, batch-equivalent form. The third
+# Structured Streaming join class (after S7's stream-stream and the
+# windowed aggs): a fact stream enriched against a slowly-changing
+# dimension held as a STATIC DataFrame. Spark evaluates stream-static
+# joins with ZERO state — the static side is broadcast to every task
+# and each micro-batch joins map-side — so this is the canonical
+# "enrich then aggregate" ingest topology. The real readStream twin
+# runs in tests/test_streaming.py::test_s8_stream_static_enrich; this
+# key hash-checks the join + window semantics that query computes.
+@query(
+    "s08_stream_static_enrich",
+    oracle="""
+    SELECT CAST(date_trunc('hour', e.ts) AS VARCHAR) AS w,
+           COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+           COUNT(*) AS n, ROUND(SUM(e.value), 2) AS s
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Stream-static enrichment: events left-joined to the customer "
+    "dimension (broadcast — the stream-static join plan, zero state) "
+    "then tumbling-window aggregated per market segment. Unmatched "
+    "users degrade to segment 'UNKNOWN' (stream-side left outer is "
+    "the supported streaming form).",
+)
+def s08_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): the dimension is broadcast — the fact
+    stream NEVER shuffles for the join (identical to Spark's own
+    stream-static execution, where each micro-batch joins against the
+    replicated static side map-side). The only exchange is the partial
+    -> final window aggregation on (window, segment), whose input is
+    already reduced by map-side combine. A dimension too big to
+    broadcast is the x06 co-bucketed layout's case, not this one.
+    Reference analog: none — the reference's streaming path has no
+    join (proto.go:148 batches by count/wall-clock only); this is
+    engine-native capability beyond it (SURVEY.md §2b S-table scope)."""
+    t = load_views(spark, sf_dir)
+    dim = t["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        t["events"]
+        .join(F.broadcast(dim), "user_id", "left")
+        .groupBy(
+            F.window("ts", "1 hour").getField("start").cast("string").alias("w"),
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .orderBy("w", "segment")
+    )

@@ -906,3 +906,20 @@ def test_sim10_three_narrow_exchanges_grouplimit_below_shuffle(plans):
     for schema in read_schemas(p):
         cols = sorted(c.split(":")[0] for c in schema.split(","))
         assert cols == ["embedding", "vec_id"], schema
+
+
+def test_s08_stream_static_join_broadcasts_dim(plans):
+    """S8 stream-static enrichment: the customer dimension must be
+    BROADCAST — the fact (events) side never shuffles for the join,
+    mirroring Spark's actual stream-static execution where the static
+    side replicates into each micro-batch. The only exchange allowed
+    is the window/segment aggregation's partial->final shuffle."""
+    p = plans("s08_stream_static_enrich")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    # two shuffles only: the aggregation's hash exchange + the
+    # presentation sort's range exchange (BroadcastExchange excluded)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    assert len(re.findall(r"Arguments: hashpartitioning\(", p)) == 1
+    # map-side combine before the agg exchange
+    assert "partial_count(1)" in p

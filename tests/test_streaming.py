@@ -491,7 +491,7 @@ def test_s02_streaming_sliding_window_equivalence(spark, tmp_path):
     assert got == want
 
 
-def test_s08_streaming_changelog_foreachbatch_merge(spark, tmp_path):
+def test_s09_streaming_changelog_foreachbatch_merge(spark, tmp_path):
     """x11's streaming form, run through a REAL readStream: each
     micro-batch delta is changelog_reduce'd and merged into the state
     at rest (epoch-versioned parquet — the D19 idempotent-sink
@@ -589,3 +589,59 @@ def test_s08_streaming_changelog_foreachbatch_merge(spark, tmp_path):
     )
     want = sorted(map(tuple, changelog_publish(changelog_reduce(allrows)).collect()))
     assert got == want and len(got) == 3  # u2 resurrected by B3's view
+
+
+def test_s8_stream_static_enrich(spark, tmp_path):
+    """S8: stream-static enrichment join — the zero-state streaming join
+    class. A file-source event stream is left-joined to a STATIC segment
+    dimension (Spark broadcasts it into every micro-batch; no state
+    store involved) and aggregated into tumbling windows per segment.
+    The batch-oracle twin is the s08_stream_static_enrich query key;
+    here we assert the streaming engine computes the identical frame,
+    including the dimension-miss -> 'UNKNOWN' degradation and rows
+    arriving across separate micro-batches folding into one window."""
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    _write_batch_file(d, "f1.parquet", BATCH1)  # users 1, 2, 1
+
+    dim = spark.createDataFrame(
+        [(1, "AUTOMOBILE"), (2, "BUILDING")], "user_id bigint, seg string"
+    )
+    enriched = (
+        _file_stream(spark, d)
+        .join(F.broadcast(dim), "user_id", "left")
+        .groupBy(
+            F.window("ts", "1 hour").getField("start").alias("w"),
+            F.coalesce("seg", F.lit("UNKNOWN")).alias("segment"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 2).alias("s"))
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("s8_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: user 3 has NO dimension row (-> UNKNOWN); user 1's
+        # second 10:00-hour event must fold into the existing window
+        _write_batch_file(
+            d,
+            "f2.parquet",
+            [(TS("2024-01-01 10:20:00"), 3, 10.0), (TS("2024-01-01 10:40:00"), 1, 4.0)],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(
+        (r.w.strftime("%H:%M"), r.segment, r.n, r.s)
+        for r in spark.sql("SELECT * FROM s8_sink").collect()
+    )
+    assert rows == [
+        ("10:00", "AUTOMOBILE", 2, 5.0),   # 1.0 (b1) + 4.0 (b2)
+        ("10:00", "BUILDING", 1, 2.0),
+        ("10:00", "UNKNOWN", 1, 10.0),     # user 3: no dim row
+        ("11:00", "AUTOMOBILE", 1, 3.0),
+    ], rows
