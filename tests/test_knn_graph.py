@@ -103,3 +103,67 @@ def test_tiny_corpora(spark, tmp_path, n):
     vecs = [[1.0] * DIM] * n
     d = _mk_dir(tmp_path, vecs)
     assert knn_edges(spark, d).count() == 0
+
+
+def _reference_banded_knn(vecs_f32, k):
+    """Independent NumPy re-derivation of knn_edges' declared semantics:
+    candidates = pairs sharing any (band, sig) bucket; final edges = each
+    i's top-k candidates by (4dp-rounded cosine desc, j asc). Bucket-local
+    pruning must be INVISIBLE here — that is the soundness claim under
+    test (a neighbor cut from a bucket's local top-k is beaten there by k
+    emitted candidates, so it can never enter the global top-k)."""
+    import numpy as np
+
+    from quacfka_spark.operators.similarity import _SIM10_BANDS, _SIM10_BITS
+
+    mat = np.asarray(vecs_f32, dtype="float32").astype("float64")
+    n = len(mat)
+    sigs = [
+        [
+            tuple(mat[i, b * _SIM10_BITS : b * _SIM10_BITS + _SIM10_BITS] > 0)
+            for b in range(_SIM10_BANDS)
+        ]
+        for i in range(n)
+    ]
+    cand = {
+        (i, j)
+        for i in range(n)
+        for j in range(n)
+        if i != j and any(sigs[i][b] == sigs[j][b] for b in range(_SIM10_BANDS))
+    }
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = []
+    for i in range(n):
+        js = sorted(j for (a, j) in cand if a == i)
+        if not js:
+            continue
+        cos = norm[js] @ norm[i]
+        rounded = np.round(cos, 4)
+        order = sorted(range(len(js)), key=lambda t: (-rounded[t], js[t]))
+        for rnk, t in enumerate(order[:k], start=1):
+            out.append((i, js[t], rnk, float(rounded[t])))
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_randomized_equivalence_vs_reference(spark, tmp_path, seed):
+    """Property check on random corpora (with exact-duplicate planting to
+    force quantized-cosine ties): the distributed banded implementation
+    must equal the direct per-candidate top-k reference EXACTLY on
+    (i, j, rnk) and to 4dp on cos — i.e. bucket-local pruning, the
+    cross-band MAX merge, and the injective int64 in-bucket sort key
+    all collapse to the declared semantics."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((40, DIM)).astype("float32")
+    # plant exact duplicates (cos == 1.0 ties -> j-asc tiebreak path)
+    vecs[7] = vecs[5]
+    vecs[13] = vecs[5]
+    d = _mk_dir(tmp_path, vecs.tolist())
+    got = sorted(
+        (r.i, r.j, r.rnk, r.cos) for r in knn_edges(spark, d).collect()
+    )
+    want = sorted(_reference_banded_knn(vecs, _SIM10_K))
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    assert all(abs(g[3] - w[3]) < 5e-5 for g, w in zip(got, want))
