@@ -518,7 +518,8 @@ _D05_MAX_BLOCKS = 256
     "never a collected block in a single Spark row, so nothing "
     "approaches the 2 GB row limit at any N); each (pa, pb) group then "
     "computes its block-vs-block cosine matrix with vectorized numpy "
-    "inside applyInPandas, where group memory is bounded by 2 blocks "
+    "inside applyInArrow (zero-copy matrix build, float32 exchange; "
+    "see arrowkit), where group memory is bounded by 2 blocks "
     "regardless of table size. Shuffle volume is N*B rows — inherently "
     "quadratic in N like any exact all-pairs; at 100 TB run d07 "
     "(sign-LSH candidate prefilter, same verify math) instead.",
@@ -560,49 +561,45 @@ def d05_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*pair_structs)).alias("p"),
     ).select("vec_id", "embedding", "b", F.col("p.pa"), F.col("p.pb"))
 
-    def block_pair(key, pdf):
+    def block_pair(key, tbl):
         import numpy as np
 
-        pa, pb = key
+        from quacfka_spark.operators.arrowkit import (
+            list_matrix, np_col, pairs_table,
+        )
 
-        def mat(sub):
-            ids = sub["vec_id"].to_numpy()
-            m = np.array(sub["embedding"].tolist(), dtype="float64")
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
-            return ids, m
+        # applyInArrow keys are pyarrow scalars -> unwrap to Python
+        ba, bb = (x.as_py() for x in key)
 
-        empty = pd.DataFrame({"i": [], "j": [], "cos": []})
-        if pa == pb:
-            if len(pdf) == 0:
-                return empty
-            ids_x, mx = mat(pdf)
-            cos = mx @ mx.T
+        ids_all = np_col(tbl, "vec_id")
+        mat_all = list_matrix(tbl, "embedding")
+        # out-of-place: zero-copy matrices are read-only on f64 input
+        mat_all = mat_all / np.linalg.norm(mat_all, axis=1, keepdims=True)
+
+        if ba == bb:
+            if len(ids_all) == 0:
+                return pairs_table()
+            ids_x = ids_y = ids_all
+            cos = mat_all @ mat_all.T
             # diagonal block holds both (u,v) and (v,u): keep u<v
             cos = np.where(ids_x[:, None] < ids_x[None, :], cos, -2.0)
-            ids_y = ids_x
         else:
-            x, y = pdf[pdf["b"] == pa], pdf[pdf["b"] == pb]
-            if len(x) == 0 or len(y) == 0:
-                return empty
-            ids_x, mx = mat(x)
-            ids_y, my = mat(y)
-            cos = mx @ my.T
+            blk = np_col(tbl, "b")
+            xm, ym = blk == ba, blk == bb
+            if not xm.any() or not ym.any():
+                return pairs_table()
+            ids_x, ids_y = ids_all[xm], ids_all[ym]
+            cos = mat_all[xm] @ mat_all[ym].T
         ii, jj = np.nonzero(cos >= _D05_THRESHOLD)
         u, v = ids_x[ii], ids_y[jj]
-        return pd.DataFrame(
-            {
-                "i": np.minimum(u, v),
-                "j": np.maximum(u, v),
-                "cos": cos[ii, jj],
-            }
-        )
+        return pairs_table(np.minimum(u, v), np.maximum(u, v), cos[ii, jj])
 
     # Round in the outer plan with F.round (HALF_UP) — not np.round
     # (half-to-even) inside block_pair — so d05, d07, and the DuckDB
     # oracle's ROUND all share one rounding mode on boundary cosines.
     return (
         rep.groupBy("pa", "pb")
-        .applyInPandas(block_pair, schema="i bigint, j bigint, cos double")
+        .applyInArrow(block_pair, schema="i bigint, j bigint, cos double")
         .select("i", "j", F.round("cos", 4).alias("cos"))
         .orderBy("i", "j")
     )
@@ -654,7 +651,7 @@ def _d07_oracle() -> str:
     "ANY band are verified by exact cosine, bucket-locally: one shuffle "
     "on (band, sig) with the vector riding (N x BANDS rows total — "
     "independent of how many candidates the buckets imply), then a "
-    "chunked numpy matmul per bucket inside applyInPandas, with the "
+    "chunked numpy matmul per bucket inside applyInArrow, with the "
     "min-band trick replacing a DISTINCT for pairs that collide in "
     "several buckets (see _cosine_lsh_pairs). No join, no candidate-"
     "pair materialization, no all-pairs stage anywhere. Recall vs d05 "
@@ -675,7 +672,7 @@ def _cosine_lsh_pairs(
     Bucket-local verify: vectors ride the band shuffle (each vector is
     exchanged exactly BANDS times), then every (band, sig) bucket
     verifies its own pairs with one vectorized numpy matmul inside
-    applyInPandas. This replaces the earlier narrow-row design (band
+    applyInArrow. This replaces the earlier narrow-row design (band
     self-join -> DISTINCT -> two vector join-backs -> Arrow cosine UDF)
     after profiling at sf0.1 showed candidate precision of ~0.4% at the
     0.35 threshold: the join materialized ~500k candidate pair rows, a
@@ -730,35 +727,38 @@ def _cosine_lsh_pairs(
     # with a NULL side is NULL -> WHERE false), and a null row only ever
     # pairs with itself — dropping them pre-shuffle is output-equivalent
     # and keeps the pandas matrix rectangular.
+    # No cast to double: the band exchange moves parquet float32 (half
+    # the bytes); the kernel widens AFTER the shuffle — bit-exact.
     e = t["embeddings"].filter(F.col("embedding").isNotNull())
     bands = e.select(
         "vec_id",
-        F.col("embedding").cast("array<double>").alias("embedding"),
+        "embedding",
         F.array(*band_sigs).alias("sigs"),
     ).select(
         "vec_id", "embedding", "sigs",
         F.posexplode_outer(F.col("sigs")).alias("band", "sig"),
     )
 
-    def bucket_verify(key, pdf):
+    def bucket_verify(key, tbl):
         import numpy as np
 
-        band = key[0]
-        empty = pd.DataFrame({"i": pd.Series(dtype="int64"),
-                              "j": pd.Series(dtype="int64"),
-                              "cos": pd.Series(dtype="float64")})
-        m = len(pdf)
+        from quacfka_spark.operators.arrowkit import (
+            list_matrix, np_col, pairs_table, str_matrix,
+        )
+
+        band = key[0].as_py()  # applyInArrow keys are pyarrow scalars
+        m = len(tbl)
         if m < 2:
-            return empty
-        ids = pdf["vec_id"].to_numpy()
-        mat = np.array(pdf["embedding"].tolist(), dtype="float64")
+            return pairs_table()
+        ids = np_col(tbl, "vec_id")
+        mat = list_matrix(tbl, "embedding")
         with np.errstate(divide="ignore", invalid="ignore"):
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         # m x BANDS of '0101' strings; band-0 buckets never consult it
         # (every band-0 collision is by definition the first), so skip
-        # the bucket-sized pandas->numpy conversion there
-        sigm = np.array(pdf["sigs"].tolist()) if band > 0 else None
-        out = []
+        # the bucket-sized string conversion there
+        sigm = str_matrix(tbl, "sigs") if band > 0 else None
+        oi, oj, oc = [], [], []
         for lo in range(0, m, _D07_CHUNK):
             hi = min(lo + _D07_CHUNK, m)
             with np.errstate(invalid="ignore"):
@@ -779,17 +779,19 @@ def _cosine_lsh_pairs(
                 ii, jj = ii[first], jj[first]
                 if not len(ii):
                     continue
-            out.append(
-                pd.DataFrame(
-                    {"i": ids[lo + ii], "j": ids[jj], "cos": cos[ii, jj]}
-                )
-            )
-        return pd.concat(out) if out else empty
+            oi.append(ids[lo + ii])
+            oj.append(ids[jj])
+            oc.append(cos[ii, jj])
+        if not oi:
+            return pairs_table()
+        return pairs_table(
+            np.concatenate(oi), np.concatenate(oj), np.concatenate(oc)
+        )
 
     if salt_buckets <= 1:
         return (
             bands.groupBy("band", "sig")
-            .applyInPandas(bucket_verify, schema="i bigint, j bigint, cos double")
+            .applyInArrow(bucket_verify, schema="i bigint, j bigint, cos double")
             .select("i", "j", F.round("cos", 4).alias("cos"))
         )
 
@@ -817,29 +819,38 @@ def _cosine_lsh_pairs(
         )
     )
 
-    def bucket_verify_salted(key, pdf):
+    def bucket_verify_salted(key, tbl):
         import numpy as np
 
-        band, _sig, pa, pb = key
-        empty = pd.DataFrame({"i": pd.Series(dtype="int64"),
-                              "j": pd.Series(dtype="int64"),
-                              "cos": pd.Series(dtype="float64")})
+        from quacfka_spark.operators.arrowkit import (
+            list_matrix, np_col, pairs_table, str_matrix,
+        )
 
-        def prep(sub):
-            ids = sub["vec_id"].to_numpy()
-            mat = np.array(sub["embedding"].tolist(), dtype="float64")
-            with np.errstate(divide="ignore", invalid="ignore"):
-                mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            sigm = np.array(sub["sigs"].tolist()) if band > 0 else None
-            return ids, mat, sigm
+        # applyInArrow keys are pyarrow scalars -> unwrap to Python
+        band, _sig, sa, sb = (x.as_py() for x in key)
 
-        out = []
-        if pa == pb:
+        ids_all = np_col(tbl, "vec_id")
+        mat_all = list_matrix(tbl, "embedding")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mat_all = mat_all / np.linalg.norm(
+                mat_all, axis=1, keepdims=True
+            )
+        sigm_all = str_matrix(tbl, "sigs") if band > 0 else None
+
+        def sel(mask):
+            return (
+                ids_all[mask],
+                mat_all[mask],
+                sigm_all[mask] if band > 0 else None,
+            )
+
+        oi, oj, oc = [], [], []
+        if sa == sb:
             # diagonal sub-bucket: the unsalted self-verify over the
-            # pa-salt members (they carry exactly one (pa, pa) struct)
-            if len(pdf) < 2:
-                return empty
-            ids, mat, sigm = prep(pdf)
+            # sa-salt members (they carry exactly one (sa, sa) struct)
+            if len(tbl) < 2:
+                return pairs_table()
+            ids, mat, sigm = ids_all, mat_all, sigm_all
             for lo in range(0, len(ids), _D07_CHUNK):
                 hi = min(lo + _D07_CHUNK, len(ids))
                 with np.errstate(invalid="ignore"):
@@ -852,17 +863,17 @@ def _cosine_lsh_pairs(
                     first = eq.argmax(axis=1) == band
                     ii, jj = ii[first], jj[first]
                 if len(ii):
-                    out.append(pd.DataFrame(
-                        {"i": ids[lo + ii], "j": ids[jj], "cos": cos[ii, jj]}
-                    ))
+                    oi.append(ids[lo + ii])
+                    oj.append(ids[jj])
+                    oc.append(cos[ii, jj])
         else:
             # off-diagonal: cross pairs between the two salt groups
             # (disjoint by construction, so no i<j mask — orient by id)
-            x, y = pdf[pdf["slt"] == pa], pdf[pdf["slt"] == pb]
-            if len(x) == 0 or len(y) == 0:
-                return empty
-            ids_x, mx, sgx = prep(x)
-            ids_y, my, sgy = prep(y)
+            slt = np_col(tbl, "slt")
+            ids_x, mx, sgx = sel(slt == sa)
+            ids_y, my, sgy = sel(slt == sb)
+            if len(ids_x) == 0 or len(ids_y) == 0:
+                return pairs_table()
             for lo in range(0, len(ids_x), _D07_CHUNK):
                 hi = min(lo + _D07_CHUNK, len(ids_x))
                 with np.errstate(invalid="ignore"):
@@ -875,16 +886,18 @@ def _cosine_lsh_pairs(
                     ii, jj = ii[first], jj[first]
                 if len(ii):
                     u, v = ids_x[lo + ii], ids_y[jj]
-                    out.append(pd.DataFrame(
-                        {"i": np.minimum(u, v),
-                         "j": np.maximum(u, v),
-                         "cos": cos[ii, jj]}
-                    ))
-        return pd.concat(out) if out else empty
+                    oi.append(np.minimum(u, v))
+                    oj.append(np.maximum(u, v))
+                    oc.append(cos[ii, jj])
+        if not oi:
+            return pairs_table()
+        return pairs_table(
+            np.concatenate(oi), np.concatenate(oj), np.concatenate(oc)
+        )
 
     return (
         rep.groupBy("band", "sig", "pa", "pb")
-        .applyInPandas(
+        .applyInArrow(
             bucket_verify_salted, schema="i bigint, j bigint, cos double"
         )
         .select("i", "j", F.round("cos", 4).alias("cos"))
@@ -1264,16 +1277,19 @@ def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def cell_dups(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def cell_dups(tbl):
         import numpy as np
+        import pyarrow as pa
 
-        ids = pdf["vec_id"].to_numpy()
-        prims = pdf["prim"].to_numpy()
-        m = np.array(pdf["embedding"].tolist(), dtype="float64")
+        from quacfka_spark.operators.arrowkit import list_matrix, np_col
+
+        ids = np_col(tbl, "vec_id")
+        m = list_matrix(tbl, "embedding")
         # zero-norm rows -> NaN cosine -> below-threshold (they can
-        # never verify; same rule as d07's bucket_verify)
+        # never verify; same rule as d07's bucket_verify). Out-of-place:
+        # the zero-copy matrix is read-only when parquet is float64.
         with np.errstate(divide="ignore", invalid="ignore"):
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
         dup = np.zeros(len(ids), dtype=bool)
         for a in range(0, len(ids), _D07_CHUNK):
             b = min(a + _D07_CHUNK, len(ids))
@@ -1283,8 +1299,12 @@ def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ids[None, :] < ids[a:b, None]
                 )
             dup[a:b] = hit.any(axis=1)
-        return pd.DataFrame(
-            {"vec_id": ids, "prim": prims, "is_dup": dup.astype("int32")}
+        return pa.table(
+            {
+                "vec_id": tbl.column("vec_id"),
+                "prim": tbl.column("prim"),
+                "is_dup": pa.array(dup.astype("int32")),
+            }
         )
 
     # a vector sits in PROBE cells -> PROBE flag rows; OR them and keep
@@ -1292,7 +1312,7 @@ def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vec_id, so min == the value)
     return (
         member.groupBy("cell")
-        .applyInPandas(cell_dups, schema="vec_id bigint, prim bigint, is_dup int")
+        .applyInArrow(cell_dups, schema="vec_id bigint, prim bigint, is_dup int")
         .groupBy("vec_id")
         .agg(
             F.min("prim").alias("cell"),

@@ -1042,7 +1042,7 @@ def _sim10_oracle() -> str:
     oracle=_sim10_oracle(),
     doc="k-NN graph: every vector's top-5 neighbors under sign-LSH "
     "banding (d07's 4x4 deterministic band family). Bucket-local "
-    "top-k inside applyInPandas bounds emitted edges to k per member "
+    "top-k inside applyInArrow bounds emitted edges to k per member "
     "per band; a global per-source window merges bands. Rank order is "
     "4dp-rounded cosine desc, neighbor id asc — identical in both "
     "engines. The graph primitive behind SemDeDup cluster pruning, "
@@ -1051,9 +1051,13 @@ def _sim10_oracle() -> str:
 def sim10_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale design (100 TB): three exchanges, none carrying O(N^2).
     (1) The band shuffle moves each vector exactly BANDS times (d07's
-    posture — volume independent of candidate count); the quadratic
-    cosine term never leaves the bucket's chunked numpy matrices, and
-    bucket-local pruning caps emission at k edges per member per band.
+    posture — volume independent of candidate count) as float32 —
+    the kernel widens to float64 AFTER the exchange (bit-exact), so
+    the dominant shuffle moves half the bytes of a double plan; the
+    quadratic cosine term never leaves the bucket's chunked numpy
+    matrices (applyInArrow zero-copy flatten->reshape, see arrowkit),
+    and bucket-local pruning caps emission at k edges per member per
+    band.
     (2) The cross-band merge and (3) the per-source top-k window both
     shuffle only narrow (i, j, cos) rows, <= N x BANDS x k of them; the
     row_number + rank filter compiles to WindowGroupLimit, so each map
@@ -1095,27 +1099,28 @@ def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     # NULL embeddings drop on both sides (oracle bands WHERE NOT NULL):
     # they could never rank (NULL cosine) and would raggedize the bucket
-    # matrix — the d10/d07 fixture-drift guard.
+    # matrix — the d10/d07 fixture-drift guard. No cast to double: the
+    # band exchange moves the parquet float32 (half the bytes) and the
+    # kernel widens after the shuffle — bit-exact, see arrowkit.
     e = t["embeddings"].filter(F.col("embedding").isNotNull())
     bands = e.select(
         "vec_id",
-        F.col("embedding").cast("array<double>").alias("embedding"),
+        "embedding",
         F.posexplode_outer(F.array(*band_sigs)).alias("band", "sig"),
     )
 
-    def bucket_topk(key, pdf):
-        empty = pd.DataFrame(
-            {
-                "i": pd.Series(dtype="int64"),
-                "j": pd.Series(dtype="int64"),
-                "cos": pd.Series(dtype="float64"),
-            }
+    def bucket_topk(key, tbl):
+        from quacfka_spark.operators.arrowkit import (
+            list_matrix,
+            np_col,
+            pairs_table,
         )
-        m = len(pdf)
+
+        m = len(tbl)
         if m < 2:
-            return empty
-        ids = pdf["vec_id"].to_numpy()
-        mat = np.array(pdf["embedding"].tolist(), dtype="float64")
+            return pairs_table()
+        ids = np_col(tbl, "vec_id")
+        mat = list_matrix(tbl, "embedding")
         with np.errstate(divide="ignore", invalid="ignore"):
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         # injective descending sort key: 4dp-quantized cosine in the
@@ -1124,7 +1129,7 @@ def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # int64; requires vec_id < 2^40 (true by fixture/probe
         # construction — ids are dense row numbers).
         jkey = (1 << 40) - 1 - ids
-        out = []
+        oi, oj, oc = [], [], []
         for lo in range(0, m, _SIM10_CHUNK):
             hi = min(lo + _SIM10_CHUNK, m)
             with np.errstate(invalid="ignore"):
@@ -1137,14 +1142,16 @@ def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             k = min(_SIM10_K, m - 1)
             kth = np.partition(skey, m - k, axis=1)[:, m - k]
             ii, jj = np.nonzero(skey >= kth[:, None])
-            out.append(
-                pd.DataFrame(
-                    {"i": ids[lo + ii], "j": ids[jj], "cos": cos[ii, jj]}
-                )
-            )
-        return pd.concat(out) if out else empty
+            oi.append(ids[lo + ii])
+            oj.append(ids[jj])
+            oc.append(cos[ii, jj])
+        if not oi:
+            return pairs_table()
+        return pairs_table(
+            np.concatenate(oi), np.concatenate(oj), np.concatenate(oc)
+        )
 
-    local = bands.groupBy("band", "sig").applyInPandas(
+    local = bands.groupBy("band", "sig").applyInArrow(
         bucket_topk, schema="i bigint, j bigint, cos double"
     )
     # cross-band dedup: the same edge from two buckets carries the same

@@ -306,17 +306,18 @@ def test_d05_no_collected_block_rows(plans):
     applyInPandas, with no collect_list anywhere."""
     p = plans("d05_embedding_cosine")
     assert "collect_list" not in p
-    assert "FlatMapGroupsInPandas" in p  # applyInPandas physical node
+    # grouped-map physical node (applyInArrow since round 6)
+    assert "FlatMapGroupsInArrow" in p or "FlatMapGroupsInPandas" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
 def test_d07_bucket_local_verify_single_exchange(plans):
     """d07's verify is bucket-local: exactly ONE hashpartitioning
-    exchange keyed on (band, sig) feeding one applyInPandas node — no
-    join, no DISTINCT hash-agg, no candidate-pair rows ever shuffled.
-    An all-pairs or nested-loop plan would defeat the prefilter's
-    purpose; a reappearing join or distinct means the old
-    candidate-materializing shape regressed."""
+    exchange keyed on (band, sig) feeding one grouped-map node
+    (applyInArrow since round 6) — no join, no DISTINCT hash-agg, no
+    candidate-pair rows ever shuffled. An all-pairs or nested-loop
+    plan would defeat the prefilter's purpose; a reappearing join or
+    distinct means the old candidate-materializing shape regressed."""
     p = plans("d07_cosine_lsh_pairs")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     import re as _re
@@ -325,7 +326,7 @@ def test_d07_bucket_local_verify_single_exchange(plans):
     band_exchanges = [e for e in exchanges if "band#" in e and "sig#" in e]
     assert len(band_exchanges) == 1, exchanges
     # formatted plans print each node twice (tree line + detail section)
-    assert len(_re.findall(r"\(\d+\) FlatMapGroupsInPandas", p)) == 1, p
+    assert len(_re.findall(r"\(\d+\) FlatMapGroupsIn(?:Arrow|Pandas)", p)) == 1, p
     assert "Join" not in p and "HashAggregate" not in p, p
 
 
