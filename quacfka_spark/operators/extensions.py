@@ -1197,3 +1197,69 @@ def x16_snapshot_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("as_of", "user_id")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "x17_bloom_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS rev,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc="Runtime BLOOM-FILTER pruned shuffle join: fact lineitem joins "
+    "a selectively filtered orders side under a MERGE hint (the "
+    "beyond-broadcast dim case); with Spark's runtime bloom filter "
+    "engaged, a bloom built from the filtered creation side is pushed "
+    "into the fact scan as a might_contain probe, so non-joining "
+    "fact rows die BEFORE the join exchange (plan-pinned in "
+    "tests/test_plans.py under the injection thresholds). Revenue sums "
+    "in DECIMAL(18,2) so both engines aggregate exactly.",
+)
+def x17_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): the complement to x13's dynamic partition
+    pruning for NON-partition join keys. A selective dim predicate
+    (here: the top price band) leaves a dim side too large to
+    broadcast at production scale, forcing a shuffle join in which
+    every fact row — joining or not — normally pays the exchange.
+    Spark's runtime bloom filter (spark.sql.optimizer.runtime.
+    bloomFilter.*) builds an xxhash64 bloom from the filtered creation
+    side and injects might_contain(bloom, xxhash64(l_orderkey)) into the
+    fact scan stage, cutting exchange volume by roughly the join
+    selectivity at the cost of one tiny bloom aggregate. The injection
+    thresholds (creation side under ~10 MB, application scan over
+    ~10 GB by default) mean Spark engages it exactly when the fact
+    scan is big enough to matter AND the creation side is genuinely
+    beyond-broadcast (canBroadcastBySize false — for a broadcastable
+    dim the join already kills fact rows scan-side) — at fixture
+    scale the plan test lowers the scan threshold and disables
+    broadcast to pin the injected shape, while the bench runs the
+    honest un-injected plan. The query itself is
+    semantics-identical either way (the bloom only drops rows the join
+    would drop). Reference analog: join pushdown delegated to DuckDB
+    (duck.go:70-72); runtime filtering is the at-scale extension."""
+    t = load_views(spark, sf_dir)
+    od = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_orderpriority")
+        .hint("merge")
+    )
+    j = t["lineitem"].select("l_orderkey", "l_extendedprice").join(
+        od, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )

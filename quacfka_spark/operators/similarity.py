@@ -1242,13 +1242,17 @@ def sim11_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     no vertex state beyond the rank frame. The vector count N rides as
     a broadcast 1-row aggregate (the t20 pattern — no collect); edges
     come from knn_edges, whose own plan is the pinned 3-exchange sim10
-    shape. Fixed iterations = fixed lineage; a convergence-driven run
-    would localCheckpoint per round exactly like label_propagate.
+    shape, MATERIALIZED ONCE via localCheckpoint — the edge frame is
+    referenced 4 times (outdeg + each iteration's contrib join), and
+    without truncation the full LSH bucket-verify DAG would re-execute
+    per reference (measured 4x the kNN cost at probe scale). Fixed
+    iterations = fixed lineage; a convergence-driven run would
+    localCheckpoint per round exactly like label_propagate.
     Reference analog: none (graph analytics beyond the reference's
     surface)."""
     t = load_views(spark, sf_dir)
     S = _SIM11_SCALE
-    edges = knn_edges(spark, sf_dir).select("i", "j")
+    edges = knn_edges(spark, sf_dir).select("i", "j").localCheckpoint()
     nodes = (
         t["embeddings"]
         .filter(F.col("embedding").isNotNull())

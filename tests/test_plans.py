@@ -924,3 +924,47 @@ def test_s08_stream_static_join_broadcasts_dim(plans):
     assert len(re.findall(r"Arguments: hashpartitioning\(", p)) == 1
     # map-side combine before the agg exchange
     assert "partial_count(1)" in p
+
+
+def test_x17_bloom_filter_prunes_fact_before_exchange(spark):
+    """x17's scale claim: under the runtime bloom-filter thresholds a
+    bloom built from the filtered orders side is injected into the
+    lineitem scan stage as bloom_filter_might_contain, BELOW the fact
+    join exchange — non-joining fact rows never shuffle. The MERGE
+    hint must hold (SortMergeJoin, the beyond-broadcast dim case) and
+    the bloom aggregate must hash the join key."""
+    qs = get_queries()
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # fixture-scale overrides pinning the at-scale configuration:
+        # the 10 GB default application-side threshold embodies "only
+        # when the fact scan is big", and the rule only fires when the
+        # creation side is beyond-broadcast (canBroadcastBySize false),
+        # so disable broadcast exactly like the x06 big-big test
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            qs["x17_bloom_join"](spark, SF).explain("formatted")
+        p = buf.getvalue()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert re.search(r"\(\d+\) SortMergeJoin", p), p
+    # physical plans print the probe as might_contain(subquery...) and
+    # the creation side as bloom_filter_agg(xxhash64(o_orderkey ...))
+    assert "might_contain" in p, p
+    assert "bloom_filter_agg" in p, p
+    # the might_contain probe must sit on the lineitem (fact) subtree:
+    # it hashes l_orderkey, not the creation-side o_orderkey
+    probe = [ln for ln in p.splitlines() if "might_contain" in ln]
+    assert any("l_orderkey" in ln for ln in probe), probe
