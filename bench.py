@@ -125,6 +125,7 @@ HEADLINE = [
     "x16_snapshot_timeline",
     "m06_ahash_neardup",
     "m07_dhash_neardup",
+    "x17_bloom_join",
 ]
 
 
