@@ -2150,3 +2150,65 @@ def d13_cluster_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "d14_fuzzy_containment",
+    oracle=f"""
+    WITH toks AS ({_ORACLE_TOKS}),
+    sh AS ({_ORACLE_SHINGLES}),
+    ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    n AS (SELECT doc_id, len(shs) AS n FROM sh),
+    common AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS c
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT c.src, c.dst, ROUND(c.c * 1.0 / na.n, 4) AS containment
+    FROM common c JOIN n na ON na.doc_id = c.src
+    WHERE c.c * 1.0 / na.n >= 0.9
+    ORDER BY src, dst
+    """,
+    doc="Directed fuzzy CONTAINMENT pairs (Broder's second resemblance "
+    "measure): C(src->dst) = |shingles(src) & shingles(dst)| / "
+    "|shingles(src)| >= 0.9 — detects a document swallowed whole by a "
+    "longer one (quotation, copypasta, version supersets), the "
+    "asymmetric case d02's symmetric Jaccard provably misses: a short "
+    "doc fully inside a 10x-longer one has containment 1.0 but "
+    "Jaccard ~0.1. Same exact shingle self-join as d02 (both "
+    "directions), normalized by the source's shingle count.",
+)
+def d14_fuzzy_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): the d02-class exact baseline by role —
+    the shingle self-join fan-out is the cost ceiling, so like d02 it
+    is registered + mirror-checked but not a headline query. The
+    production path needs NO new machinery: containment derives from
+    the d03 minhash estimate via C = J(1 + |B|/|A|)/(1 + J) with |A|,
+    |B| the per-doc shingle counts already computed for the bands, so
+    the banded LSH prefilter bounds candidates exactly as d03 does and
+    this exact form verifies survivors only. Reference analog: none
+    (dedup beyond the reference's SQL surface)."""
+    sh = _doc_shingles(spark, sf_dir)
+    ex = sh.select(
+        "doc_id", F.size("shs").alias("n"), F.explode_outer("shs").alias("s")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("src"),
+            F.col("b.doc_id").alias("dst"),
+            F.col("a.n").alias("n_src"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cont = F.col("c") / F.col("n_src")
+    return (
+        common.filter(cont >= 0.9)
+        .select("src", "dst", F.round(cont, 4).alias("containment"))
+        .orderBy("src", "dst")
+    )

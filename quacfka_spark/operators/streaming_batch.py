@@ -251,3 +251,77 @@ def s08_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
         .orderBy("w", "segment")
     )
+
+
+# --------------------------------------------------------------------------
+# S9 — stream-stream LEFT OUTER interval join, batch-equivalent form.
+# The outer variant of S7: every view is attributed to same-user
+# purchases within the following 30 minutes, and views that never
+# convert emit a NULL-padded row. In the streaming form Spark holds
+# view-side state until the purchase-side watermark passes
+# view_ts + 30min, THEN emits the null-padded row — outer results are
+# late by construction, the canonical watermark-expiry semantics the
+# real readStream twin (tests/test_streaming.py::
+# test_s9_outer_interval_join_null_pads_on_watermark) pins. NULL
+# purchase ids surface as -1 in both engines so the ORDER BY is
+# engine-neutral (Spark sorts NULLS FIRST, DuckDB NULLS LAST).
+@query(
+    "s09_outer_interval_join",
+    oracle="""
+    SELECT v.event_id AS view_id, v.user_id,
+           CAST(v.ts AS VARCHAR) AS view_ts,
+           COALESCE(p.event_id, -1) AS purchase_id,
+           CAST(CASE WHEN p.event_id IS NULL THEN 0 ELSE 1 END AS INTEGER)
+             AS converted
+    FROM events v LEFT JOIN events p
+      ON v.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view'
+    ORDER BY view_id, purchase_id
+    """,
+    doc="Stream-stream LEFT OUTER interval join semantics (conversion "
+    "attribution: every view paired with same-user purchases in the "
+    "next 30 min, unconverted views null-padded) in batch form — the "
+    "outer twin of s07, with the watermark-expiry emission pinned by "
+    "the real readStream engine test.",
+)
+def s09_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): identical exchange discipline to s07 —
+    the join hash-keys on user_id, the interval stays a residual
+    predicate, each side shuffles once (zero times if bucketed by
+    user at rest, the x06 layout). Streaming twin state: the outer
+    side's state store holds only rows younger than watermark +
+    interval, so memory tracks event rate; the null-padded emission on
+    expiry is exactly how unconverted views leave state. Reference
+    analog: none — the reference's streaming path has no joins
+    (SURVEY.md S-table scope)."""
+    t = load_views(spark, sf_dir)
+    ev = t["events"]
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("v_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "left",
+        )
+        .select(
+            "view_id",
+            "user_id",
+            F.col("v_ts").cast("string").alias("view_ts"),
+            F.coalesce(F.col("p_id"), F.lit(-1)).alias("purchase_id"),
+            F.col("p_id").isNotNull().cast("int").alias("converted"),
+        )
+        .orderBy("view_id", "purchase_id")
+    )

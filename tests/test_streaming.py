@@ -645,3 +645,80 @@ def test_s8_stream_static_enrich(spark, tmp_path):
         ("10:00", "UNKNOWN", 1, 10.0),     # user 3: no dim row
         ("11:00", "AUTOMOBILE", 1, 3.0),
     ], rows
+
+
+def test_s9_outer_interval_join_null_pads_on_watermark(spark, tmp_path):
+    """S9: stream-stream LEFT OUTER interval join. Inner matches emit
+    as they join; an unmatched view emits its NULL-padded row only
+    after the purchase-side watermark passes view_ts + interval — the
+    watermark-expiry semantics the batch key s09_outer_interval_join
+    hash-checks against the oracle. The reference's streaming path has
+    no joins at all (SURVEY.md S-table scope)."""
+
+    def _write(d, name, col, rows):
+        tbl = pa.table(
+            {
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                col: pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(d, name))
+
+    v_dir, p_dir = str(tmp_path / "views"), str(tmp_path / "purch")
+    os.makedirs(v_dir)
+    os.makedirs(p_dir)
+    # batch 1: views by users 1 and 2 at 10:00; purchase by user 1 at
+    # 10:10 (inside 30 min -> inner match). User 2 never converts.
+    _write(v_dir, "f1.parquet", "v_user", [(TS("2024-01-01 10:00:00"), 1), (TS("2024-01-01 10:00:00"), 2)])
+    _write(p_dir, "f1.parquet", "p_user", [(TS("2024-01-01 10:10:00"), 1)])
+
+    views = (
+        spark.readStream.schema("ts timestamp, v_user bigint")
+        .parquet(v_dir)
+        .withColumnRenamed("ts", "v_ts")
+        .withWatermark("v_ts", "10 minutes")
+    )
+    purch = (
+        spark.readStream.schema("ts timestamp, p_user bigint")
+        .parquet(p_dir)
+        .withColumnRenamed("ts", "p_ts")
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = views.join(
+        purch,
+        F.expr(
+            "v_user = p_user AND "
+            "p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 30 MINUTES"
+        ),
+        "leftOuter",
+    ).select("v_user", "v_ts", "p_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("s9_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2 advances BOTH watermarks far past 10:30 (user 2's
+        # expiry point); its own rows don't match each other
+        _write(v_dir, "f2.parquet", "v_user", [(TS("2024-01-01 12:00:00"), 8)])
+        _write(p_dir, "f2.parquet", "p_user", [(TS("2024-01-01 12:00:00"), 9)])
+        q.processAllAvailable()
+        # batch 3: watermark updates take effect at the NEXT trigger —
+        # one more micro-batch flushes user 2's expired state
+        _write(v_dir, "f3.parquet", "v_user", [(TS("2024-01-01 13:00:00"), 8)])
+        _write(p_dir, "f3.parquet", "p_user", [(TS("2024-01-01 13:00:00"), 9)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (r.v_user, r.p_ts.strftime("%H:%M") if r.p_ts else None)
+        for r in spark.sql(
+            "SELECT * FROM s9_sink WHERE v_user IN (1, 2)"
+        ).collect()
+    }
+    # user 1's view converted (inner row); user 2's view null-padded
+    # on watermark expiry, exactly once, never a phantom conversion
+    assert rows == {(1, "10:10"), (2, None)}, rows
