@@ -127,6 +127,7 @@ HEADLINE = [
     "m07_dhash_neardup",
     "x17_bloom_join",
     "s09_outer_interval_join",
+    "sim12_mmr_rerank",
     # d14_fuzzy_containment is registered + mirror-checked but NOT in
     # the headline: it is the d02-class exact shingle self-join by
     # role (its minhash-derived production estimate rides d03's bands)

