@@ -360,24 +360,33 @@ def _hash_band_pairs(
         .repartition("j", "bv")
     )
     a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.j") == F.col("b.j"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
-            F.col(f"a.{col}").alias("ha"),
-            F.col(f"b.{col}").alias("hb"),
-        )
-        .distinct()
+    # min-band emission instead of DISTINCT (the d07 trick, here as a
+    # pure integer codegen predicate): a pair that collides in several
+    # bands is emitted only from its FIRST agreeing band — the lowest
+    # byte of ha XOR hb that is zero — so no candidate-pair exchange
+    # and no dedup hash-agg ever runs. On joined rows band j's bytes
+    # are equal by join construction, so the CASE chain always hits.
+    xor = F.col("ha").bitwiseXOR(F.col("hb"))
+    first_band = F.lit(n_bands - 1)
+    for j in range(n_bands - 2, -1, -1):
+        first_band = F.when(
+            F.shiftright(xor, 8 * j).bitwiseAND(F.lit(255)) == 0, F.lit(j)
+        ).otherwise(first_band)
+    cand = a.join(
+        b,
+        (F.col("a.j") == F.col("b.j"))
+        & (F.col("a.bv") == F.col("b.bv"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("da"),
+        F.col("b.doc_id").alias("db"),
+        F.col(f"a.{col}").alias("ha"),
+        F.col(f"b.{col}").alias("hb"),
+        F.col("a.j").alias("j"),
     )
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
-        cand.filter(hamming <= max_hamming)
+        cand.filter((F.col("j") == first_band) & (hamming <= max_hamming))
         .select("da", "db", hamming.cast("bigint").alias("hamming"))
         .orderBy("da", "db")
     )

@@ -968,3 +968,22 @@ def test_x17_bloom_filter_prunes_fact_before_exchange(spark):
     # it hashes l_orderkey, not the creation-side o_orderkey
     probe = [ln for ln in p.splitlines() if "might_contain" in ln]
     assert any("l_orderkey" in ln for ln in probe), probe
+
+
+def test_m06_m07_no_candidate_pair_exchange(plans):
+    """m06/m07's min-band emission (the d07 trick as integer codegen):
+    cross-band dedup must be the first-agreeing-band FILTER on the
+    joined row, never a DISTINCT — so no exchange and no hash-agg ever
+    keys on the candidate pair (da, db). A reappearing pair-keyed
+    exchange means the old candidate-materializing DISTINCT regressed."""
+    import re as _re
+
+    for key in ("m06_ahash_neardup", "m07_dhash_neardup"):
+        p = plans(key)
+        pair_ex = [
+            e
+            for e in _re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
+            if "da#" in e or "db#" in e
+        ]
+        assert pair_ex == [], (key, pair_ex)
+        assert "bit_count" in p, key  # hamming verify stays codegen
