@@ -130,7 +130,7 @@ HEADLINE = [
     "sim12_mmr_rerank",
     # d14_fuzzy_containment is registered + mirror-checked but NOT in
     # the headline: it is the d02-class exact shingle self-join by
-    # role (its minhash-derived production estimate rides d03's bands)
+    # role (the production scale shape is t08's inverted-index join)
 ]
 
 

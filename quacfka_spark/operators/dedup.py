@@ -2181,13 +2181,19 @@ def d13_cluster_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d14_fuzzy_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale design (100 TB): the d02-class exact baseline by role —
     the shingle self-join fan-out is the cost ceiling, so like d02 it
-    is registered + mirror-checked but not a headline query. The
-    production path needs NO new machinery: containment derives from
-    the d03 minhash estimate via C = J(1 + |B|/|A|)/(1 + J) with |A|,
-    |B| the per-doc shingle counts already computed for the bands, so
-    the banded LSH prefilter bounds candidates exactly as d03 does and
-    this exact form verifies survivors only. Reference analog: none
-    (dedup beyond the reference's SQL surface)."""
+    is registered + mirror-checked but not a headline query. NOTE the
+    production path is NOT d03's Jaccard bands: the interesting
+    containment pairs have LOW Jaccard by construction (a short doc
+    inside a 10x-longer one has J ~ 0.1), so J-tuned minhash bands
+    systematically miss them. The scale shape for containment is the
+    INVERTED INDEX the repo already ships as t08's decontamination
+    join — source-side shingles probe a corpus shingle index, partial
+    counts aggregate per (src, dst), and only src docs whose hit
+    count clears tau * |A| survive; t08 is exactly this primitive
+    with the eval set as the src side. (The algebraic bridge
+    C = J(1 + |B|/|A|)/(1 + J) holds but inherits the bands' low-J
+    recall, so it certifies only the high-J corner.) Reference
+    analog: none (dedup beyond the reference's SQL surface)."""
     sh = _doc_shingles(spark, sf_dir)
     ex = sh.select(
         "doc_id", F.size("shs").alias("n"), F.explode_outer("shs").alias("s")

@@ -71,6 +71,7 @@ OPS = [
     "t21_distill_auc",
     "m06_ahash_neardup",
     "m07_dhash_neardup",
+    "sim12_mmr_rerank",
 ]
 
 
@@ -159,6 +160,7 @@ def main() -> None:
     ap.add_argument("--out", default="SCALE_PROBE.json")
     ap.add_argument("--dir", default="/tmp/quacfka_scale_probe")
     ap.add_argument("--fixture", default=FIXTURE)
+    ap.add_argument("--trials", type=int, default=1)
     ap.add_argument(
         "--ops",
         default=None,
@@ -183,23 +185,34 @@ def main() -> None:
     results: dict[str, dict] = {}
 
     def time_one(name, fn):
-        t0 = time.perf_counter()
+        # best-of-N (--trials): one long session ages (JIT/GC), so a
+        # single shot systematically penalizes late-listed ops — the
+        # min is the honest steady-state figure; rows must agree
+        # across trials or the row drift is reported as an error
+        best, rows = None, None
         try:
-            df = fn(spark, args.dir)
-            # noop sink materializes every output column exactly once;
-            # the row count rides on the same job via an Observation so
-            # the timing window holds ONE execution, not write + count
-            from pyspark.sql import Observation
-            from pyspark.sql import functions as F
+            for _ in range(max(1, args.trials)):
+                t0 = time.perf_counter()
+                df = fn(spark, args.dir)
+                # noop sink materializes every output column exactly
+                # once; the row count rides on the same job via an
+                # Observation so the timing window holds ONE execution
+                from pyspark.sql import Observation
+                from pyspark.sql import functions as F
 
-            obs = Observation()
-            df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            results[name] = {
-                "sec": round(time.perf_counter() - t0, 2),
-                "rows": int(obs.get["n"]),
-            }
+                obs = Observation()
+                df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                sec = time.perf_counter() - t0
+                n = int(obs.get["n"])
+                if rows is not None and n != rows:
+                    raise AssertionError(
+                        f"row drift across trials: {rows} != {n}"
+                    )
+                rows = n
+                best = sec if best is None else min(best, sec)
+            results[name] = {"sec": round(best, 2), "rows": rows}
         except Exception as e:  # keep probing the rest
             results[name] = {"error": str(e)[:200]}
         print(f"# {name}: {results[name]}", file=sys.stderr)
