@@ -45,6 +45,17 @@ def get_spark(app_name: str = "quacfka-spark", extra_conf: dict | None = None) -
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Pin BLAS to ONE thread inside Python workers (executorEnv
+        # reaches local-mode workers too; verified — the driver's own
+        # numpy stays multithreaded): with 32 concurrent group-map
+        # tasks each spawning an ~32-thread OpenBLAS pool, the cosine
+        # kernels ran ~1000 threads and thrashed — sim10 at the 100k
+        # probe measured 36.7s -> 21.8s with workers pinned. On a real
+        # cluster this is spark.task.cpus-aware sizing; at 1 core per
+        # task, 1 BLAS thread is the correct setting.
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
