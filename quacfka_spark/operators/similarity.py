@@ -1071,10 +1071,62 @@ def sim10_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_edges(spark, sf_dir).orderBy("i", "rnk")
 
 
-def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sim10_topk_block(ids_x, mx, ids_y, my, self_pairs: bool):
+    """Per-row top-k of x members over y candidates — the shared
+    selection core of the unsalted bucket kernel (x == y, self pairs
+    masked) and the salted triangle sub-buckets (disjoint x/y, both
+    directions). Returns (i, j, cos) numpy triples; the injective
+    skey (4dp-quantized cosine << 40 | bit-flipped j) makes every
+    selection decision exact-integer with smaller-j tie preference —
+    identical to the merge window's ORDER BY, so a salted run's
+    per-sub-bucket selections union to the unsalted bucket's picks."""
+    import numpy as np
+
+    jkey = (1 << 40) - 1 - ids_y
+    oi, oj, oc = [], [], []
+    for lo in range(0, len(ids_x), _SIM10_CHUNK):
+        hi = min(lo + _SIM10_CHUNK, len(ids_x))
+        with np.errstate(invalid="ignore"):
+            cos = mx[lo:hi] @ my.T  # chunk x |y|
+        q = np.floor(np.nan_to_num(cos, nan=-2.0) * 1e4 + 0.5).astype(
+            "int64"
+        )
+        skey = q * (1 << 40) + jkey[None, :]
+        if self_pairs:
+            skey[ids_x[lo:hi, None] == ids_y[None, :]] = np.iinfo(
+                "int64"
+            ).min
+        k = min(_SIM10_K, len(ids_y) - (1 if self_pairs else 0))
+        if k <= 0:
+            continue
+        kth = np.partition(skey, len(ids_y) - k, axis=1)[:, len(ids_y) - k]
+        ii, jj = np.nonzero(skey >= kth[:, None])
+        oi.append(ids_x[lo + ii])
+        oj.append(ids_y[jj])
+        oc.append(cos[ii, jj])
+    return oi, oj, oc
+
+
+def knn_edges(
+    spark: SparkSession, sf_dir: str, salt_groups: int = 1
+) -> DataFrame:
     """Unordered top-k neighbor edges (i, j, rnk, cos) — sim10's core,
     public so graph consumers (sim11 PageRank, composed pipelines) can
-    build on the edge list without the presentation sort."""
+    build on the edge list without the presentation sort.
+
+    ``salt_groups=S > 1`` engages the d07 degenerate-bucket
+    mitigation, adapted to top-k: members of a hot (band, sig) bucket
+    split into S deterministic salt groups and every group PAIR
+    (pa <= pb) forms its own sub-bucket; each sub-bucket emits its
+    local top-k per member (both directions on off-diagonal pairs),
+    and because every neighbor j lives in exactly ONE sub-bucket with
+    i — where it faces fewer competitors than in the full bucket —
+    the union of local picks contains every full-bucket pick, and the
+    existing cross-band MAX-merge + rank window reduces the union to
+    the identical edge set (engine-tested set equality on a clustered
+    corpus). Cost: each banded row exchanges S times and per-member
+    candidate emission grows to <= S*k per band; per-task verify work
+    drops to ~(bucket/S)^2 and spreads over S(S+1)/2 tasks."""
     import numpy as np
 
     from pyspark.sql.window import Window
@@ -1128,32 +1180,81 @@ def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # quantized ties). |q| <= 20001 so q << 40 stays far inside
         # int64; requires vec_id < 2^40 (true by fixture/probe
         # construction — ids are dense row numbers).
-        jkey = (1 << 40) - 1 - ids
-        oi, oj, oc = [], [], []
-        for lo in range(0, m, _SIM10_CHUNK):
-            hi = min(lo + _SIM10_CHUNK, m)
-            with np.errstate(invalid="ignore"):
-                cos = mat[lo:hi] @ mat.T  # chunk x m
-            q = np.floor(np.nan_to_num(cos, nan=-2.0) * 1e4 + 0.5).astype(
-                "int64"
-            )
-            skey = q * (1 << 40) + jkey[None, :]
-            skey[ids[lo:hi, None] == ids[None, :]] = np.iinfo("int64").min
-            k = min(_SIM10_K, m - 1)
-            kth = np.partition(skey, m - k, axis=1)[:, m - k]
-            ii, jj = np.nonzero(skey >= kth[:, None])
-            oi.append(ids[lo + ii])
-            oj.append(ids[jj])
-            oc.append(cos[ii, jj])
+        oi, oj, oc = _sim10_topk_block(ids, mat, ids, mat, True)
         if not oi:
             return pairs_table()
         return pairs_table(
             np.concatenate(oi), np.concatenate(oj), np.concatenate(oc)
         )
 
-    local = bands.groupBy("band", "sig").applyInArrow(
-        bucket_topk, schema="i bigint, j bigint, cos double"
-    )
+    def bucket_topk_salted(key, tbl):
+        from quacfka_spark.operators.arrowkit import (
+            list_matrix,
+            np_col,
+            pairs_table,
+        )
+
+        _band, _sig, sa, sb = (x.as_py() for x in key)
+        ids_all = np_col(tbl, "vec_id")
+        mat_all = list_matrix(tbl, "embedding")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mat_all = mat_all / np.linalg.norm(
+                mat_all, axis=1, keepdims=True
+            )
+        if sa == sb:
+            if len(tbl) < 2:
+                return pairs_table()
+            oi, oj, oc = _sim10_topk_block(
+                ids_all, mat_all, ids_all, mat_all, True
+            )
+        else:
+            slt = np_col(tbl, "slt")
+            xm, ym = slt == sa, slt == sb
+            if not xm.any() or not ym.any():
+                return pairs_table()
+            ix, mx = ids_all[xm], mat_all[xm]
+            iy, my = ids_all[ym], mat_all[ym]
+            # BOTH directions: candidates for an x member among the y
+            # group AND vice versa — each unordered (i, j) meets in
+            # exactly this one sub-bucket
+            oi, oj, oc = _sim10_topk_block(ix, mx, iy, my, False)
+            oi2, oj2, oc2 = _sim10_topk_block(iy, my, ix, mx, False)
+            oi, oj, oc = oi + oi2, oj + oj2, oc + oc2
+        if not oi:
+            return pairs_table()
+        return pairs_table(
+            np.concatenate(oi), np.concatenate(oj), np.concatenate(oc)
+        )
+
+    if salt_groups > 1:
+        S = int(salt_groups)
+        pair_structs = [
+            F.struct(
+                F.least(F.col("slt"), F.lit(y)).alias("pa"),
+                F.greatest(F.col("slt"), F.lit(y)).alias("pb"),
+            )
+            for y in range(S)
+        ]
+        rep = (
+            bands.withColumn(
+                "slt", F.pmod(F.xxhash64("vec_id"), F.lit(S))
+            )
+            .select(
+                "vec_id", "embedding", "band", "sig", "slt",
+                F.explode(F.array(*pair_structs)).alias("p"),
+            )
+            .select(
+                "vec_id", "embedding", "band", "sig", "slt",
+                F.col("p.pa"), F.col("p.pb"),
+            )
+        )
+        local = rep.groupBy("band", "sig", "pa", "pb").applyInArrow(
+            bucket_topk_salted, schema="i bigint, j bigint, cos double"
+        )
+    else:
+        local = bands.groupBy("band", "sig").applyInArrow(
+            bucket_topk, schema="i bigint, j bigint, cos double"
+        )
     # cross-band dedup: the same edge from two buckets carries the same
     # cosine up to BLAS accumulation ulps; MAX picks deterministically
     # and 4dp rounding erases the difference before ranking.

@@ -167,3 +167,32 @@ def test_randomized_equivalence_vs_reference(spark, tmp_path, seed):
     want = sorted(_reference_banded_knn(vecs, _SIM10_K))
     assert [g[:3] for g in got] == [w[:3] for w in want]
     assert all(abs(g[3] - w[3]) < 5e-5 for g, w in zip(got, want))
+
+
+@pytest.mark.parametrize("salt", [2, 3])
+def test_salted_equals_unsalted_on_clustered_corpus(spark, tmp_path, salt):
+    """The top-k adaptation of d07's degenerate-bucket salting: on a
+    clustered corpus (one dominant signature — every vector positive in
+    the leading dims, so whole bands collapse into one hot bucket) the
+    salted triangle decomposition must emit the IDENTICAL final edge
+    set as the unsalted run — every neighbor meets its member in
+    exactly one sub-bucket where it faces fewer competitors, so the
+    union of local top-k picks covers the full-bucket picks and the
+    merge window reduces both to the same graph."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n = 300
+    base = rng.uniform(0.2, 1.0, size=DIM)  # all-positive: one hot sig
+    vecs = base * rng.uniform(0.5, 1.5, size=(n, DIM))
+    d = _mk_dir(tmp_path, [[float(x) for x in row] for row in vecs])
+
+    plain = {
+        (r.i, r.j, r.rnk, r.cos) for r in knn_edges(spark, d).collect()
+    }
+    salted = {
+        (r.i, r.j, r.rnk, r.cos)
+        for r in knn_edges(spark, d, salt_groups=salt).collect()
+    }
+    assert len(plain) >= n * _SIM10_K * 0.9  # the bucket really is hot
+    assert salted == plain

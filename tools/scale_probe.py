@@ -217,7 +217,9 @@ def main() -> None:
             results[name] = {"error": str(e)[:200]}
         print(f"# {name}: {results[name]}", file=sys.stderr)
 
-    extra = [o for o in (args.ops.split(",") if args.ops else []) if o.startswith("d07_salted")]
+    req = args.ops.split(",") if args.ops else []
+    extra = [o for o in req if o.startswith("d07_salted")]
+    extra_knn = [o for o in req if o.startswith("sim10_salted")]
     ops = OPS if not args.ops else [o for o in OPS if o in args.ops.split(",")]
     for name in ops:
         if name == "t16_bm25_topk":
@@ -247,6 +249,20 @@ def main() -> None:
             time_one(
                 f"d07_salted{s_n}",
                 lambda s, d, s_n=s_n: _cosine_lsh_pairs(s, d, salt_buckets=s_n),
+            )
+
+    # sim10's top-k twin of the salting row: identical graph (engine-
+    # tested set equality), S(S+1)/2-way sub-bucket spread
+    if "sim10_knn_graph" in ops or extra_knn:
+        from quacfka_spark.operators.similarity import knn_edges
+
+        salts_k = sorted(
+            {int(o[len("sim10_salted"):]) for o in extra_knn if o[len("sim10_salted"):].isdigit()}
+        ) or [4]
+        for s_n in salts_k:
+            time_one(
+                f"sim10_salted{s_n}",
+                lambda s, d, s_n=s_n: knn_edges(s, d, salt_groups=s_n),
             )
 
     report = {
