@@ -318,3 +318,23 @@ def test_fuzz_decoder_convergence(spark, blobs):
         for r in decode_protobuf_jvm(df, MSG).select("r").collect()
     ]
     assert got == want
+
+
+def test_jvm_schema_evolution_mixed_batch(spark):
+    """Same producer-upgrade scenario as the wire twin's test (v2 spec
+    adds field 10; one batch mixes v1 and v2 payloads): the JVM codec
+    must produce the stable widened schema with NULL for v1 rows and
+    still read the mixed batch under the v1 spec (new field skipped as
+    unknown) — the two decode paths agree on the upgrade epoch."""
+    v2 = MessageSpec(MSG.fields + [Field(10, "region", "string")])
+    v1_payload = encode_message({"user_id": 1, "amount": 0.5}, MSG)
+    v2_payload = encode_message(
+        {"user_id": 2, "amount": 1.5, "region": "emea"}, v2
+    )
+    df = spark.createDataFrame(
+        [(v1_payload,), (v2_payload,)], "value binary"
+    )
+    out = decode_protobuf_jvm(df, v2).select("r.user_id", "r.region")
+    assert dict(out.collect()) == {1: None, 2: "emea"}
+    old = decode_protobuf_jvm(df, MSG).select("r.user_id", "r.amount")
+    assert dict(old.collect()) == {1: 0.5, 2: 1.5}

@@ -126,3 +126,30 @@ def test_spark_decode_and_normalize(spark):
         (1, 10, 101, "y"),
         (2, 20, None, None),
     ]
+
+
+def test_schema_evolution_old_payloads_under_widened_spec(spark):
+    """Producer-upgrade mid-stream (the real Kafka forward-compat path,
+    reference kafka.go consumers tolerate this via proto semantics):
+    a v2 spec adds field 9; one micro-batch carries BOTH v1 payloads
+    (field absent on the wire) and v2 payloads. Decoding the mixed
+    batch under the v2 spec must yield one stable schema with NULL for
+    the v1 rows' new column — never a decode error, never a dropped
+    row — so sink parquet schemas stay consistent across the upgrade
+    epoch and old epochs remain readable under the new reader spec."""
+    v2 = MessageSpec(MSG.fields + [Field(9, "region", "string")])
+    v1_payload = encode_message({"user_id": 1, "amount": 0.5}, MSG)
+    v2_payload = encode_message(
+        {"user_id": 2, "amount": 1.5, "region": "emea"}, v2
+    )
+    df = spark.createDataFrame(
+        [(v1_payload,), (v2_payload,)], "value binary"
+    )
+    out = decode_protobuf_wire(df, v2).select(
+        "r.user_id", "r.region"
+    )
+    assert dict(out.collect()) == {1: None, 2: "emea"}
+    # and the v1 spec still reads the MIXED batch (new field skipped
+    # as unknown — the already-pinned direction, here end-to-end)
+    old = decode_protobuf_wire(df, MSG).select("r.user_id", "r.amount")
+    assert dict(old.collect()) == {1: 0.5, 2: 1.5}
