@@ -128,6 +128,7 @@ HEADLINE = [
     "x17_bloom_join",
     "s09_outer_interval_join",
     "sim12_mmr_rerank",
+    "q53_string_agg",
     # d14_fuzzy_containment is registered + mirror-checked but NOT in
     # the headline: it is the d02-class exact shingle self-join by
     # role (the production scale shape is t08's inverted-index join)

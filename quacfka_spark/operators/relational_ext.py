@@ -1214,3 +1214,46 @@ def q50_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "decile")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q53_string_agg",
+    oracle="""
+    SELECT n_name,
+           string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+           COUNT(*) AS n
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+    doc="Ordered string aggregation (the LISTAGG / string_agg classic): "
+    "suppliers per nation concatenated in name order. Spark 4's "
+    "listagg ... WITHIN GROUP (ORDER BY) — deterministic ordered "
+    "concat as a real aggregate, no collect_list + array_join "
+    "two-step.",
+)
+def q53_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): one partial+final aggregation on the
+    group key after a broadcast dim join — the ordered concat's sort
+    is group-local at the final aggregate. The usual 100 TB caveat for
+    ordered-concat aggregates applies and is inherent to the SQL
+    semantics, not the plan: a group's concatenated value must fit one
+    row, so hot groups belong behind a length guard or the q15-style
+    top-k cut. Reference analog: DuckDB string_agg delegated via
+    duck.go:70-72."""
+    t = load_views(spark, sf_dir)
+    return (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.expr(
+                "listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name)"
+            ).alias("suppliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("n_name")
+    )
