@@ -1083,24 +1083,52 @@ def _sim10_topk_block(ids_x, mx, ids_y, my, self_pairs: bool):
     import numpy as np
 
     jkey = (1 << 40) - 1 - ids_y
+    n_y = len(ids_y)
+    k = min(_SIM10_K, n_y - (1 if self_pairs else 0))
+    if k <= 0:
+        return [], [], []
     oi, oj, oc = [], [], []
     for lo in range(0, len(ids_x), _SIM10_CHUNK):
         hi = min(lo + _SIM10_CHUNK, len(ids_x))
         with np.errstate(invalid="ignore"):
             cos = mx[lo:hi] @ my.T  # chunk x |y|
-        q = np.floor(np.nan_to_num(cos, nan=-2.0) * 1e4 + 0.5).astype(
-            "int64"
-        )
-        skey = q * (1 << 40) + jkey[None, :]
+        # cosq: quantization-ready copy (NaN -> -2, diagonal -> -3);
+        # emission always indexes the ORIGINAL cos so NaN/self
+        # semantics are bit-identical to the dense-skey formulation
+        cosq = np.nan_to_num(cos, nan=-2.0)
         if self_pairs:
-            skey[ids_x[lo:hi, None] == ids_y[None, :]] = np.iinfo(
-                "int64"
-            ).min
-        k = min(_SIM10_K, len(ids_y) - (1 if self_pairs else 0))
-        if k <= 0:
-            continue
-        kth = np.partition(skey, len(ids_y) - k, axis=1)[:, len(ids_y) - k]
-        ii, jj = np.nonzero(skey >= kth[:, None])
+            cosq[ids_x[lo:hi, None] == ids_y[None, :]] = -3.0
+        if n_y - (1 if self_pairs else 0) <= k:
+            # keep-all: fewer candidates than k
+            keep = cosq > -2.5 if self_pairs else np.ones_like(cosq, bool)
+            ii, jj = np.nonzero(keep)
+        else:
+            # SPARSE exact selection: the dense int64 skey build was
+            # ~60% of kernel time (5 full passes over chunk x |y|).
+            # A float partition finds the k-th value per row; any
+            # exact-key winner w satisfies cos(w) >= kth_f - 1e-4
+            # (otherwise every float-top-k entry has q at least one
+            # quantum above w's and outranks it), so the loose mask
+            # provably contains the exact winners; the injective
+            # integer key then picks the identical k per row among
+            # ~k candidates instead of |y|.
+            kth_f = np.partition(cosq, n_y - k, axis=1)[:, n_y - k]
+            ii, jj = np.nonzero(cosq >= (kth_f - 1.5e-4)[:, None])
+            q = np.floor(cosq[ii, jj] * 1e4 + 0.5).astype("int64")
+            skey = q * (1 << 40) + jkey[jj]
+            # rank within row by skey desc (rows of ii are sorted by
+            # construction of nonzero); keep the top k of each row
+            order = np.lexsort((-skey, ii))
+            ii, jj, skey = ii[order], jj[order], skey[order]
+            starts = np.zeros(len(ii), dtype=bool)
+            starts[0] = True
+            starts[1:] = ii[1:] != ii[:-1]
+            row_start = np.maximum.accumulate(
+                np.where(starts, np.arange(len(ii)), 0)
+            )
+            rank = np.arange(len(ii)) - row_start
+            sel = rank < k
+            ii, jj = ii[sel], jj[sel]
         oi.append(ids_x[lo + ii])
         oj.append(ids_y[jj])
         oc.append(cos[ii, jj])
