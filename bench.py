@@ -129,6 +129,10 @@ HEADLINE = [
     "s09_outer_interval_join",
     "sim12_mmr_rerank",
     "q53_string_agg",
+    # sim13_knn_communities is registered + mirror-checked but NOT in
+    # the headline: like d06/d13 it runs label propagation to
+    # convergence (driver-synchronized rounds), a cost class the
+    # headline already represents through d06's constituents.
     # d14_fuzzy_containment is registered + mirror-checked but NOT in
     # the headline: it is the d02-class exact shingle self-join by
     # role (the production scale shape is t08's inverted-index join)

@@ -1586,3 +1586,74 @@ def sim12_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# sim13: communities of the kNN graph — the third graph-analytics leg
+# after construction (sim10) and centrality (sim11). Connected
+# components over the top-k neighbor edges label each vector with its
+# semantic community (min vec_id of the component) plus the community
+# size: the cluster handle SemDeDup-style pruning, topic cartography,
+# and per-community quota sampling consume. Reuses the public
+# label_propagate core (d06's engine) over knn_edges.
+
+
+def _sim13_oracle() -> str:
+    knn = _sim10_oracle().replace("ORDER BY i, rnk", "")
+    return f"""
+    WITH RECURSIVE
+    pairs AS (SELECT i, j FROM ({knn})),
+    e AS (SELECT i AS a, j AS b FROM pairs
+          UNION SELECT j AS a, i AS b FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN e e2 ON e2.a = r.b),
+    lbl AS (
+      SELECT a AS vec_id, LEAST(a, MIN(b)) AS community
+      FROM reach GROUP BY a)
+    SELECT l.vec_id, l.community,
+           COUNT(*) OVER (PARTITION BY l.community) AS community_size
+    FROM lbl l ORDER BY l.vec_id
+    """
+
+
+@query(
+    "sim13_knn_communities",
+    oracle=_sim13_oracle(),
+    doc="Semantic communities: connected components over the sim10 "
+    "k-NN graph via the public label_propagate core (iterative "
+    "min-label propagation to convergence, localCheckpoint lineage "
+    "truncation), labeling every vector with its community id (min "
+    "member) and community size — the cluster handle for "
+    "SemDeDup-style pruning and per-community quota sampling. "
+    "Completes the graph stack: sim10 construction, sim11 centrality, "
+    "sim13 communities.",
+)
+def sim13_knn_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): edges come from knn_edges (the pinned
+    3-exchange sim10 shape; salt_groups applies for hot buckets) and
+    are materialized ONCE via the sim11 localCheckpoint rule before
+    the propagation loop re-references them every round. Each round is
+    one co-keyed equi join + one min-aggregate on narrow (v, lbl)
+    rows; k-NN components are dense by construction so convergence
+    tracks a small diameter, and only a scalar changed-count reaches
+    the driver (label_propagate's contract). The size window
+    partitions by community over the |V|-row label frame. Reference
+    analog: none (graph analytics beyond the reference's surface)."""
+    from pyspark.sql.window import Window
+
+    from quacfka_spark.operators.dedup import label_propagate
+
+    edges = knn_edges(spark, sf_dir).select("i", "j").localCheckpoint()
+    labels = label_propagate(edges)
+    return (
+        labels.select(
+            F.col("v").alias("vec_id"), F.col("lbl").alias("community")
+        )
+        .withColumn(
+            "community_size",
+            F.count(F.lit(1)).over(Window.partitionBy("community")),
+        )
+        .orderBy("vec_id")
+    )
