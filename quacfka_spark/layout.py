@@ -102,7 +102,18 @@ def write_partitioned(
     mode: str = "overwrite",
     max_records_per_file: int | None = None,
 ) -> None:
-    """Directory-partitioned parquet for pruning on the partition keys."""
+    """Directory-partitioned parquet for pruning on the partition keys.
+
+    EMPTY input (a real epoch condition): partitionBy writes no
+    schema-bearing part files, so read-back fails UNABLE_TO_INFER_SCHEMA.
+    Degrade to one empty non-partitioned file — the partition columns
+    are still in the DataFrame, so readers see the identical schema
+    with zero rows (there are no directories to prune anyway).
+    """
+    if df.isEmpty():
+        df.coalesce(1).write.mode(mode).parquet(path)
+        touch_done(path)
+        return
     w = df.write.mode(mode).partitionBy(*partition_cols)
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
@@ -229,6 +240,12 @@ def write_zordered(
         F.min(dim_y).alias("ymin"),
         F.max(dim_y).alias("ymax"),
     ).first()
+    if stats["xmin"] is None or stats["ymin"] is None:
+        # empty input (or all-NULL dims): nothing to cluster — write
+        # one empty schema-bearing file so read-back keeps the schema
+        df.coalesce(1).write.mode(mode).parquet(path)
+        touch_done(path)
+        return
     top = (1 << bits) - 1
 
     def scaled(col: str, lo, hi):
