@@ -129,6 +129,7 @@ HEADLINE = [
     "s09_outer_interval_join",
     "sim12_mmr_rerank",
     "q53_string_agg",
+    "t22_truncation_waste",
     # sim13_knn_communities is registered + mirror-checked but NOT in
     # the headline: like d06/d13 it runs label propagation to
     # convergence (driver-synchronized rounds), a cost class the

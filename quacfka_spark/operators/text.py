@@ -1846,3 +1846,72 @@ def t21_distill_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("auc"),
     )
+
+
+# --------------------------------------------------------------------------
+_T22_CONTEXTS = (32, 48, 64, 96)
+
+
+@query(
+    "t22_truncation_waste",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+               AS n_tokens
+      FROM documents),
+    ctx AS (SELECT unnest({list(_T22_CONTEXTS)}) AS ctx_len)
+    SELECT c.ctx_len,
+           COUNT(*) FILTER (WHERE n.n_tokens <= c.ctx_len) AS docs_fit,
+           COUNT(*) FILTER (WHERE n.n_tokens > c.ctx_len)
+             AS docs_truncated,
+           CAST(SUM(LEAST(n.n_tokens, c.ctx_len)) AS BIGINT)
+             AS tokens_kept,
+           CAST(SUM(GREATEST(n.n_tokens - c.ctx_len, 0)) AS BIGINT)
+             AS tokens_lost,
+           ROUND(SUM(GREATEST(n.n_tokens - c.ctx_len, 0)) * 1.0
+                 / SUM(n.n_tokens), 4) AS waste_pct
+    FROM n CROSS JOIN ctx c
+    GROUP BY c.ctx_len ORDER BY c.ctx_len
+    """,
+    doc="Context-length truncation accounting: for each candidate "
+    "training context length, how many documents fit whole, how many "
+    "truncate, and what fraction of corpus tokens a hard truncation "
+    "at that length throws away — the first question a context-budget "
+    "decision asks of a corpus (t12's sequence packing is the remedy "
+    "for the waste this measures).",
+)
+def t22_truncation_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale design (100 TB): token counts reduce each document to one
+    BIGINT in the scan projection (text never shuffles); the context
+    dim is a broadcast |contexts|-row frame, and the aggregate is
+    partial+final over |contexts| groups — one exchange carrying a
+    handful of rows per task. Reference analog: corpus accounting
+    delegated to DuckDB SQL (duck.go:70-72)."""
+    t = load_views(spark, sf_dir)
+    n = t["documents"].select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    ctx = spark.createDataFrame(
+        [(c,) for c in _T22_CONTEXTS], "ctx_len bigint"
+    )
+    j = n.crossJoin(F.broadcast(ctx))
+    kept = F.least(F.col("n_tokens"), F.col("ctx_len"))
+    lost = F.greatest(F.col("n_tokens") - F.col("ctx_len"), F.lit(0))
+    return (
+        j.groupBy("ctx_len")
+        .agg(
+            F.count_if(F.col("n_tokens") <= F.col("ctx_len")).alias(
+                "docs_fit"
+            ),
+            F.count_if(F.col("n_tokens") > F.col("ctx_len")).alias(
+                "docs_truncated"
+            ),
+            F.sum(kept).alias("tokens_kept"),
+            F.sum(lost).alias("tokens_lost"),
+            F.round(F.sum(lost) * 1.0 / F.sum("n_tokens"), 4).alias(
+                "waste_pct"
+            ),
+        )
+        .orderBy("ctx_len")
+    )
