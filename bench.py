@@ -309,6 +309,11 @@ def main() -> None:
         **({"errors": errors} if errors else {}),
     }
     print(json.dumps(full), file=sys.stderr)
+    # BENCH_STATS.json is a LOCAL scratch artifact (gitignored,
+    # untracked): every bench invocation — builder or driver —
+    # overwrites it, so a tracked copy would silently diverge from the
+    # committed record (round-6 verdict finding). The committed record
+    # is the driver's BENCH_r{N}.json.
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_STATS.json"), "w") as fh:
             json.dump(full, fh, indent=1)

@@ -25,7 +25,7 @@ from quacfka_spark import (
 )
 from quacfka_spark.session import get_spark
 from quacfka_spark.sources.kafka import decode_json
-from quacfka_spark.sources.mock import NESTED_SCHEMA, _nested_payload
+from quacfka_spark.sources.mock import NESTED_SCHEMA, nested_payload
 
 
 def main() -> None:
@@ -38,7 +38,7 @@ def main() -> None:
     src = os.path.join(out, "topic")
     (
         spark.range(0, 50_000, 1, 8)
-        .select(F.encode(F.to_json(_nested_payload(F.col("id"))), "utf-8").alias("value"))
+        .select(F.encode(F.to_json(nested_payload(F.col("id"))), "utf-8").alias("value"))
         .write.parquet(src)
     )
     source = (

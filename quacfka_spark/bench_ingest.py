@@ -41,7 +41,7 @@ import time
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from quacfka_spark.sources.mock import NESTED_SCHEMA, _nested_payload
+from quacfka_spark.sources.mock import NESTED_SCHEMA, nested_payload
 from quacfka_spark.sources.proto_wire import Field, MessageSpec
 
 DEFAULT_ROWS = int(os.environ.get("SPARK_GRAFT_INGEST_ROWS", "4000000"))
@@ -105,7 +105,7 @@ def _gen_bytes(
         encode = lambda m: F.encode(F.to_json(m), "utf-8")  # noqa: E731
     df = (
         spark.range(0, rows, 1, partitions)
-        .select(encode(_nested_payload(F.col("id"))).alias("value"))
+        .select(encode(nested_payload(F.col("id"))).alias("value"))
     )
     df.write.mode("overwrite").parquet(path)
     mb = (
@@ -348,7 +348,7 @@ def run_dedup_streaming_bench(
     # min(unique, 997000) distinct keys — INGEST_DEDUP.json's 997,000
     # at rows=2M is the key-space bound, not over-dropping
     df = spark.range(0, rows, 1, cores * 2).select(
-        encode(_nested_payload(F.col("id") % unique)).alias("value")
+        encode(nested_payload(F.col("id") % unique)).alias("value")
     )
     df.write.mode("overwrite").parquet(src)
     mb = float(

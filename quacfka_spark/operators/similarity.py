@@ -1093,14 +1093,21 @@ def _sim10_topk_block(ids_x, mx, ids_y, my, self_pairs: bool):
         with np.errstate(invalid="ignore"):
             cos = mx[lo:hi] @ my.T  # chunk x |y|
         # cosq: quantization-ready copy (NaN -> -2, diagonal -> -3);
-        # emission always indexes the ORIGINAL cos so NaN/self
-        # semantics are bit-identical to the dense-skey formulation
+        # emission always indexes the ORIGINAL cos. NaN cosines
+        # (zero-norm embeddings) are never emitted by EITHER branch —
+        # without the mask, small buckets emitted NaN edges (ranked
+        # first by ORDER BY cos DESC in both engines) while large
+        # buckets pruned them: divergence by bucket size.
         cosq = np.nan_to_num(cos, nan=-2.0)
         if self_pairs:
             cosq[ids_x[lo:hi, None] == ids_y[None, :]] = -3.0
         if n_y - (1 if self_pairs else 0) <= k:
-            # keep-all: fewer candidates than k
-            keep = cosq > -2.5 if self_pairs else np.ones_like(cosq, bool)
+            # keep-all: fewer candidates than k. Threshold -1.5 drops
+            # BOTH sentinels — NaN cosines (zero-norm embeddings, -2)
+            # and the diagonal (-3) — so the keep-all branch and the
+            # sparse branch agree that NaN edges are never emitted
+            # (d07's below-threshold rule; real cosines are >= -1).
+            keep = cosq > -1.5
             ii, jj = np.nonzero(keep)
         else:
             # SPARSE exact selection: the dense int64 skey build was
@@ -1114,7 +1121,15 @@ def _sim10_topk_block(ids_x, mx, ids_y, my, self_pairs: bool):
             # ~k candidates instead of |y|.
             kth_f = np.partition(cosq, n_y - k, axis=1)[:, n_y - k]
             ii, jj = np.nonzero(cosq >= (kth_f - 1.5e-4)[:, None])
-            q = np.floor(cosq[ii, jj] * 1e4 + 0.5).astype("int64")
+            # sign-aware half-away-from-zero quantization — the same
+            # rule as the merge window's F.round(cos, 4) and the
+            # oracle's ROUND. A plain floor(x*1e4 + 0.5) rounds half
+            # toward +inf, which disagrees on negative .00005
+            # boundaries and could prune a true top-k edge.
+            c = cosq[ii, jj]
+            q = (np.sign(c) * np.floor(np.abs(c) * 1e4 + 0.5)).astype(
+                "int64"
+            )
             skey = q * (1 << 40) + jkey[jj]
             # rank within row by skey desc (rows of ii are sorted by
             # construction of nonzero); keep the top k of each row
@@ -1129,6 +1144,10 @@ def _sim10_topk_block(ids_x, mx, ids_y, my, self_pairs: bool):
             rank = np.arange(len(ii)) - row_start
             sel = rank < k
             ii, jj = ii[sel], jj[sel]
+            # a row whose candidates are mostly NaN can rank a -2
+            # sentinel into its top k; drop them to match keep-all
+            valid = cosq[ii, jj] > -1.5
+            ii, jj = ii[valid], jj[valid]
         oi.append(ids_x[lo + ii])
         oj.append(ids_y[jj])
         oc.append(cos[ii, jj])

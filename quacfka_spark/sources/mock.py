@@ -40,7 +40,7 @@ NESTED_SCHEMA = T.StructType(
 )
 
 
-def _nested_payload(seq: F.Column) -> F.Column:
+def nested_payload(seq: F.Column) -> F.Column:
     """Deterministic nested struct derived from the rate-source sequence:
     0-2 deals per row (seq % 3), so explode/empty-list paths are hit."""
     deal = lambda k: F.struct(
@@ -63,7 +63,7 @@ def mock_nested_stream(spark: SparkSession, rows_per_second: int = 1000) -> Data
     ``timestamp`` (what decode_json/decode_protobuf would output)."""
     rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
     return rate.select(
-        F.col("timestamp"), _nested_payload(F.col("value")).alias("r")
+        F.col("timestamp"), nested_payload(F.col("value")).alias("r")
     )
 
 
@@ -74,5 +74,5 @@ def mock_kafka_bytes_stream(spark: SparkSession, rows_per_second: int = 1000) ->
     rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
     return rate.select(
         F.col("timestamp"),
-        F.encode(F.to_json(_nested_payload(F.col("value"))), "utf-8").alias("value"),
+        F.encode(F.to_json(nested_payload(F.col("value"))), "utf-8").alias("value"),
     )

@@ -496,16 +496,21 @@ class StreamingPipeline:
 
     def _prune_ledger(self, root: str, epoch_id: int) -> None:
         """Bounded-state contract: ledger epochs that can no longer
-        enter ANY future anti-join window are deleted. Epoch N+1 (and
-        every later epoch, and any bounded replay of them) reads only
-        [current - horizon, current), so pruning < epoch_id + 1 -
-        horizon removes exactly the unreachable dirs."""
+        enter ANY future anti-join window are deleted. The prune runs
+        INSIDE the current epoch's _process_batch, i.e. BEFORE the
+        streaming checkpoint commits epoch_id — so epoch_id itself may
+        still be replayed, and its own window [epoch_id - horizon,
+        epoch_id) must survive the prune (D19 replay idempotence, see
+        _ledger_paths). Epoch ``epoch_id - horizon`` only becomes
+        unreachable once epoch_id has committed and epoch_id + 1 runs
+        its prune, so the cutoff is ``epoch_id - horizon`` (strictly
+        below), one epoch later than the tightest non-replay bound."""
         horizon = self.config.dedup_ledger_epochs
         if horizon is None:
             return
         import shutil
 
-        cutoff = epoch_id + 1 - horizon
+        cutoff = epoch_id - horizon
         if os.path.isdir(root):
             for name in os.listdir(root):
                 if not name.startswith("epoch="):
@@ -574,7 +579,15 @@ class StreamingPipeline:
         if not prior:
             return df
         hist = self.spark.read.parquet(*prior).distinct()
-        rid = F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))
+        # Row id is the same two-seed 128-bit family as _digest: a lone
+        # 64-bit xxhash64 colliding between a flagged near-dup and an
+        # unrelated row in the batch would make the left_anti drop the
+        # innocent row too. 128 bits puts that below 3e-18 per pair.
+        allcols = F.struct(*[F.col(c) for c in df.columns])
+        rid = F.struct(
+            F.xxhash64(allcols).alias("h1"),
+            F.xxhash64(F.lit(0x9E3779B9), allcols).alias("h2"),
+        )
         base = df.withColumn("__nd_rid", rid)
         narrow = base.select(
             "__nd_rid", F.col(self.config.neardup_col).alias("__nd_txt")

@@ -17,7 +17,7 @@ import os
 from pyspark.sql import functions as F
 
 from quacfka_spark.sources.kafka import decode_json
-from quacfka_spark.sources.mock import NESTED_SCHEMA, _nested_payload
+from quacfka_spark.sources.mock import NESTED_SCHEMA, nested_payload
 from quacfka_spark.streaming import PipelineConfig, StreamingPipeline
 
 
@@ -32,7 +32,7 @@ def _write_batches(spark, d: str) -> None:
             df = df.union(spark.range(100, 101))
         (
             df.select(
-                F.encode(F.to_json(_nested_payload(F.col("id"))), "utf-8").alias(
+                F.encode(F.to_json(nested_payload(F.col("id"))), "utf-8").alias(
                     "value"
                 )
             )
@@ -215,7 +215,7 @@ def test_ledger_horizon_readmits_old_content(spark, tmp_path):
             spark.range(lo, hi)
             .select(
                 F.encode(
-                    F.to_json(_nested_payload(F.col("id"))), "utf-8"
+                    F.to_json(nested_payload(F.col("id"))), "utf-8"
                 ).alias("value")
             )
             .coalesce(1)
@@ -246,14 +246,17 @@ def test_ledger_horizon_readmits_old_content(spark, tmp_path):
     # (epoch 1 held ids 100-199), so all 300 rows land
     assert pipe.metrics.records_consumed == 300
     assert pipe.metrics.records_inserted == 300
-    # bounded-state contract: dirs outside every future window are
-    # PRUNED, not merely skipped (after epoch 2 with horizon 1, only
-    # epoch >= 2 survives)
+    # bounded-state contract: dirs outside every REPLAY-reachable
+    # window are PRUNED, not merely skipped. The prune runs before the
+    # current epoch's checkpoint commits, so epoch 2's own window
+    # [1, 2) must survive: after epoch 2 with horizon 1, epochs 1 and
+    # 2 remain and epoch 0 is gone (round-6 advisor finding — the
+    # tighter cutoff broke D19 replay idempotence).
     ledger_dirs = sorted(
         p for p in os.listdir(os.path.join(out, "_dedup_ledger"))
         if p.startswith("epoch=")
     )
-    assert ledger_dirs == ["epoch=2"], ledger_dirs
+    assert ledger_dirs == ["epoch=1", "epoch=2"], ledger_dirs
     # unbounded ledger on the same stream would have dropped the replay
     out2 = str(tmp_path / "out2")
     pipe2 = StreamingPipeline(

@@ -133,8 +133,12 @@ def test_neardup_ledger_horizon_prunes_and_readmits(spark, tmp_path):
     """With dedup_ledger_epochs=1 the band ledger keeps one epoch of
     state: epoch 3's copy of epoch-1 content re-admits (outside the
     window) while its copy of epoch-2 content still gates; on-disk
-    state is pruned to the reachable window (bounded-state contract,
-    shared with the exact ledger)."""
+    state is pruned to the REPLAY-reachable window (bounded-state
+    contract, shared with the exact ledger). The prune runs before the
+    current epoch's checkpoint commits, so the current epoch's own
+    window must survive it: after epoch N, dirs [N - horizon, N]
+    remain — epoch N - horizon is deleted only once epoch N + 1 runs
+    (D19 replay idempotence; round-6 advisor finding)."""
     src, out = str(tmp_path / "src"), str(tmp_path / "out")
     e1 = [(0, _doc(0))]
     e2 = [(1, _doc(1))]
@@ -146,4 +150,4 @@ def test_neardup_ledger_horizon_prunes_and_readmits(spark, tmp_path):
     kept = {r.doc_id for r in raw.select("r.doc_id").collect()}
     assert kept == {0, 1, 2}
     dirs = sorted(os.listdir(os.path.join(out, "_neardup_ledger")))
-    assert dirs == ["epoch=2"]
+    assert dirs == ["epoch=1", "epoch=2"]

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from quacfka_spark.plans.custom import TransformRegistry
 from quacfka_spark.plans.normalizer import NormalizerSpec
 from quacfka_spark.sources.kafka import decode_json, strip_confluent_prefix
-from quacfka_spark.sources.mock import NESTED_SCHEMA, _nested_payload
+from quacfka_spark.sources.mock import NESTED_SCHEMA, nested_payload
 from quacfka_spark.streaming import PipelineConfig, SQLRunner, StreamingPipeline
 
 
@@ -25,7 +25,7 @@ def input_dir(spark, tmp_path):
     (
         spark.range(0, 300)
         .select(
-            F.encode(F.to_json(_nested_payload(F.col("id"))), "utf-8").alias("value")
+            F.encode(F.to_json(nested_payload(F.col("id"))), "utf-8").alias("value")
         )
         .coalesce(2)
         .write.parquet(d)
@@ -205,7 +205,7 @@ def test_d19_restart_from_checkpoint_exactly_once(spark, tmp_path):
         (
             spark.range(lo, hi)
             .select(
-                F.encode(F.to_json(_nested_payload(F.col("id"))), "utf-8").alias(
+                F.encode(F.to_json(nested_payload(F.col("id"))), "utf-8").alias(
                     "value"
                 )
             )
@@ -258,7 +258,7 @@ def test_d15_size_based_rotation(spark, tmp_path):
         (
             spark.range(lo, hi)
             .select(
-                F.encode(F.to_json(_nested_payload(F.col("id"))), "utf-8").alias("value")
+                F.encode(F.to_json(nested_payload(F.col("id"))), "utf-8").alias("value")
             )
             .coalesce(1)
             .write.mode("append")
@@ -385,7 +385,7 @@ def test_epoch_retry_is_idempotent(spark, tmp_path):
     on retry and the doubling then amplified into every derived table."""
     out = str(tmp_path / "retry_out")
     batch = spark.range(0, 120).select(
-        F.encode(F.to_json(_nested_payload(F.col("id"))), "utf-8").alias("value")
+        F.encode(F.to_json(nested_payload(F.col("id"))), "utf-8").alias("value")
     )
     norm = NormalizerSpec(
         fields=["r.site.id", "r.user_id", "r.amount"],
