@@ -140,19 +140,25 @@ HEADLINE = [
 ]
 
 
-def _compact_ingest(rep: dict) -> dict:
+def _compact_ingest(rep: dict, wide: bool = False) -> dict:
     """Keep only the headline ingest fields on the stdout line (the
     driver's tail capture is ~2 KB; round 5's full line overflowed it
     and BENCH_r05.json recorded "parsed": null)."""
     if "total_rows_per_second" not in rep:
         return rep
-    # rows/s only: duration/MBps live in BENCH_STATS.json — every
-    # byte here competes with per-query detail for the 2000-char
-    # driver capture
-    return {
+    # rows/s only: duration lives in BENCH_STATS.json — every byte
+    # here competes with per-query detail for the 2000-char driver
+    # capture. The WIDE blocks additionally carry MB/s + bytes/record:
+    # byte parity with the reference's published 501 MB/s at
+    # ~1.27 KB/record is the round-7 headline claim.
+    out = {
         "total_rows_per_second": round(rep["total_rows_per_second"]),
         "records_per_second": round(rep["records_per_second"]),
     }
+    if wide:
+        out["mb_per_second"] = round(rep.get("mb_per_second", 0.0), 1)
+        out["bytes_per_record"] = round(rep.get("bytes_per_record", 0.0))
+    return out
 
 
 # Hard byte budget for the single stdout JSON line: the driver's tail
@@ -169,6 +175,8 @@ def build_headline_line(
     ingest_streaming: dict,
     errors: dict[str, str] | None = None,
     value: float | None = None,
+    ingest_wide: dict | None = None,
+    ingest_streaming_wide: dict | None = None,
 ) -> str:
     """Render the ONE parseable stdout line, trimming the per-query map
     (slowest kept individually, fast tail folded into "_others") until
@@ -181,6 +189,20 @@ def build_headline_line(
         "sf": sf,
         "ingest": _compact_ingest(ingest),
         "ingest_streaming": _compact_ingest(ingest_streaming),
+        **(
+            {"ingest_wide": _compact_ingest(ingest_wide, wide=True)}
+            if ingest_wide is not None
+            else {}
+        ),
+        **(
+            {
+                "ingest_streaming_wide": _compact_ingest(
+                    ingest_streaming_wide, wide=True
+                )
+            }
+            if ingest_streaming_wide is not None
+            else {}
+        ),
         **({"errors": errors} if errors else {}),
     }
     line = json.dumps(headline, separators=(",", ":"))
@@ -228,12 +250,26 @@ def main() -> None:
         lines = [ln for ln in stdout.strip().splitlines() if ln.startswith("{")]
         ingest_out = json.loads(lines[-1])
         ingest = ingest_out.get("ingest", {"error": "missing"})
+        ingest_wide = ingest_out.get("ingest_wide", {"error": "missing"})
         ingest_streaming = ingest_out.get("ingest_streaming", {"error": "missing"})
-        for label, rep in (("ingest", ingest), ("ingest_streaming", ingest_streaming)):
+        ingest_streaming_wide = ingest_out.get(
+            "ingest_streaming_wide", {"error": "missing"}
+        )
+        for label, rep in (
+            ("ingest", ingest),
+            ("ingest_wide", ingest_wide),
+            ("ingest_streaming", ingest_streaming),
+            ("ingest_streaming_wide", ingest_streaming_wide),
+        ):
             if "total_rows_per_second" in rep:
-                print(f"# {label}: {rep['total_rows_per_second']:,.0f} rows/s", file=sys.stderr)
+                print(
+                    f"# {label}: {rep['total_rows_per_second']:,.0f} rows/s"
+                    f" {rep.get('mb_per_second', 0):,.0f} MB/s",
+                    file=sys.stderr,
+                )
     except Exception as e:  # pragma: no cover — bench must still emit JSON
         ingest = ingest_streaming = {"error": str(e)[:200]}
+        ingest_wide = ingest_streaming_wide = {"error": str(e)[:200]}
 
     # Re-warm after the ingest subprocess: the main session idled for
     # minutes while the ingest JVM owned the machine, and billing its
@@ -305,7 +341,9 @@ def main() -> None:
         "sf": sf,
         "query_stats": stats,
         "ingest": ingest,
+        "ingest_wide": ingest_wide,
         "ingest_streaming": ingest_streaming,
+        "ingest_streaming_wide": ingest_streaming_wide,
         **({"errors": errors} if errors else {}),
     }
     print(json.dumps(full), file=sys.stderr)
@@ -319,7 +357,18 @@ def main() -> None:
             json.dump(full, fh, indent=1)
     except OSError:
         pass
-    print(build_headline_line(timings, sf, ingest, ingest_streaming, errors, value=value))
+    print(
+        build_headline_line(
+            timings,
+            sf,
+            ingest,
+            ingest_streaming,
+            errors,
+            value=value,
+            ingest_wide=ingest_wide,
+            ingest_streaming_wide=ingest_streaming_wide,
+        )
+    )
     spark.stop()
 
 

@@ -40,6 +40,7 @@ __all__ = [
     "bm25_topk",
     "pack_sequences",
     "knn_edges",
+    "choose_salt",
 ]
 __version__ = "0.1.0"
 
@@ -74,4 +75,8 @@ def __getattr__(name: str):
         from quacfka_spark.operators.similarity import knn_edges
 
         return knn_edges
+    if name == "choose_salt":
+        from quacfka_spark.operators.lsh_tuning import choose_salt
+
+        return choose_salt
     raise AttributeError(name)

@@ -41,6 +41,9 @@ import time
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from dataclasses import dataclass
+from typing import Callable
+
 from quacfka_spark.sources.mock import NESTED_SCHEMA, nested_payload
 from quacfka_spark.sources.proto_wire import Field, MessageSpec
 
@@ -59,8 +62,223 @@ BENCH_SPEC = MessageSpec(
     ]
 )
 
+# README-shaped payload (byte parity with the reference's published run):
+# /root/reference/README.md:154-167 moved 146.53 GB over 123.69M records
+# = ~1,270 B/record with normalizer_fields = 10 and norm_records ~= raw
+# records (122.2M vs 123.7M). The exact message type isn't published, so
+# this is an ad-event message of that SIZE and SHAPE: nested site /
+# device / user blocks dominated by realistic string fields (URLs, UA,
+# uuid-ish ids, an ext JSON blob), one repeated `deals` block averaging
+# just under 1 element per record, and a 10-field normalizer.
+WIDE_SPEC = MessageSpec(
+    [
+        Field(1, "event_id", "string"),
+        Field(2, "ts", "int64"),
+        Field(3, "event_type", "string"),
+        Field(4, "site", "message", message=MessageSpec(
+            [
+                Field(1, "id", "int64"),
+                Field(2, "name", "string"),
+                Field(3, "domain", "string"),
+                Field(4, "page", "string"),
+                Field(5, "referrer", "string"),
+                Field(6, "categories", "string", repeated=True),
+            ]
+        )),
+        Field(5, "device", "message", message=MessageSpec(
+            [
+                Field(1, "ua", "string"),
+                Field(2, "ip", "string"),
+                Field(3, "os", "string"),
+                Field(4, "model", "string"),
+                Field(5, "ifa", "string"),
+                Field(6, "lang", "string"),
+            ]
+        )),
+        Field(6, "user", "message", message=MessageSpec(
+            [
+                Field(1, "id", "string"),
+                Field(2, "buyeruid", "string"),
+                Field(3, "segments", "string", repeated=True),
+            ]
+        )),
+        Field(7, "amount", "double"),
+        Field(8, "currency", "string"),
+        Field(9, "ext", "string"),
+        Field(10, "deals", "message", repeated=True, message=MessageSpec(
+            [
+                Field(1, "id", "int64"),
+                Field(2, "kind", "string"),
+                Field(3, "bidfloor", "double"),
+                Field(4, "seat", "string"),
+            ]
+        )),
+    ]
+)
 
-def _codec(spark: SparkSession):
+
+def _hex16(seq: F.Column, seed: int) -> F.Column:
+    """Deterministic 16-hex-char token from the sequence (uuid/ids)."""
+    return F.lower(F.lpad(F.hex(F.xxhash64(F.lit(seed), seq)), 16, "0"))
+
+
+def _uuidish(seq: F.Column, seed: int) -> F.Column:
+    h1, h2 = _hex16(seq, seed), _hex16(seq, seed + 1)
+    return F.concat_ws(
+        "-",
+        F.substring(h1, 1, 8),
+        F.substring(h1, 9, 4),
+        F.substring(h1, 13, 4),
+        F.substring(h2, 1, 4),
+        F.substring(h2, 5, 12),
+    )
+
+
+def wide_payload(seq: F.Column) -> F.Column:
+    """Deterministic ~1.27 KB nested ad-event struct (see WIDE_SPEC).
+    Generation is pure Catalyst expressions — untimed, like the
+    reference's protorand generator (kafka.go:248-255)."""
+    s = lambda n: (seq % n).cast("string")  # noqa: E731
+    page = F.concat(
+        F.lit("https://publisher-"), s(5000),
+        F.lit(".example.com/section/"), _hex16(seq, 11),
+        F.lit("/article-"), F.lpad(s(1000000), 12, "0"),
+        F.lit("?utm_source=partner&utm_medium=cpc&utm_campaign=c"), s(997),
+        F.lit("&ref="), _hex16(seq, 12),
+    )
+    referrer = F.concat(
+        F.lit("https://search.example.org/results?q=topic+"), s(10007),
+        F.lit("&page="), s(20),
+        F.lit("&session="), _hex16(seq, 13),
+        F.lit("&locale=en-US&safe=active"),
+    )
+    ua = F.concat(
+        F.lit("Mozilla/5.0 (Linux; Android 14; SM-G99"), s(10),
+        F.lit(") AppleWebKit/537.36 (KHTML, like Gecko) Chrome/12"), s(6),
+        F.lit(".0.0.0 Mobile Safari/537.36"),
+    )
+    segments = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.concat(
+            F.lit("seg_"), F.lpad(((seq * 31 + i * 7) % 1000003).cast("string"), 7, "0")
+        ),
+    )
+    ext = F.concat(
+        F.lit('{"bidder":{"cpm_adjust":0.'), F.lpad(s(100), 2, "0"),
+        F.lit(',"placements":["pl_'), _hex16(seq, 21),
+        F.lit('","pl_'), _hex16(seq, 22),
+        F.lit('"],"deal_hints":{"floor_bucket":'), s(16),
+        F.lit(',"pmp_eligible":true}},"analytics":{"session":"'),
+        _uuidish(seq, 23),
+        F.lit('","page_depth":'), s(40),
+        F.lit(',"scroll_pct":'), s(101),
+        F.lit(',"experiments":["exp_'), _hex16(seq, 24),
+        F.lit('","exp_'), _hex16(seq, 25),
+        F.lit('"]},"consent":{"gdpr":1,"tcf":"'), _hex16(seq, 26),
+        F.lit(_EXT_TCF_TAIL + '"}}'),
+    )
+    deal = F.struct(
+        (seq * 10).alias("id"),
+        F.concat(F.lit("private_auction_"), s(4)).alias("kind"),
+        F.round(seq % 89 * 0.25 + 0.5, 2).alias("bidfloor"),
+        F.concat(F.lit("seat-"), s(250)).alias("seat"),
+    )
+    deals = F.when(
+        seq % 8 == 0, F.array().cast(WIDE_SPEC.spark_schema()["deals"].dataType)
+    ).otherwise(F.array(deal))
+    return F.struct(
+        _uuidish(seq, 1).alias("event_id"),
+        (F.lit(1740430000000000) + seq * 1000).alias("ts"),
+        F.element_at(
+            F.array(F.lit("impression"), F.lit("click"), F.lit("bid_request")),
+            (seq % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        F.struct(
+            (seq % 5000).alias("id"),
+            F.concat(F.lit("site_"), s(5000)).alias("name"),
+            F.concat(F.lit("publisher-"), s(5000), F.lit(".example.com")).alias("domain"),
+            page.alias("page"),
+            referrer.alias("referrer"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2)),
+                lambda i: F.concat(F.lit("IAB"), ((seq + i * 5) % 26 + 1).cast("string")),
+            ).alias("categories"),
+        ).alias("site"),
+        F.struct(
+            ua.alias("ua"),
+            F.concat(F.lit("203.0.113."), s(254)).alias("ip"),
+            F.element_at(
+                F.array(F.lit("android"), F.lit("ios"), F.lit("windows")),
+                (seq % 3 + 1).cast("int"),
+            ).alias("os"),
+            F.concat(F.lit("model-"), s(60)).alias("model"),
+            _uuidish(seq, 2).alias("ifa"),
+            F.lit("en-US").alias("lang"),
+        ).alias("device"),
+        F.struct(
+            _uuidish(seq, 3).alias("id"),
+            F.concat(F.lit("buyer-"), _hex16(seq, 4)).alias("buyeruid"),
+            segments.alias("segments"),
+        ).alias("user"),
+        F.round(seq % 997 * 1.5, 2).alias("amount"),
+        F.lit("USD").alias("currency"),
+        ext.alias("ext"),
+        deals.alias("deals"),
+    )
+
+
+# TCF-consent-style opaque token tail inside ext — brings the average
+# encoded message to the reference run's ~1.27 KB (README.md:163-165);
+# real OpenRTB events carry consent strings of exactly this size class.
+_EXT_TCF_TAIL = (
+    "CPz3dI8Pz3dI8AGABCENDECsAP_AAH_AAAqIJNNd_H__bW9r-f5_aft0eY1P9_r37uQz"
+    "jhfNs-8F3L_W_LwX52E7NF36tq4KmR4ku1LBIUNtHMnUDUmxaokVrzHsak2cpyNKJ7BE"
+)
+
+
+@dataclass(frozen=True)
+class PayloadShape:
+    """One benchmark payload shape: protobuf spec + generator + the
+    D10 normalizer field list (paths relative to the decoded struct)."""
+
+    name: str
+    spec: MessageSpec
+    payload: Callable[[F.Column], F.Column]
+    norm_fields: tuple[str, ...]
+    norm_aliases: tuple[str, ...]
+
+
+SHAPES: dict[str, PayloadShape] = {
+    # ~38 B/record: the small-row shape used since round 1 (rows/s
+    # continuity across BENCH_r* history; stresses per-row overheads)
+    "small": PayloadShape(
+        "small",
+        BENCH_SPEC,
+        nested_payload,
+        ("site.id", "user_id", "amount", "deals.id", "deals.kind"),
+        ("site", "user_id", "amount", "deal_id", "deal_kind"),
+    ),
+    # ~1.27 KB/record, 10 normalizer fields: byte parity with the
+    # reference's published 501 MB/s run (README.md:154-167)
+    "wide": PayloadShape(
+        "wide",
+        WIDE_SPEC,
+        wide_payload,
+        (
+            "site.id", "site.domain", "device.os", "device.ip",
+            "user.id", "ts", "amount", "currency",
+            "deals.id", "deals.kind",
+        ),
+        (
+            "site_id", "domain", "os", "ip",
+            "user_id", "ts", "amount", "currency",
+            "deal_id", "deal_kind",
+        ),
+    ),
+}
+
+
+def _codec(spark: SparkSession, shape: PayloadShape = SHAPES["small"]):
     """(fmt, encode_column_fn, decode_df_fn): the JVM protobuf wire
     codec when its jar loads, else the JSON twin. Both decode to the
     same ``r`` struct shape, so every downstream stage is identical."""
@@ -74,13 +292,13 @@ def _codec(spark: SparkSession):
     if jvm_codec_available(spark):
         return (
             "protobuf-jvm",
-            lambda m: encode_protobuf_jvm(spark, m, BENCH_SPEC),
-            lambda df: decode_protobuf_jvm(df, BENCH_SPEC),
+            lambda m: encode_protobuf_jvm(spark, m, shape.spec),
+            lambda df: decode_protobuf_jvm(df, shape.spec),
         )
     return (
         "json",
         lambda m: F.encode(F.to_json(m), "utf-8"),
-        lambda df: decode_json(df, NESTED_SCHEMA),
+        lambda df: decode_json(df, shape.spec.spark_schema()),
     )
 
 # Wall-clock budget for the whole CLI run (bench.py gives the subprocess
@@ -95,17 +313,23 @@ _CALIB_ROWS = 500_000
 
 
 def _gen_bytes(
-    spark: SparkSession, rows: int, path: str, partitions: int, encode=None
+    spark: SparkSession,
+    rows: int,
+    path: str,
+    partitions: int,
+    encode=None,
+    payload: Callable[[F.Column], F.Column] = nested_payload,
 ) -> float:
     """Materialize `rows` encoded nested messages as a binary-column
     parquet (the 'Kafka topic at rest'). ``encode`` maps the nested
-    struct column to payload bytes (defaults to the JSON twin).
+    struct column to payload bytes (defaults to the JSON twin);
+    ``payload`` builds the nested struct from the sequence id.
     Returns payload MB."""
     if encode is None:
         encode = lambda m: F.encode(F.to_json(m), "utf-8")  # noqa: E731
     df = (
         spark.range(0, rows, 1, partitions)
-        .select(encode(nested_payload(F.col("id"))).alias("value"))
+        .select(encode(payload(F.col("id"))).alias("value"))
     )
     df.write.mode("overwrite").parquet(path)
     mb = (
@@ -121,6 +345,7 @@ def run_ingest_bench(
     rows: int | None = None,
     work_dir: str = "/tmp/quacfka_spark_ingest",
     deadline: float | None = None,
+    shape: str = "small",
 ) -> dict:
     """Run the timed ingest: read bytes -> decode -> raw + norm writes.
 
@@ -128,16 +353,26 @@ def run_ingest_bench(
     warm slice estimates this run's rows/s on THIS machine right now,
     and the measured run is sized to ~45 s (capped at DEFAULT_ROWS).
     ``deadline`` (time.monotonic()) bounds optional repeat passes.
+    ``shape`` picks the payload (SHAPES): "small" = the historical
+    ~38 B row, "wide" = the reference-parity ~1.27 KB message whose
+    mb_per_second compares apples-to-apples with the published
+    501 MB/s (README.md:154-167).
 
     Returns a report shaped like the reference's metrics JSON
     (/root/reference/metrics.go:259-282).
     """
+    from quacfka_spark.plans.normalizer import NormalizerSpec
+
+    sh = SHAPES[shape]
+    norm_spec = NormalizerSpec(
+        fields=list(sh.norm_fields), aliases=list(sh.norm_aliases)
+    )
     cores = spark.sparkContext.defaultParallelism
     src = os.path.join(work_dir, "src")
     out_raw = os.path.join(work_dir, "raw")
     out_norm = os.path.join(work_dir, "norm")
     shutil.rmtree(work_dir, ignore_errors=True)
-    fmt, encode, decode = _codec(spark)
+    fmt, encode, decode = _codec(spark, sh)
 
     # Warm the decode to JIT steady state before timing — the reference
     # reports steady-state 30s samples out of a 5-minute run
@@ -146,9 +381,12 @@ def run_ingest_bench(
     # + codegen scaffolding) is shared across plans, so a few passes over
     # a small separate slice warm the fresh full-size plan too
     # (measured: 5x500k warm passes take the 4M decode 40s -> 7s).
-    warm_rows = min(rows // 8, _CALIB_ROWS) if rows else _CALIB_ROWS
+    # wide rows are ~33x the bytes of small rows: scale the calibration
+    # slice so its wall cost stays comparable
+    calib_rows = _CALIB_ROWS if shape == "small" else _CALIB_ROWS // 8
+    warm_rows = min(rows // 8, calib_rows) if rows else calib_rows
     warm_src = os.path.join(work_dir, "warm")
-    _gen_bytes(spark, warm_rows, warm_src, cores, encode)
+    _gen_bytes(spark, warm_rows, warm_src, cores, encode, sh.payload)
     warm = decode(spark.read.parquet(warm_src)).select("r.*")
     for _ in range(5):
         warm.write.format("noop").mode("overwrite").save()
@@ -161,11 +399,8 @@ def run_ingest_bench(
         def calib_pass() -> float:
             t0 = time.perf_counter()
             warm.write.mode("overwrite").parquet(out_raw)
-            spark.read.parquet(out_raw).select(
-                F.col("site.id").alias("site_id"),
-                "user_id",
-                "amount",
-                F.explode_outer("deals").alias("deal"),
+            norm_spec.apply(
+                spark.read.parquet(out_raw)
             ).write.mode("overwrite").parquet(out_norm)
             return time.perf_counter() - t0
 
@@ -177,12 +412,13 @@ def run_ingest_bench(
             target_pass_s = min(45.0, max(15.0, (deadline - time.monotonic()) / 3))
         else:
             target_pass_s = 45.0
+        grain = 100_000 if shape == "small" else 10_000
         rows = max(
-            _CALIB_ROWS,
-            min(DEFAULT_ROWS, int(rate * target_pass_s) // 100_000 * 100_000),
+            calib_rows,
+            min(DEFAULT_ROWS, int(rate * target_pass_s) // grain * grain),
         )
 
-    mb = _gen_bytes(spark, rows, src, cores, encode)
+    mb = _gen_bytes(spark, rows, src, cores, encode, sh.payload)
 
     def one_pass() -> float:
         t0 = time.perf_counter()
@@ -198,21 +434,10 @@ def run_ingest_bench(
         # rows). The read-back is also the 100 TB pattern: columnar,
         # pruned, shuffle-free.
         raw_back = spark.read.parquet(out_raw)
-        # D10 normalizer semantics: flat columns, one row per deal,
-        # scalars duplicated, null deal columns when the list is empty.
-        norm = raw_back.select(
-            F.col("site.id").alias("site_id"),
-            F.col("user_id"),
-            F.col("amount"),
-            F.explode_outer("deals").alias("deal"),
-        ).select(
-            "site_id",
-            "user_id",
-            "amount",
-            F.col("deal.id").alias("deal_id"),
-            F.col("deal.kind").alias("deal_kind"),
-        )
-        norm.write.mode("overwrite").parquet(out_norm)
+        # D10 normalizer semantics via the engine's own NormalizerSpec:
+        # flat columns, one row per repeated element, scalars
+        # duplicated, null columns when the list is empty.
+        norm_spec.apply(raw_back).write.mode("overwrite").parquet(out_norm)
         return time.perf_counter() - t0
 
     # Best-of-N with a deadline: this VM shows large run-to-run variance
@@ -230,14 +455,17 @@ def run_ingest_bench(
     shutil.rmtree(work_dir, ignore_errors=True)
     total = raw_n + norm_n
     return {
+        "shape": shape,
         "records_consumed": rows,
         "records_inserted": raw_n,
         "norm_records_inserted": norm_n,
+        "normalizer_fields": len(sh.norm_fields),
         "duration_seconds": round(elapsed, 3),
         "records_per_second": round(raw_n / elapsed, 2),
         "total_rows_per_second": round(total / elapsed, 2),
         "mb_per_second": round(mb / elapsed, 2),
         "payload_mb": round(mb, 2),
+        "bytes_per_record": round(mb * 1024 * 1024 / rows, 1),
         "cores": cores,
         "passes": passes,
         "decode": fmt,
@@ -250,6 +478,7 @@ def run_streaming_ingest_bench(
     work_dir: str = "/tmp/quacfka_spark_ingest_stream",
     epochs: int = 2,
     deadline: float | None = None,
+    shape: str = "small",
 ) -> dict:
     """Same measurement through the actual StreamingPipeline orchestrator
     (foreachBatch, rotation epochs, post-publish, metrics) — the full
@@ -268,12 +497,13 @@ def run_streaming_ingest_bench(
     from quacfka_spark.plans.normalizer import NormalizerSpec
     from quacfka_spark.streaming import PipelineConfig, StreamingPipeline
 
+    sh = SHAPES[shape]
     cores = spark.sparkContext.defaultParallelism
     src = os.path.join(work_dir, "src")
     out = os.path.join(work_dir, "out")
     shutil.rmtree(work_dir, ignore_errors=True)
-    fmt, encode, decode = _codec(spark)
-    mb = _gen_bytes(spark, rows, src, cores * epochs, encode)
+    fmt, encode, decode = _codec(spark, sh)
+    mb = _gen_bytes(spark, rows, src, cores * epochs, encode, sh.payload)
 
     def one_pass(i: int) -> tuple[float, dict]:
         source = (
@@ -289,8 +519,8 @@ def run_streaming_ingest_bench(
             ),
             decode=decode,
             normalizer=NormalizerSpec(
-                fields=["r.site.id", "r.user_id", "r.amount", "r.deals.id", "r.deals.kind"],
-                aliases=["site", "user_id", "amount", "deal_id", "deal_kind"],
+                fields=[f"r.{f}" for f in sh.norm_fields],
+                aliases=list(sh.norm_aliases),
             ),
         )
         t0 = time.perf_counter()
@@ -305,14 +535,17 @@ def run_streaming_ingest_bench(
     shutil.rmtree(work_dir, ignore_errors=True)
     total = rep["records_inserted"] + rep["norm_records_inserted"]
     return {
+        "shape": shape,
         "records_consumed": rep["records_consumed"],
         "records_inserted": rep["records_inserted"],
         "norm_records_inserted": rep["norm_records_inserted"],
+        "normalizer_fields": len(sh.norm_fields),
         "batches": rep["batches"],
         "duration_seconds": round(elapsed, 3),
         "records_per_second": round(rep["records_inserted"] / elapsed, 2),
         "total_rows_per_second": round(total / elapsed, 2),
         "mb_per_second": round(mb / elapsed, 2),
+        "bytes_per_record": round(mb * 1024 * 1024 / max(rep["records_consumed"], 1), 1),
         "cores": cores,
         "decode": fmt,
     }
@@ -667,33 +900,65 @@ def main() -> None:
         return
     deadline = time.monotonic() + BUDGET_S
     out: dict = {}
-    try:
-        # batch gets ~2/3 of the budget; its calibrated size also sizes
-        # the streaming run below
-        out["ingest"] = run_ingest_bench(
-            spark, deadline=min(deadline, time.monotonic() + BUDGET_S * 2 / 3)
-        )
-    except Exception as e:  # pragma: no cover
-        out["ingest"] = {"error": str(e)[:200]}
-    # progressive emit: if the host stalls during the streaming phase and
-    # the parent kills this subprocess, the batch numbers still reach
-    # bench.py (it reads the LAST complete stdout line)
-    json.dump(out, sys.stdout)
-    sys.stdout.write("\n")
-    sys.stdout.flush()
-    remaining = deadline - time.monotonic()
-    if remaining < 60:
-        out["ingest_streaming"] = {"skipped": f"budget exhausted ({remaining:.0f}s left)"}
-    else:
-        try:
-            batch_rows = out["ingest"].get("records_consumed", DEFAULT_ROWS)
-            out["ingest_streaming"] = run_streaming_ingest_bench(
-                spark, rows=max(_CALIB_ROWS, batch_rows), deadline=deadline
-            )
-        except Exception as e:  # pragma: no cover
-            out["ingest_streaming"] = {"error": str(e)[:200]}
-    json.dump(out, sys.stdout)
-    print()
+
+    def emit() -> None:
+        # progressive emit: if the host stalls during a later phase and
+        # the parent kills this subprocess, the finished numbers still
+        # reach bench.py (it reads the LAST complete stdout line)
+        json.dump(out, sys.stdout)
+        sys.stdout.write("\n")
+        sys.stdout.flush()
+
+    # Four phases inside one budget: small batch (rows/s continuity
+    # with BENCH_r01..r06), WIDE batch (byte parity with the
+    # reference's 501 MB/s run), then the orchestrator twice. Each
+    # phase auto-sizes to its slice via calibration, and a phase is
+    # skipped (recorded, not silent) when its slice has been eaten by
+    # an earlier stall.
+    def phase(key: str, frac_end: float, min_s: float, fn) -> None:
+        phase_end = min(deadline, time.monotonic() + BUDGET_S * frac_end)
+        if deadline - time.monotonic() < min_s:
+            out[key] = {
+                "skipped": f"budget exhausted ({deadline - time.monotonic():.0f}s left)"
+            }
+        else:
+            try:
+                out[key] = fn(phase_end)
+            except Exception as e:  # pragma: no cover
+                out[key] = {"error": str(e)[:200]}
+        emit()
+
+    phase(
+        "ingest", 0.25, 45,
+        lambda end: run_ingest_bench(spark, deadline=end),
+    )
+    phase(
+        "ingest_wide", 0.30, 60,
+        lambda end: run_ingest_bench(
+            spark,
+            deadline=end,
+            shape="wide",
+            work_dir="/tmp/quacfka_spark_ingest_wide",
+        ),
+    )
+    batch_rows = out["ingest"].get("records_consumed", DEFAULT_ROWS)
+    phase(
+        "ingest_streaming", 0.22, 60,
+        lambda end: run_streaming_ingest_bench(
+            spark, rows=max(_CALIB_ROWS, batch_rows), deadline=end
+        ),
+    )
+    wide_rows = out["ingest_wide"].get("records_consumed", _CALIB_ROWS // 2)
+    phase(
+        "ingest_streaming_wide", 0.23, 60,
+        lambda end: run_streaming_ingest_bench(
+            spark,
+            rows=max(_CALIB_ROWS // 8, wide_rows),
+            deadline=end,
+            shape="wide",
+            work_dir="/tmp/quacfka_spark_ingest_stream_wide",
+        ),
+    )
     spark.stop()
 
 

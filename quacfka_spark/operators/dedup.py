@@ -664,7 +664,11 @@ def d07_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cosine_lsh_pairs(
-    spark: SparkSession, sf_dir: str, salt_buckets: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    salt_buckets: int = 1,
+    *,
+    auto: bool = False,
 ) -> DataFrame:
     """Unordered verified near-dup pairs (i, j, cos) — shared by d07
     (reported pairs) and d08 (keep-list clustering).
@@ -704,6 +708,15 @@ def _cosine_lsh_pairs(
     once — pay it when a corpus is known to produce dominant
     signatures (the scale probe's clustered generator is exactly such
     a corpus), keep S=1 otherwise.
+
+    ``auto=True`` replaces the manual pick with the occupancy-driven
+    chooser (operators/lsh_tuning.py): one cheap (band, sig) count agg
+    sets S = ceil(max_occupancy / 5000) — the target that reproduces
+    the round-6 manual salt_buckets=4 on the 250k-vector probe corpus
+    — so hot corpora salt themselves and benign corpora stay on the
+    replication-free S=1 plan. Output is identical either way (the
+    engine-tested salting invariant); auto only picks WHICH
+    identical-output plan runs.
     """
     import pandas as pd
 
@@ -787,6 +800,14 @@ def _cosine_lsh_pairs(
         return pairs_table(
             np.concatenate(oi), np.concatenate(oj), np.concatenate(oc)
         )
+
+    if auto:
+        from quacfka_spark.operators.lsh_tuning import (
+            D07_TARGET_ROWS,
+            choose_salt,
+        )
+
+        salt_buckets = choose_salt(bands, D07_TARGET_ROWS)
 
     if salt_buckets <= 1:
         return (
@@ -1223,7 +1244,9 @@ def _d10_assign_cte() -> str:
     "cross-cell recall single-probe loses (0.65-0.78 vs 0.38-0.53, "
     "MEASURED by the d10x_semdedup_recall key).",
 )
-def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d10_semdedup(
+    spark: SparkSession, sf_dir: str, probe: int = _D10_PROBE
+) -> DataFrame:
     """Scale design (100 TB): trained centroids are K rows -> broadcast
     (training is one extra N-row pass); cell assignment is IN-ROW — the
     K centroids pack into ONE broadcast array row and the top-PROBE
@@ -1236,7 +1259,16 @@ def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows at a time) so task memory is O(cell x chunk), never
     O(cell^2). NULL embeddings are dropped pre-shuffle (same rule as
     d07: they can never verify, and they'd make the per-cell matrix
-    ragged)."""
+    ragged).
+
+    ``probe`` widens the multi-probe membership (the recall/cost
+    knob): each vector pairs inside its top-``probe`` cells. Measured
+    curve on the fixtures (tools/d10_curve.py, D10_RECALL_CURVE.json):
+    probe=1 is the cheap low-recall floor, probe=2 (the registered
+    operating point, certified by d10x) buys most of the cross-cell
+    recall back, probe=3 adds the last few points at ~probe/2 more
+    verify work. The registered key stays at probe=2 because the
+    oracle CTE pins the same constant."""
     import pandas as pd
 
     from quacfka_spark.operators.similarity import (
@@ -1265,7 +1297,7 @@ def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "embedding",
-            top_cells(F.col("embedding"), F.col("cbs"), _D10_PROBE).alias(
+            top_cells(F.col("embedding"), F.col("cbs"), probe).alias(
                 "top"
             ),
         )
@@ -1377,7 +1409,9 @@ _D10X_RECALL_GATE = 0.60
     "lower recall); production SemDeDup accepts exactly this trade "
     "(arXiv:2303.09540 uses 50k cells on LAION).",
 )
-def d10x_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d10x_semdedup_recall(
+    spark: SparkSession, sf_dir: str, probe: int = _D10_PROBE
+) -> DataFrame:
     """One union-with-marker aggregation (the d03x shape — each side's
     pipeline evaluates once; no intersect-plus-distinct double
     evaluation): d05's exact pairs reduce to the keep-lowest dup set,
@@ -1395,7 +1429,7 @@ def d10x_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     d10_dups = (
-        d10_semdedup(spark, sf_dir)
+        d10_semdedup(spark, sf_dir, probe=probe)
         .filter(F.col("is_dup") == 1)
         .select(
             "vec_id", F.lit(0).alias("in_exact"), F.lit(1).alias("in_d10")

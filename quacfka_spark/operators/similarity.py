@@ -1155,7 +1155,11 @@ def _sim10_topk_block(ids_x, mx, ids_y, my, self_pairs: bool):
 
 
 def knn_edges(
-    spark: SparkSession, sf_dir: str, salt_groups: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    salt_groups: int = 1,
+    *,
+    auto: bool = False,
 ) -> DataFrame:
     """Unordered top-k neighbor edges (i, j, rnk, cos) — sim10's core,
     public so graph consumers (sim11 PageRank, composed pipelines) can
@@ -1173,7 +1177,20 @@ def knn_edges(
     the identical edge set (engine-tested set equality on a clustered
     corpus). Cost: each banded row exchanges S times and per-member
     candidate emission grows to <= S*k per band; per-task verify work
-    drops to ~(bucket/S)^2 and spreads over S(S+1)/2 tasks."""
+    drops to ~(bucket/S)^2 and spreads over S(S+1)/2 tasks.
+
+    ``auto=True`` replaces the manual pick with the occupancy-driven
+    chooser (operators/lsh_tuning.py): one cheap (band, sig) count
+    agg sets S = ceil(max_occupancy / 12000) — the target that
+    reproduces the round-6 manual salt_groups=6 at the 1M-vector
+    probe (occ 68,086; SCALE_PROBE_SIM10_1M.json) — so hot corpora
+    salt themselves and benign corpora keep the replication-free S=1
+    plan. The top-k kernel tolerates a larger side than d07's
+    pair-verify (target 5,000): emission is capped at k per member
+    per band, so the task is matmul-bound with O(side*k) output,
+    where d07 materializes O(side^2) verified pairs in the worst
+    case. The graph is identical either way (the engine-tested
+    salting invariant)."""
     import numpy as np
 
     from pyspark.sql.window import Window
@@ -1272,6 +1289,14 @@ def knn_edges(
         return pairs_table(
             np.concatenate(oi), np.concatenate(oj), np.concatenate(oc)
         )
+
+    if auto:
+        from quacfka_spark.operators.lsh_tuning import (
+            SIM10_TARGET_ROWS,
+            choose_salt,
+        )
+
+        salt_groups = choose_salt(bands, SIM10_TARGET_ROWS)
 
     if salt_groups > 1:
         S = int(salt_groups)

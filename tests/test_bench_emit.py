@@ -38,18 +38,37 @@ def _fake_timings(n: int) -> dict[str, float]:
     return {f"q{i:03d}_some_longer_operator_name_{i}": round(0.31 + i * 0.017, 2) for i in range(n)}
 
 
+_INGEST_WIDE = dict(
+    _INGEST,
+    shape="wide",
+    records_consumed=1_890_000,
+    mb_per_second=274.1,
+    bytes_per_record=1288.2,
+)
+
+
 def test_current_headline_set_fits_budget():
     """The REAL headline list (what bench.py will actually emit next
     round) must fit the driver capture with full per-query detail or
-    via the _others trim — either way the line parses."""
+    via the _others trim — either way the line parses. Round 7 adds
+    the two WIDE ingest blocks (byte parity with the reference's
+    501 MB/s run), which must carry MB/s + bytes/record on the line."""
     timings = {name: 1.23 for name in HEADLINE}
-    line = build_headline_line(timings, 0.1, _INGEST, _INGEST)
+    line = build_headline_line(
+        timings, 0.1, _INGEST, _INGEST,
+        ingest_wide=_INGEST_WIDE, ingest_streaming_wide=_INGEST_WIDE,
+    )
     assert len(line) <= LINE_BUDGET, len(line)
     d = json.loads(line)
     assert d["metric"] == "headline_query_wall_time"
     assert d["unit"] == "sec"
     assert d["sf"] == 0.1
     assert d["ingest"]["total_rows_per_second"] == 5_050_857
+    assert d["ingest_wide"]["mb_per_second"] == 274.1
+    assert d["ingest_wide"]["bytes_per_record"] == 1288
+    assert d["ingest_streaming_wide"]["total_rows_per_second"] == 5_050_857
+    # the small blocks stay rows/s-only (line-budget discipline)
+    assert "mb_per_second" not in d["ingest"]
     # every headline query is accounted for: individually or in _others
     total = round(sum(v for v in d["queries"].values()), 2)
     assert abs(total - round(sum(timings.values()), 2)) < 0.5
@@ -57,7 +76,10 @@ def test_current_headline_set_fits_budget():
 
 def test_growth_to_200_queries_still_parses_under_budget():
     timings = _fake_timings(200)
-    line = build_headline_line(timings, 0.1, _INGEST, _INGEST)
+    line = build_headline_line(
+        timings, 0.1, _INGEST, _INGEST,
+        ingest_wide=_INGEST_WIDE, ingest_streaming_wide=_INGEST_WIDE,
+    )
     assert len(line) <= LINE_BUDGET, len(line)
     d = json.loads(line)
     assert d["n_queries"] == 200

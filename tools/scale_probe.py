@@ -265,6 +265,18 @@ def main() -> None:
                 lambda s, d, s_n=s_n: knn_edges(s, d, salt_groups=s_n),
             )
 
+    # occupancy-driven AUTO rows ("--ops d07_auto,sim10_auto"): the
+    # chooser picks the salt from one (band, sig) count agg — the probe
+    # row is the evidence that the pick matches or beats the manual one
+    if "d07_auto" in req:
+        from quacfka_spark.operators.dedup import _cosine_lsh_pairs
+
+        time_one("d07_auto", lambda s, d: _cosine_lsh_pairs(s, d, auto=True))
+    if "sim10_auto" in req:
+        from quacfka_spark.operators.similarity import knn_edges
+
+        time_one("sim10_auto", lambda s, d: knn_edges(s, d, auto=True))
+
     report = {
         "metric": "scale_probe_wall_time",
         "n_vecs": args.n_vecs,
