@@ -771,10 +771,22 @@ def run_sustained_streaming_bench(
     mb = _gen_bytes(spark, rows_per_epoch * epochs, src, cores * epochs, encode)
 
     # warm the decode hot path (see run_ingest_bench) so epoch 0 doesn't
-    # fold whole-pipeline JIT into the flatness baseline
-    warm = decode(spark.read.parquet(src).limit(50_000)).select("r.*")
-    for _ in range(3):
+    # fold whole-pipeline JIT into the flatness baseline. The warm slice
+    # scales with the epoch size: a 50k-row warmup left 2M-row-epoch
+    # runs ramping through epoch 4 (C2-compilation of the decode loop
+    # needs ~10^5-10^6 iterations per thread), which the flatness
+    # verdict then misread as instability.
+    warm_rows = max(200_000, rows_per_epoch // 4)
+    warm = decode(spark.read.parquet(src).limit(warm_rows)).select("r.*")
+    for _ in range(5):
         warm.write.format("noop").mode("overwrite").save()
+    # ... and the parquet WRITE path (encoder + committer JIT), which
+    # noop never touches — without this, epoch 1 still rides the tail
+    # of the write-side ramp and trips the 20% band
+    warm_dir = os.path.join(work_dir, "warm_write")
+    for _ in range(2):
+        warm.write.mode("overwrite").parquet(warm_dir)
+    shutil.rmtree(warm_dir, ignore_errors=True)
 
     source = (
         spark.readStream.schema("value binary")
