@@ -711,11 +711,15 @@ def _cosine_lsh_pairs(
 
     ``auto=True`` replaces the manual pick with the occupancy-driven
     chooser (operators/lsh_tuning.py): one cheap (band, sig) count agg
-    sets S = ceil(max_occupancy / 5000) — the target that reproduces
-    the round-6 manual salt_buckets=4 on the 250k-vector probe corpus
-    — so hot corpora salt themselves and benign corpora stay on the
-    replication-free S=1 plan. Output is identical either way (the
-    engine-tested salting invariant); auto only picks WHICH
+    sets S = ceil(max_occupancy / 17100). The target is the MEASURED
+    optimum, reflecting that d07's total verify work is
+    salt-invariant, so the smallest adequately-spread S wins: probes
+    show S=2 tying the manual salt-4 at 250k vectors (23.4 s vs
+    23.5 s) and S=4 measured-best at 1M (339.7 s, where a tighter
+    target's S=14 paid 410.7 s in 14x band replication) — identical
+    pair sets throughout. Hot corpora salt themselves; benign corpora
+    stay on the replication-free S=1 plan. Output is identical either
+    way (the engine-tested salting invariant); auto only picks WHICH
     identical-output plan runs.
     """
     import pandas as pd

@@ -13,17 +13,32 @@ aggregation over the banded frame:
 
 ``target_rows`` is the largest sub-bucket SIDE a single verify task
 should face: per-task work after salting is ~(occ/S)^2 <= target^2
-cosine terms. The per-operator defaults reproduce the round-6 manual
-probe choices on the scale-probe generator (tools/scale_probe.py):
+cosine terms. The defaults are MEASURED optima on the scale-probe
+generator (tools/scale_probe.py), not the round-6 manual picks —
+where they differ, the probes show the chooser's pick ties or beats
+the manual one:
 
-- d07 (all verified pairs emitted, task output is O(side^2) in the
-  worst case, so sides must stay small): target 5,000 -> S=4 at the
-  250k-vector probe (occ 17,376; the manual probe's salt_buckets=4,
-  measured 78.4 s -> 31.1 s) and S=14 at 1M (occ 68,086).
+- d07 (all verified pairs emitted): total verify work is
+  salt-INVARIANT (the triangle decomposition repartitions, never
+  shrinks, the pair work), so the right S is the SMALLEST one giving
+  adequate spread — extra salt only buys replication cost. Target
+  17,100 -> S=2 at the 250k probe (occ 17,376: measured 23.4 s, a
+  TIE with the manual salt-4's 23.5 s, vs 65.3 s unsalted) and S=4
+  at 1M (occ 68,086: the measured-best 339.7 s, where the earlier
+  5,000-row target's S=14 paid 410.7 s in 14x band replication —
+  identical 563M-pair output, SCALE_PROBE_D07_AUTO_*.json).
 - sim10 (top-k kernel: emission capped at k per member per band, the
-  task is matmul-bound only, so larger sides are fine): target
-  12,000 -> S=6 at the 1M-vector probe (the manual sim10_salted6 row,
-  1414 s) and S=2 at 250k.
+  per-task cost includes selection overhead beyond the matmul, so a
+  finer spread pays): target 12,000 -> S=6 at the 1M-vector probe
+  (reproduces the manual sim10_salted6 pick; the auto row measured
+  1110 s vs the manual row's 1414 s in an earlier window) and S=2 at
+  250k.
+
+The d07 value is a two-point fit (S=2 at occ 17,376 AND S=4 at occ
+68,086 pin the target to [17,022, 17,375]); treat it as "sub-bucket
+sides up to ~17k are one task's worth of pairs work", not a magic
+constant — the measured surface is flat around it (23.44 vs 23.47 s
+for S=2 vs S=4 at 250k).
 
 Cost of auto mode: ONE extra narrow aggregation over (band, sig) —
 column pruning drops the vector payload from that scan, partial
@@ -45,7 +60,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # largest verify-task side per operator family (see module docstring)
-D07_TARGET_ROWS = 5_000
+D07_TARGET_ROWS = 17_100
 SIM10_TARGET_ROWS = 12_000
 MAX_SALT = 16
 

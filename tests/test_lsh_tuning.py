@@ -30,10 +30,13 @@ def test_chooser_reproduces_probe_picks(spark):
     """The measured max occupancies of the scale-probe generator
     (tools/scale_probe.py synthesize, seed 42, 16 sign-buckets per
     band) are 17,376 at 250k vectors and 68,086 at 1M. The chooser
-    must map them to the round-6 manual choices: d07 salt_buckets=4
-    at 250k (SCALE_PROBE_D07_250K.json) and sim10 salt_groups=6 at 1M
-    (SCALE_PROBE_SIM10_1M.json)."""
-    assert choose_salt(_bands_with_occ(spark, 17_376), lsh_tuning.D07_TARGET_ROWS) == 4
+    must map them to the probe-measured optima: d07 S=2 at 250k (ties
+    the manual salt-4, 23.4 s vs 23.5 s) and S=4 at 1M (the
+    measured-best 339.7 s; S=14 from a tighter target paid 410.7 s in
+    replication — SCALE_PROBE_D07_AUTO_*.json), sim10 S=6 at 1M
+    (reproduces the manual sim10_salted6 pick)."""
+    assert choose_salt(_bands_with_occ(spark, 17_376), lsh_tuning.D07_TARGET_ROWS) == 2
+    assert choose_salt(_bands_with_occ(spark, 68_086), lsh_tuning.D07_TARGET_ROWS) == 4
     assert choose_salt(_bands_with_occ(spark, 68_086), lsh_tuning.SIM10_TARGET_ROWS) == 6
 
 
