@@ -528,9 +528,13 @@ def run_streaming_ingest_bench(
         q.awaitTermination()
         return time.perf_counter() - t0, pipe.metrics.report()
 
-    # best-of-2 when the deadline allows (see run_ingest_bench)
+    # best-of-2 when the deadline allows (see run_ingest_bench). The
+    # retry estimate is CAPPED: when pass 1 hits a multi-10s host stall
+    # (measured 6.8 s fresh vs 68 s in an aged window for the same
+    # work), gating pass 2 on elapsed*1.2 would lock the stalled number
+    # in — exactly the pass that most needs the retry.
     elapsed, rep = one_pass(0)
-    if deadline is None or time.monotonic() + elapsed * 1.2 < deadline:
+    if deadline is None or time.monotonic() + min(elapsed * 1.2, 60.0) < deadline:
         elapsed, rep = min((elapsed, rep), one_pass(1), key=lambda t: t[0])
     shutil.rmtree(work_dir, ignore_errors=True)
     total = rep["records_inserted"] + rep["norm_records_inserted"]
@@ -953,13 +957,10 @@ def main() -> None:
             work_dir="/tmp/quacfka_spark_ingest_wide",
         ),
     )
-    batch_rows = out["ingest"].get("records_consumed", DEFAULT_ROWS)
-    phase(
-        "ingest_streaming", 0.22, 60,
-        lambda end: run_streaming_ingest_bench(
-            spark, rows=max(_CALIB_ROWS, batch_rows), deadline=end
-        ),
-    )
+    # wide streaming runs BEFORE small streaming: it is the round-7
+    # byte-parity headline, and the last phase of a long subprocess is
+    # the one most exposed to JVM aging / host stalls (measured 68 s
+    # for work a fresh session does in 6.8 s)
     wide_rows = out["ingest_wide"].get("records_consumed", _CALIB_ROWS // 2)
     phase(
         "ingest_streaming_wide", 0.23, 60,
@@ -969,6 +970,13 @@ def main() -> None:
             deadline=end,
             shape="wide",
             work_dir="/tmp/quacfka_spark_ingest_stream_wide",
+        ),
+    )
+    batch_rows = out["ingest"].get("records_consumed", DEFAULT_ROWS)
+    phase(
+        "ingest_streaming", 0.22, 60,
+        lambda end: run_streaming_ingest_bench(
+            spark, rows=max(_CALIB_ROWS, batch_rows), deadline=end
         ),
     )
     spark.stop()
