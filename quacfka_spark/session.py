@@ -42,7 +42,17 @@ def get_spark(app_name: str = "quacfka-spark", extra_conf: dict | None = None) -
         # overflow the JVM's default 240MB code cache, after which the
         # JIT thrashes: identical decode jobs measured 10s -> 71s -> 1s
         # across runs. A 1g reserve gives stable steady-state compiles.
-        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+        # GCLockerRetryAllocationCount: Arrow/JNI critical sections can
+        # starve G1's GCLocker and surface a SPURIOUS OutOfMemoryError
+        # ("Retried waiting for GCLocker too often") on tiny
+        # allocations with tens of GB free — observed killing a 141-key
+        # sweep on a 306-WORD allocation. Raising the retry count is
+        # the documented JDK workaround (JDK-8192647 family).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UnlockDiagnosticVMOptions"
+            " -XX:GCLockerRetryAllocationCount=100",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Pin BLAS to ONE thread inside Python workers (executorEnv

@@ -39,6 +39,15 @@ def main() -> None:
         help="regex: check only matching keys (iteration aid; the "
         "emitted report then covers the subset, so don't commit it)",
     )
+    ap.add_argument(
+        "--driver-mem",
+        default=None,
+        help="JVM heap for the plain session (e.g. 16g). Unset = the "
+        "PySpark default, mirroring the driver's untuned session; set "
+        "it for beyond-fixture-scale sweeps (the sfbig replica) where "
+        "the default 1g heap OOMs on data volume, not engine defects — "
+        "heap size never changes values, only completion.",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -49,11 +58,13 @@ def main() -> None:
     from tests.parity import canon_rows
 
     # plain session on purpose — the driver does not apply engine tuning
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{args.cpus}]")
         .config("spark.sql.shuffle.partitions", "32")
-        .getOrCreate()
     )
+    if args.driver_mem:
+        builder = builder.config("spark.driver.memory", args.driver_mem)
+    spark = builder.getOrCreate()
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
