@@ -27,12 +27,15 @@ the manual one:
   at 1M (occ 68,086: the measured-best 339.7 s, where the earlier
   5,000-row target's S=14 paid 410.7 s in 14x band replication —
   identical 563M-pair output, SCALE_PROBE_D07_AUTO_*.json).
-- sim10 (top-k kernel: emission capped at k per member per band, the
-  per-task cost includes selection overhead beyond the matmul, so a
-  finer spread pays): target 12,000 -> S=6 at the 1M-vector probe
-  (reproduces the manual sim10_salted6 pick; the auto row measured
-  1110 s vs the manual row's 1414 s in an earlier window) and S=2 at
-  250k.
+- sim10 (top-k kernel: emission capped at k per member per band, a
+  finer spread pays at every measured scale): the OCCUPANCY rule is
+  the wrong model here — salt 6 wins at BOTH probe scales (250k: 45.7
+  s vs 83 s for the occupancy rule's S=2; 1M: 1110 s) — so sim10 uses
+  ``choose_salt_topk``: SIM10_TARGET_ROWS (12,000) is only the ENGAGE
+  gate, and S is sized by the CLUSTER (smallest S with
+  hot_buckets * S(S+1)/2 >= 40 * cores sub-bucket tasks), which
+  reproduces the measured-best S=6 on the probe corpora at 32 cores
+  and scales S with the hardware in production.
 
 The d07 value is a two-point fit (S=2 at occ 17,376 AND S=4 at occ
 68,086 pin the target to [17,022, 17,375]); treat it as "sub-bucket
@@ -93,3 +96,50 @@ def choose_salt(
     if occ <= target_rows:
         return 1
     return max(1, min(int(max_salt), -(-occ // int(target_rows))))
+
+
+def choose_salt_topk(
+    bands: DataFrame,
+    gate_rows: int,
+    cores: int,
+    tasks_per_core: int = 40,
+    max_salt: int = MAX_SALT,
+    keys: tuple[str, ...] = ("band", "sig"),
+) -> int:
+    """Cores-aware chooser for the TOP-K kernel family (sim10).
+
+    Measured (SCALE_PROBE_SIM10_*.json): the top-k kernel's optimal
+    salt is ~invariant in bucket occupancy — salt 6 wins at BOTH 250k
+    (occ 17,376: 45.7 s vs 83 s at the linear rule's S=2) and 1M (occ
+    68,086: 1110 s) on 32 cores — because a sub-bucket's selection
+    work shrinks with its side while the task count S(S+1)/2 grows,
+    so the right question is "how many sub-bucket tasks do the hot
+    buckets need to saturate the cluster", not "how big is a bucket".
+    One agg pass returns max occupancy (the engage gate) and the hot
+    bucket count; S is the smallest salt giving
+    ``hot_buckets * S(S+1)/2 >= tasks_per_core * cores`` sub-bucket
+    tasks (tasks_per_core=40 reproduces the measured-best S=6 on the
+    probe corpora: 64 hot buckets, 32 cores -> need 20 pairs/bucket).
+    On a 1000-executor cluster ``cores`` is the cluster parallelism,
+    so S scales with the hardware — the correct production behavior
+    for a kernel whose spread, not per-task volume, is the binding
+    constraint. S=1 whenever no bucket exceeds ``gate_rows``."""
+    row = (
+        bands.groupBy(*[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.max("c").alias("mx"),
+            F.sum(
+                F.when(F.col("c") > gate_rows, F.lit(1)).otherwise(F.lit(0))
+            ).alias("hot"),
+        )
+        .collect()[0]
+    )
+    occ, hot = int(row["mx"] or 0), int(row["hot"] or 0)
+    if occ <= gate_rows or hot == 0:
+        return 1
+    need = tasks_per_core * cores / hot
+    s = 1
+    while s < int(max_salt) and s * (s + 1) / 2 < need:
+        s += 1
+    return s

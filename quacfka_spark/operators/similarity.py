@@ -1179,18 +1179,19 @@ def knn_edges(
     candidate emission grows to <= S*k per band; per-task verify work
     drops to ~(bucket/S)^2 and spreads over S(S+1)/2 tasks.
 
-    ``auto=True`` replaces the manual pick with the occupancy-driven
-    chooser (operators/lsh_tuning.py): one cheap (band, sig) count
-    agg sets S = ceil(max_occupancy / 12000) — the target that
-    reproduces the round-6 manual salt_groups=6 at the 1M-vector
-    probe (occ 68,086; SCALE_PROBE_SIM10_1M.json) — so hot corpora
-    salt themselves and benign corpora keep the replication-free S=1
-    plan. The top-k kernel tolerates a larger side than d07's
-    pair-verify (target 5,000): emission is capped at k per member
-    per band, so the task is matmul-bound with O(side*k) output,
-    where d07 materializes O(side^2) verified pairs in the worst
-    case. The graph is identical either way (the engine-tested
-    salting invariant)."""
+    ``auto=True`` replaces the manual pick with the cores-aware
+    chooser (lsh_tuning.choose_salt_topk): one cheap (band, sig)
+    count agg returns max occupancy (the 12,000-row engage gate —
+    benign corpora keep the replication-free S=1 plan) and the hot
+    bucket count, then S is the smallest salt giving hot_buckets *
+    S(S+1)/2 >= 40 * cores sub-bucket tasks. The top-k kernel's
+    optimal salt is occupancy-INVARIANT by measurement — salt 6 wins
+    at both 250k (45.7 s vs 83 s at S=2) and 1M (1110 s) probe
+    scales on 32 cores — because a sub-bucket's selection work
+    shrinks with its side while the task count grows; d07's pairs
+    kernel is the opposite (salt-invariant total work, so it uses
+    the minimal-adequate occupancy rule). The graph is identical
+    either way (the engine-tested salting invariant)."""
     import numpy as np
 
     from pyspark.sql.window import Window
@@ -1293,10 +1294,14 @@ def knn_edges(
     if auto:
         from quacfka_spark.operators.lsh_tuning import (
             SIM10_TARGET_ROWS,
-            choose_salt,
+            choose_salt_topk,
         )
 
-        salt_groups = choose_salt(bands, SIM10_TARGET_ROWS)
+        salt_groups = choose_salt_topk(
+            bands,
+            SIM10_TARGET_ROWS,
+            spark.sparkContext.defaultParallelism,
+        )
 
     if salt_groups > 1:
         S = int(salt_groups)

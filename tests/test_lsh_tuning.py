@@ -11,7 +11,11 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from quacfka_spark.operators import lsh_tuning
-from quacfka_spark.operators.lsh_tuning import choose_salt, max_bucket_occupancy
+from quacfka_spark.operators.lsh_tuning import (
+    choose_salt,
+    choose_salt_topk,
+    max_bucket_occupancy,
+)
 
 
 def _bands_with_occ(spark, occ: int):
@@ -29,15 +33,38 @@ def _bands_with_occ(spark, occ: int):
 def test_chooser_reproduces_probe_picks(spark):
     """The measured max occupancies of the scale-probe generator
     (tools/scale_probe.py synthesize, seed 42, 16 sign-buckets per
-    band) are 17,376 at 250k vectors and 68,086 at 1M. The chooser
-    must map them to the probe-measured optima: d07 S=2 at 250k (ties
-    the manual salt-4, 23.4 s vs 23.5 s) and S=4 at 1M (the
-    measured-best 339.7 s; S=14 from a tighter target paid 410.7 s in
-    replication — SCALE_PROBE_D07_AUTO_*.json), sim10 S=6 at 1M
-    (reproduces the manual sim10_salted6 pick)."""
+    band) are 17,376 at 250k vectors and 68,086 at 1M. The d07
+    chooser must map them to the probe-measured optima: S=2 at 250k
+    (ties the manual salt-4, 23.4 s vs 23.5 s) and S=4 at 1M (the
+    measured-best 339.7 s; S=14 from a tighter target paid 410.7 s
+    in replication — SCALE_PROBE_D07_AUTO_*.json)."""
     assert choose_salt(_bands_with_occ(spark, 17_376), lsh_tuning.D07_TARGET_ROWS) == 2
     assert choose_salt(_bands_with_occ(spark, 68_086), lsh_tuning.D07_TARGET_ROWS) == 4
-    assert choose_salt(_bands_with_occ(spark, 68_086), lsh_tuning.SIM10_TARGET_ROWS) == 6
+
+
+def _uniform_hot_bands(spark, n_buckets: int, occ: int):
+    """All (band, sig) buckets equally hot — the probe generator's
+    shape (16 sign-buckets per band fill near-uniformly)."""
+    return spark.range(n_buckets * occ).select(
+        (F.col("id") % n_buckets).cast("int").alias("band"),
+        F.lit("0000").alias("sig"),
+    )
+
+
+def test_topk_chooser_reproduces_salt6_and_scales_with_cores(spark):
+    """sim10's measured-best salt is 6 at BOTH probe scales on 32
+    cores (250k: 45.7 s vs 83 s at the occupancy rule's S=2; 1M:
+    1110 s — occupancy-INVARIANT), so its chooser sizes S by the
+    cluster: smallest S with hot_buckets * S(S+1)/2 >= 40 * cores.
+    64 hot buckets + 32 cores -> need 20 pairs/bucket -> S=6,
+    independent of whether the buckets hold 17k or 68k rows."""
+    bands = _uniform_hot_bands(spark, 64, 300)
+    assert choose_salt_topk(bands, 150, cores=32) == 6
+    # same shape, bigger cluster -> more salt; tiny cluster -> less
+    assert choose_salt_topk(bands, 150, cores=256) == 16  # cap
+    assert choose_salt_topk(bands, 150, cores=4) == 2
+    # benign corpus (nothing over the gate) -> no salting
+    assert choose_salt_topk(_uniform_hot_bands(spark, 64, 100), 150, cores=32) == 1
 
 
 def test_chooser_benign_corpus_stays_unsalted(spark):
