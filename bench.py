@@ -145,7 +145,12 @@ def _compact_ingest(rep: dict, wide: bool = False) -> dict:
     driver's tail capture is ~2 KB; round 5's full line overflowed it
     and BENCH_r05.json recorded "parsed": null)."""
     if "total_rows_per_second" not in rep:
-        return rep
+        # failure path: four blocks can carry the same ~200-char error
+        # string; at 80 chars each they stay inside the line budget even
+        # when all four fail together (advisor r7).
+        return {
+            k: (v[:80] if isinstance(v, str) else v) for k, v in rep.items()
+        }
     # rows/s only: duration lives in BENCH_STATS.json — every byte
     # here competes with per-query detail for the 2000-char driver
     # capture. The WIDE blocks additionally carry MB/s + bytes/record:
@@ -203,7 +208,11 @@ def build_headline_line(
             if ingest_streaming_wide is not None
             else {}
         ),
-        **({"errors": errors} if errors else {}),
+        **(
+            {"errors": {k: v[:80] for k, v in errors.items()}}
+            if errors
+            else {}
+        ),
     }
     line = json.dumps(headline, separators=(",", ":"))
     keep_n = 40
@@ -215,6 +224,11 @@ def build_headline_line(
         headline["n_queries"] = len(timings)
         line = json.dumps(headline, separators=(",", ":"))
         keep_n -= 8
+    if len(line) > LINE_BUDGET and errors:
+        # last resort: error DETAIL is in stderr/BENCH_STATS.json — the
+        # parseable line only needs the failing names.
+        headline["errors"] = {k: "err" for k in errors}
+        line = json.dumps(headline, separators=(",", ":"))
     return line
 
 

@@ -108,3 +108,22 @@ def test_untrimmed_when_small():
     assert d["queries"] == timings
     assert "n_queries" not in d
     assert d["value"] == 3.0
+
+
+def test_subprocess_failure_path_fits_budget():
+    """Advisor r7: when the ingest subprocess dies, all FOUR ingest
+    blocks carry the same ~200-char error string plus an errors map —
+    the line must still parse under budget (error strings cut to 80)."""
+    err = {"error": "x" * 200}
+    timings = {name: 1.23 for name in HEADLINE}
+    line = build_headline_line(
+        timings, 0.1, err, err,
+        errors={f"q{i:02d}_failing_operator": "e" * 200 for i in range(6)},
+        ingest_wide=dict(err), ingest_streaming_wide=dict(err),
+    )
+    assert len(line) <= LINE_BUDGET, len(line)
+    d = json.loads(line)
+    assert len(d["ingest"]["error"]) <= 80
+    assert len(d["ingest_wide"]["error"]) <= 80
+    assert all(len(v) <= 80 for v in d["errors"].values())
+    assert d["value"] == round(sum(timings.values()), 4)

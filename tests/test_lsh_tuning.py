@@ -148,5 +148,8 @@ def test_knn_auto_benign_stays_single_plan(spark, tmp_path):
 
     df = knn_edges(spark, os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001"), auto=True)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "pa" not in plan.split("WholeStageCodegen")[0] or "least" not in plan.lower()
+    # the salted variant adds slt/pa/pb columns (pmod(xxhash64) salt +
+    # exploded pair structs); S=1 must leave no trace of any of them
+    for col in ("slt#", "pa#", "pb#"):
+        assert col not in plan, f"salting artifact {col!r} in unsalted plan"
     assert df.count() > 0

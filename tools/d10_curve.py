@@ -6,7 +6,7 @@ measurement with that probe width and record recall plus the verify
 cost, both as wall seconds of the d10 pass alone and as the work proxy
 sum(cell_size^2) over the probe-widened memberships (the quantity the
 per-cell kernel actually pays). Writes D10_RECALL_CURVE.json — the
-documented evidence behind d10's probe=2 operating point.
+documented evidence behind d10's probe=3 operating point.
 
 Usage: python tools/d10_curve.py [--sfs 0.001,0.01,0.1] [--out FILE]
 """

@@ -85,7 +85,9 @@ def main() -> int:
         selects.append(
             f"SELECT doc_id + {off} AS doc_id, "
             f"text || ' qqrep{i}qq' AS text, lang, source, "
-            f"n_chars + {6 + len(str(i))} AS n_chars FROM '{src}'"
+            # suffix is ' qqrep' + str(i) + 'qq' = 8 + len(str(i)) chars,
+            # keeping the base fixture's n_chars == length(text) invariant
+            f"n_chars + {8 + len(str(i))} AS n_chars FROM '{src}'"
         )
     union = " UNION ALL ".join(selects)
     dst = os.path.join(args.out, "documents.parquet")
