@@ -92,3 +92,41 @@ def sign_bucket(a: Column | str, n_bits: int = 8) -> Column:
         for i in range(n_bits)
     ]
     return F.concat(*bits)
+
+
+# --------------------------------------------------------------------------
+# Fixed-point quantization — THE repo-wide convention (round-7 verdict
+# ask #3). Exact integer comparison of float similarities needs both
+# engines (Spark kernel / expression and the DuckDB oracle) to quantize
+# with the SAME tie rule. The rule is sign-aware half-AWAY-from-zero —
+# the convention of F.round(x, 4) and SQL ROUND(x, 4) — because the
+# naive floor(x*1e4 + 0.5) rounds half toward +inf and disagrees with
+# ROUND on negative .00005 boundaries (the sim10 r6 advisor finding).
+# Three faces of one rule; change them TOGETHER or parity breaks.
+
+Q4_SCALE = 10_000
+
+
+def quantize_q4(c):
+    """numpy face: float array -> int64 fixed-point (1e-4 quantum)."""
+    import numpy as np
+
+    return (np.sign(c) * np.floor(np.abs(c) * Q4_SCALE + 0.5)).astype(
+        "int64"
+    )
+
+
+def quantize_q4_col(c: Column) -> Column:
+    """Catalyst face: double column -> BIGINT fixed-point."""
+    return (
+        F.signum(c) * F.floor(F.abs(c) * F.lit(float(Q4_SCALE)) + F.lit(0.5))
+    ).cast("long")
+
+
+def quantize_q4_sql(expr: str) -> str:
+    """Oracle (DuckDB SQL) face. ``expr`` is evaluated twice — keep it a
+    column reference or wrap the computation in a CTE first."""
+    return (
+        f"CAST(SIGN({expr}) * FLOOR(ABS({expr}) * {Q4_SCALE} + 0.5)"
+        " AS BIGINT)"
+    )

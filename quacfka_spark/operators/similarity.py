@@ -24,7 +24,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from quacfka_spark.catalog import load_views
-from quacfka_spark.functions.vector import cosine, sign_bucket
+from quacfka_spark.functions.vector import (
+    cosine,
+    quantize_q4,
+    quantize_q4_col,
+    quantize_q4_sql,
+    sign_bucket,
+)
 from quacfka_spark.plans.spread import spread_for_cpu
 from quacfka_spark.registry import query
 
@@ -1123,13 +1129,9 @@ def _sim10_topk_block(ids_x, mx, ids_y, my, self_pairs: bool):
             ii, jj = np.nonzero(cosq >= (kth_f - 1.5e-4)[:, None])
             # sign-aware half-away-from-zero quantization — the same
             # rule as the merge window's F.round(cos, 4) and the
-            # oracle's ROUND. A plain floor(x*1e4 + 0.5) rounds half
-            # toward +inf, which disagrees on negative .00005
-            # boundaries and could prune a true top-k edge.
-            c = cosq[ii, jj]
-            q = (np.sign(c) * np.floor(np.abs(c) * 1e4 + 0.5)).astype(
-                "int64"
-            )
+            # oracle's ROUND (the repo-wide convention; see
+            # functions/vector.py quantize_q4).
+            q = quantize_q4(cosq[ii, jj])
             skey = q * (1 << 40) + jkey[jj]
             # rank within row by skey desc (rows of ii are sorted by
             # construction of nonzero); keep the top k of each row
@@ -1477,8 +1479,9 @@ def sim11_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # argmax of lambda*rel - (1-lambda)*max_sim_to_already_selected, so
 # each pick is relevant AND novel. Greedy selection is order-dependent
 # float arithmetic — the sim11 integer trick applies: relevance and
-# pairwise similarity quantize to 1e4 fixed-point BIGINTs (floor(x*1e4
-# + 0.5), identical in both engines) and the MMR score is the integer
+# pairwise similarity quantize to 1e4 fixed-point BIGINTs (the
+# repo-wide sign-aware quantize_q4, identical in both engines) and the
+# MMR score is the integer
 # 7*rel_q - 3*sim_q (lambda = 0.7 scaled by 10), so every comparison
 # in the greedy loop is exact integer order with vec_id tiebreak.
 _SIM12_SHORTLIST = 20
@@ -1486,7 +1489,7 @@ _SIM12_K = 5
 
 
 def _sim12_qcos(expr: str) -> str:
-    return f"CAST(FLOOR({expr} * 10000 + 0.5) AS BIGINT)"
+    return quantize_q4_sql(expr)
 
 
 def _sim12_oracle() -> str:
@@ -1555,7 +1558,7 @@ def sim12_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_row(t)
 
     def qcos(a, b) -> F.Column:
-        return F.floor(cosine(a, b) * 10000 + F.lit(0.5)).cast("long")
+        return quantize_q4_col(cosine(a, b))
 
     e = spread_for_cpu(
         t["embeddings"]
@@ -1591,10 +1594,10 @@ def sim12_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         mat = list_matrix(tbl, "emb")
         with np.errstate(divide="ignore", invalid="ignore"):
             matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        from quacfka_spark.functions.vector import quantize_q4
+
         with np.errstate(invalid="ignore"):
-            simq = np.floor(
-                np.nan_to_num(matn @ matn.T, nan=-2.0) * 1e4 + 0.5
-            ).astype("int64")
+            simq = quantize_q4(np.nan_to_num(matn @ matn.T, nan=-2.0))
         n = len(ids)
         picked: list[int] = []
         scores: list[int] = []

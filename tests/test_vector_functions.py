@@ -74,3 +74,42 @@ def test_dot_and_sign_bucket_conventions(spark):
     assert got[0]["sb"] == "1010"
     # short vector: try_element_at past the end -> '0', like DuckDB NULL
     assert got[1]["sb"] == "1000"
+
+
+def test_quantize_q4_three_faces_agree(spark):
+    """The repo-wide fixed-point rule (round-7 verdict ask #3) has three
+    faces — numpy kernel, Catalyst expression, DuckDB oracle SQL — that
+    must agree EXACTLY, including the negative half-boundary cases where
+    floor(x*1e4 + 0.5) (the retired convention) rounds the other way."""
+    import duckdb
+    import numpy as np
+
+    from quacfka_spark.functions.vector import (
+        quantize_q4,
+        quantize_q4_col,
+        quantize_q4_sql,
+    )
+
+    vals = [
+        0.0, 0.00005, -0.00005, 0.00015, -0.00015, 0.12345, -0.12345,
+        1.0, -1.0, -2.0, 0.99995, -0.99995, 0.7071067811865476,
+    ]
+    npq = list(quantize_q4(np.array(vals)))
+    spq = [
+        r["q"]
+        for r in spark.createDataFrame([(v,) for v in vals], "x double")
+        .select(quantize_q4_col(F.col("x")).alias("q"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    dkq = [
+        con.sql(
+            f"SELECT {quantize_q4_sql('x')} FROM "
+            f"(SELECT CAST({v!r} AS DOUBLE) AS x)"
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert npq == spq == dkq
+    # and the retired convention REALLY disagrees on a negative half
+    # boundary (guards against someone 'simplifying' back to it)
+    assert int(np.floor(-0.00005 * 1e4 + 0.5)) != npq[2]
