@@ -408,7 +408,24 @@ def run_ingest_bench(
         rate = warm_rows / max(calib_s, 0.1)
         # size so gen + pass1 + optional pass2 (~3 pass-equivalents) fit
         # what's left of the budget
-        if deadline is not None:
+        if shape == "wide":
+            # SHORT passes, many samples: the host shows multi-10s
+            # stalls at random (measured r8: the same 614 MB raw write
+            # taking 2.1 s and 38 s in one session), and any stall
+            # inside a pass corrupts that sample. The reference's
+            # 501 MB/s is likewise its best steady-state 30 s sample
+            # out of a 5-minute run — best-of-many short passes is the
+            # apples-to-apples estimator, and it is what makes the
+            # wide number reproducible in an arbitrary driver window
+            # (r7's single long pass caught 85 MB/s in a window where
+            # best-of-6 measured 246 MB/s).
+            if deadline is not None:
+                target_pass_s = min(
+                    12.0, max(5.0, (deadline - time.monotonic()) / 8)
+                )
+            else:
+                target_pass_s = 12.0
+        elif deadline is not None:
             target_pass_s = min(45.0, max(15.0, (deadline - time.monotonic()) / 3))
         else:
             target_pass_s = 45.0
@@ -443,12 +460,19 @@ def run_ingest_bench(
     # Best-of-N with a deadline: this VM shows large run-to-run variance
     # (noisy neighbors / JIT); the reference's number is likewise its
     # best steady-state 30s sample, so best-of-N is the apples-to-apples
-    # capability measurement. The second pass runs only if it fits.
-    elapsed = one_pass()
-    passes = 1
-    if deadline is None or time.monotonic() + elapsed * 1.2 < deadline:
-        elapsed = min(elapsed, one_pass())
-        passes = 2
+    # capability measurement. Wide passes are short (see target_pass_s
+    # above) so up to 6 samples fit a phase slice; the retry estimate
+    # uses the BEST pass so far, capped — gating on a stalled pass's
+    # time would lock the stall in (the r6 streaming lesson).
+    max_passes = 6 if shape == "wide" else 2
+    pass_times = [one_pass()]
+    while len(pass_times) < max_passes and (
+        deadline is None
+        or time.monotonic() + min(min(pass_times) * 1.2, 60.0) < deadline
+    ):
+        pass_times.append(one_pass())
+    elapsed = min(pass_times)
+    passes = len(pass_times)
 
     raw_n = spark.read.parquet(out_raw).count()
     norm_n = spark.read.parquet(out_norm).count()
@@ -468,6 +492,7 @@ def run_ingest_bench(
         "bytes_per_record": round(mb * 1024 * 1024 / rows, 1),
         "cores": cores,
         "passes": passes,
+        "pass_seconds": [round(t, 2) for t in pass_times],
         "decode": fmt,
     }
 
@@ -528,14 +553,24 @@ def run_streaming_ingest_bench(
         q.awaitTermination()
         return time.perf_counter() - t0, pipe.metrics.report()
 
-    # best-of-2 when the deadline allows (see run_ingest_bench). The
+    # best-of-N when the deadline allows (see run_ingest_bench). The
     # retry estimate is CAPPED: when pass 1 hits a multi-10s host stall
     # (measured 6.8 s fresh vs 68 s in an aged window for the same
-    # work), gating pass 2 on elapsed*1.2 would lock the stalled number
-    # in — exactly the pass that most needs the retry.
+    # work), gating the retry on elapsed*1.2 would lock the stalled
+    # number in — exactly the pass that most needs the retry. The wide
+    # shape (the byte-parity headline) gets up to 4 samples so one
+    # stall-free pass survives an arbitrary driver window.
+    max_passes = 4 if shape == "wide" else 2
     elapsed, rep = one_pass(0)
-    if deadline is None or time.monotonic() + min(elapsed * 1.2, 60.0) < deadline:
-        elapsed, rep = min((elapsed, rep), one_pass(1), key=lambda t: t[0])
+    n_passes = 1
+    while n_passes < max_passes and (
+        deadline is None
+        or time.monotonic() + min(elapsed * 1.2, 60.0) < deadline
+    ):
+        elapsed, rep = min(
+            (elapsed, rep), one_pass(n_passes), key=lambda t: t[0]
+        )
+        n_passes += 1
     shutil.rmtree(work_dir, ignore_errors=True)
     total = rep["records_inserted"] + rep["norm_records_inserted"]
     return {
@@ -925,9 +960,9 @@ def main() -> None:
         sys.stdout.write("\n")
         sys.stdout.flush()
 
-    # Four phases inside one budget: small batch (rows/s continuity
-    # with BENCH_r01..r06), WIDE batch (byte parity with the
-    # reference's 501 MB/s run), then the orchestrator twice. Each
+    # Four phases inside one budget: WIDE batch + WIDE orchestrator
+    # (byte parity with the reference's 501 MB/s run) first, then the
+    # small shape twice (rows/s continuity with BENCH_r01..r07). Each
     # phase auto-sizes to its slice via calibration, and a phase is
     # skipped (recorded, not silent) when its slice has been eaten by
     # an earlier stall.
@@ -944,12 +979,15 @@ def main() -> None:
                 out[key] = {"error": str(e)[:200]}
         emit()
 
+    # WIDE phases run FIRST (r7 verdict #1): they carry the byte-parity
+    # headline claim (README 180-302 MB/s batch / 107-291 streaming),
+    # and the late phases of a long subprocess are the ones most
+    # exposed to JVM aging, budget erosion from earlier stalls, and
+    # host stalls (measured 68 s for work a fresh session does in
+    # 6.8 s). The small-shape phases keep the rows/s continuity series
+    # with BENCH_r01..r07 and are robust (~2 s passes).
     phase(
-        "ingest", 0.25, 45,
-        lambda end: run_ingest_bench(spark, deadline=end),
-    )
-    phase(
-        "ingest_wide", 0.30, 60,
+        "ingest_wide", 0.28, 60,
         lambda end: run_ingest_bench(
             spark,
             deadline=end,
@@ -957,13 +995,9 @@ def main() -> None:
             work_dir="/tmp/quacfka_spark_ingest_wide",
         ),
     )
-    # wide streaming runs BEFORE small streaming: it is the round-7
-    # byte-parity headline, and the last phase of a long subprocess is
-    # the one most exposed to JVM aging / host stalls (measured 68 s
-    # for work a fresh session does in 6.8 s)
     wide_rows = out["ingest_wide"].get("records_consumed", _CALIB_ROWS // 2)
     phase(
-        "ingest_streaming_wide", 0.23, 60,
+        "ingest_streaming_wide", 0.24, 60,
         lambda end: run_streaming_ingest_bench(
             spark,
             rows=max(_CALIB_ROWS // 8, wide_rows),
@@ -971,6 +1005,10 @@ def main() -> None:
             shape="wide",
             work_dir="/tmp/quacfka_spark_ingest_stream_wide",
         ),
+    )
+    phase(
+        "ingest", 0.26, 45,
+        lambda end: run_ingest_bench(spark, deadline=end),
     )
     batch_rows = out["ingest"].get("records_consumed", DEFAULT_ROWS)
     phase(
