@@ -67,6 +67,34 @@ def test_topk_chooser_reproduces_salt6_and_scales_with_cores(spark):
     assert choose_salt_topk(_uniform_hot_bands(spark, 64, 100), 150, cores=32) == 1
 
 
+def test_topk_chooser_at_cluster_scale_cores(spark):
+    """r7 verdict ask #5: the MAX_SALT=16 ceiling at 2,048+ cores.
+
+    With the engage-gate's MINIMUM hot-bucket shape (64 hot buckets —
+    real corpora at cluster scale have far more, which restores the
+    40-tasks/core smoothing target), the unbounded rule would ask for
+    S=50 at 2,048 cores. The cap trades the tail of that curve: at
+    S=16 the hot stage still yields 64 * 136 = 8,704 sub-bucket tasks
+    (>= 4 per core — saturated, only the straggler-smoothing headroom
+    is shaved), while replication cost keeps growing linearly in S
+    with NO new parallelism benefit once every core has work
+    (measured: SCALE_PROBE_SIM10_SALTCURVE.json — past the saturated
+    S=6 optimum at 32 cores, wall time only rises with S). Callers
+    with measured evidence for a flatter curve can raise max_salt
+    per-call; the default bounds the known-linear cost."""
+    bands = _uniform_hot_bands(spark, 64, 300)
+    s = choose_salt_topk(bands, 150, cores=2048)
+    assert s == 16  # capped
+    tasks = 64 * s * (s + 1) // 2
+    assert tasks >= 4 * 2048  # the cap never de-saturates the cluster
+    # a corpus whose hot-bucket count scales with the cluster (64x
+    # cores, 64x hot buckets) lands back on the measured 32-core
+    # optimum S=6 — the cap only binds when hot buckets are scarce
+    # relative to the cluster
+    many_hot = _uniform_hot_bands(spark, 4096, 200)
+    assert choose_salt_topk(many_hot, 150, cores=2048) == 6
+
+
 def test_chooser_benign_corpus_stays_unsalted(spark):
     assert choose_salt(_bands_with_occ(spark, 400), lsh_tuning.D07_TARGET_ROWS) == 1
     assert max_bucket_occupancy(_bands_with_occ(spark, 400)) == 400
