@@ -557,10 +557,11 @@ def run_streaming_ingest_bench(
     # retry estimate is CAPPED: when pass 1 hits a multi-10s host stall
     # (measured 6.8 s fresh vs 68 s in an aged window for the same
     # work), gating the retry on elapsed*1.2 would lock the stalled
-    # number in — exactly the pass that most needs the retry. The wide
-    # shape (the byte-parity headline) gets up to 4 samples so one
-    # stall-free pass survives an arbitrary driver window.
-    max_passes = 4 if shape == "wide" else 2
+    # number in — exactly the pass that most needs the retry. Both
+    # shapes get up to 4 samples (passes are seconds-long; the byte-
+    # parity wide claim and the small-row continuity series both
+    # deserve one stall-free pass in an arbitrary driver window).
+    max_passes = 4
     elapsed, rep = one_pass(0)
     n_passes = 1
     while n_passes < max_passes and (
