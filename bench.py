@@ -182,14 +182,22 @@ def build_headline_line(
     value: float | None = None,
     ingest_wide: dict | None = None,
     ingest_streaming_wide: dict | None = None,
+    spread: dict | None = None,
 ) -> str:
     """Render the ONE parseable stdout line, trimming the per-query map
     (slowest kept individually, fast tail folded into "_others") until
-    it fits LINE_BUDGET. The headline value is always the full sum."""
+    it fits LINE_BUDGET. The headline value is always the full sum.
+
+    ``spread`` is the window-noise evidence block (see main): it rides
+    the parsed line so a stall-heavy driver window is distinguishable
+    from a code regression FROM THE ARTIFACT ALONE — med_total/value
+    near 1.0 means the samples agree (clean window); a large ratio
+    means the non-best samples carry multi-second stalls."""
     headline = {
         "metric": "headline_query_wall_time",
         "value": round(sum(timings.values()), 4) if value is None else value,
         "unit": "sec",
+        **({"spread": spread} if spread else {}),
         "queries": timings,
         "sf": sf,
         "ingest": _compact_ingest(ingest),
@@ -228,6 +236,25 @@ def build_headline_line(
         # last resort: error DETAIL is in stderr/BENCH_STATS.json — the
         # parseable line only needs the failing names.
         headline["errors"] = {k: "err" for k in errors}
+        line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > LINE_BUDGET:
+        # unconditional final guard (advisor r8): even with no errors
+        # map, four ingest blocks carrying long strings (e.g. failure
+        # text) plus a fully-trimmed query map could overflow — fixed-
+        # token every string inside the ingest blocks; full detail
+        # lives in stderr/BENCH_STATS.json.
+        for key in (
+            "ingest",
+            "ingest_wide",
+            "ingest_streaming",
+            "ingest_streaming_wide",
+        ):
+            blk = headline.get(key)
+            if isinstance(blk, dict):
+                headline[key] = {
+                    k: ("err" if isinstance(v, str) and len(v) > 16 else v)
+                    for k, v in blk.items()
+                }
         line = json.dumps(headline, separators=(",", ":"))
     return line
 
@@ -300,29 +327,52 @@ def main() -> None:
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+
+    def time_one(name: str) -> None:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, SF_DIR)
+            # noop sink materializes every output column (a bare
+            # count() would let Catalyst prune the projections we
+            # measure).
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as e:  # one broken query must not lose the run
+            errors[name] = str(e)[:200]
+            # a query that succeeded on an earlier pass but errors now
+            # is FAILED, not benchmarked — drop the stale timing so it
+            # can't be double-counted in both queries and errors
+            samples.pop(name, None)
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            return
+        t = round(time.perf_counter() - t0, 4)
+        samples.setdefault(name, []).append(t)
+        print(f"# {name}: {t:.3f}s", file=sys.stderr)
+
     for _ in range(max(1, passes)):
         for name in HEADLINE:
-            if name in errors:
-                continue
-            fn = queries[name]
-            t0 = time.perf_counter()
-            try:
-                df = fn(spark, SF_DIR)
-                # noop sink materializes every output column (a bare
-                # count() would let Catalyst prune the projections we
-                # measure).
-                df.write.format("noop").mode("overwrite").save()
-            except Exception as e:  # one broken query must not lose the run
-                errors[name] = str(e)[:200]
-                # a query that succeeded on an earlier pass but errors now
-                # is FAILED, not benchmarked — drop the stale timing so it
-                # can't be double-counted in both queries and errors
-                samples.pop(name, None)
-                print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
-                continue
-            t = round(time.perf_counter() - t0, 4)
-            samples.setdefault(name, []).append(t)
-            print(f"# {name}: {t:.3f}s", file=sys.stderr)
+            if name not in errors:
+                time_one(name)
+
+    # Targeted third sample for the queries that dominate the total
+    # (round-8 verdict ask #2): this host shows random multi-10s stalls
+    # that can straddle BOTH full passes of the same query, making a
+    # stall-heavy window indistinguishable from a regression in the
+    # committed artifact. The top-N slowest get one more sample taken
+    # minutes later in the window; together with the "spread" block
+    # below (sum-of-medians vs sum-of-mins) the artifact itself shows
+    # whether the samples agree (clean window) or scatter (stalls).
+    hot_n = int(os.environ.get("SPARK_GRAFT_BENCH_HOT_RERUN", "12"))
+    hot = [
+        n
+        for n, _ in sorted(
+            ((n, min(ts)) for n, ts in samples.items()),
+            key=lambda kv: -kv[1],
+        )[:hot_n]
+        if n not in errors
+    ]
+    for name in hot:
+        time_one(name)
 
     # Headline number stays best-of-N (steady-state throughput on a VM
     # with 2-4x run-to-run swing), but median/max ride along per query so
@@ -338,12 +388,25 @@ def main() -> None:
             "best": min(ts),
             "median": round(statistics.median(ts), 4),
             "max": max(ts),
+            "n": len(ts),
         }
         for n, ts in samples.items()
     }
     sf_str = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_str) if sf_str.replace(".", "").isdigit() else sf_str
     value = round(sum(min(ts) for ts in samples.values()), 4)
+    # Window-noise evidence (rides the parsed line): med_total is the
+    # sum of per-query MEDIANS, max_total of maxes, rerun the size of
+    # the targeted third pass. med_total/value ~ 1.0-1.15 = samples
+    # agree (clean window, value is trustworthy); >> 1.2 = the window
+    # carried stalls and value is the stall-free floor.
+    spread = {
+        "med_total": round(
+            sum(statistics.median(ts) for ts in samples.values()), 1
+        ),
+        "max_total": round(sum(max(ts) for ts in samples.values()), 1),
+        "rerun": len(hot),
+    }
 
     # Full detail (per-query best/median/max + untrimmed ingest reports)
     # goes to stderr and a side file, never the parsed stdout line.
@@ -353,6 +416,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "spread": spread,
         "query_stats": stats,
         "ingest": ingest,
         "ingest_wide": ingest_wide,
@@ -381,6 +445,7 @@ def main() -> None:
             value=value,
             ingest_wide=ingest_wide,
             ingest_streaming_wide=ingest_streaming_wide,
+            spread=spread,
         )
     )
     spark.stop()

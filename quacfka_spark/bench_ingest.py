@@ -464,7 +464,9 @@ def run_ingest_bench(
     # above) so up to 6 samples fit a phase slice; the retry estimate
     # uses the BEST pass so far, capped — gating on a stalled pass's
     # time would lock the stall in (the r6 streaming lesson).
-    max_passes = 6 if shape == "wide" else 2
+    # without a deadline (direct/test callers) cap at 2 — the 6-sample
+    # wide budget exists for the driver's deadline-bounded window only
+    max_passes = (6 if shape == "wide" else 2) if deadline is not None else 2
     pass_times = [one_pass()]
     while len(pass_times) < max_passes and (
         deadline is None
@@ -561,7 +563,11 @@ def run_streaming_ingest_bench(
     # shapes get up to 4 samples (passes are seconds-long; the byte-
     # parity wide claim and the small-row continuity series both
     # deserve one stall-free pass in an arbitrary driver window).
-    max_passes = 4
+    # Without a deadline (direct/test callers) the while-gate would be
+    # vacuously true and always run the maximum — cap those at 2 so a
+    # plain call pays best-of-2, not 4x wall + 4 output dirs (advisor
+    # r8); the bench driver always passes its phase deadline.
+    max_passes = 4 if deadline is not None else 2
     elapsed, rep = one_pass(0)
     n_passes = 1
     while n_passes < max_passes and (

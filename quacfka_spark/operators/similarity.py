@@ -1497,14 +1497,21 @@ def _sim12_oracle() -> str:
         "list_cosine_similarity(CAST(c.emb AS DOUBLE[]), "
         "CAST(s.emb AS DOUBLE[]))"
     )
+    # quantize_q4_sql interpolates its argument twice (SIGN and ABS) —
+    # compute each cosine ONCE in an inner select and quantize the
+    # column reference, as the helper's docstring prescribes (identical
+    # values, half the list_cosine_similarity work per row).
     parts = [
         f"""q AS (SELECT embedding AS qv FROM embeddings
              WHERE vec_id = {_QUERY_VEC_ID}),
-    scored AS (
+    scored0 AS (
       SELECT e.vec_id, e.embedding AS emb,
-             {_sim12_qcos("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))")} AS relq
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qv AS DOUBLE[])) AS relc
       FROM embeddings e, q
       WHERE e.vec_id <> {_QUERY_VEC_ID} AND e.embedding IS NOT NULL),
+    scored AS (
+      SELECT vec_id, emb, {_sim12_qcos("relc")} AS relq FROM scored0),
     short AS (SELECT * FROM scored ORDER BY relq DESC, vec_id
               LIMIT {_SIM12_SHORTLIST}),
     sel1 AS (SELECT vec_id, emb, relq, 1 AS rnk, 7 * relq AS score
@@ -1513,9 +1520,11 @@ def _sim12_oracle() -> str:
     prev = "sel1"
     for t in range(2, _SIM12_K + 1):
         parts.append(f"""ms{t} AS (
-      SELECT c.vec_id, MAX({_sim12_qcos(cos)}) AS ms
-      FROM short c JOIN {prev} s ON c.vec_id <> ALL (SELECT vec_id FROM {prev})
-      GROUP BY c.vec_id),
+      SELECT vec_id, MAX({_sim12_qcos("pc")}) AS ms FROM (
+        SELECT c.vec_id, {cos} AS pc
+        FROM short c JOIN {prev} s
+          ON c.vec_id <> ALL (SELECT vec_id FROM {prev}))
+      GROUP BY vec_id),
     pick{t} AS (
       SELECT c.vec_id, c.emb, c.relq, {t} AS rnk,
              7 * c.relq - 3 * m.ms AS score
@@ -1594,8 +1603,6 @@ def sim12_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         mat = list_matrix(tbl, "emb")
         with np.errstate(divide="ignore", invalid="ignore"):
             matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        from quacfka_spark.functions.vector import quantize_q4
-
         with np.errstate(invalid="ignore"):
             simq = quantize_q4(np.nan_to_num(matn @ matn.T, nan=-2.0))
         n = len(ids)

@@ -110,6 +110,39 @@ def test_untrimmed_when_small():
     assert d["value"] == 3.0
 
 
+def test_spread_block_rides_the_line_under_budget():
+    """Round-9: the window-noise evidence (sum-of-medians / sum-of-maxes
+    vs the best-of-N value) must ride the PARSED line so a stall-heavy
+    driver window is distinguishable from a regression in the committed
+    artifact — with the full headline set, under budget."""
+    timings = {name: 1.23 for name in HEADLINE}
+    spread = {"med_total": 81.4, "max_total": 112.9, "rerun": 12}
+    line = build_headline_line(
+        timings, 0.1, _INGEST, _INGEST,
+        ingest_wide=_INGEST_WIDE, ingest_streaming_wide=_INGEST_WIDE,
+        spread=spread,
+    )
+    assert len(line) <= LINE_BUDGET, len(line)
+    d = json.loads(line)
+    assert d["spread"] == spread
+
+
+def test_unconditional_guard_without_errors_map():
+    """Advisor r8: long strings in the ingest blocks with NO errors map
+    must still shrink to a parseable under-budget line (the old guard
+    only fired when errors was non-empty)."""
+    blk = {f"e{i}": "y" * 200 for i in range(8)}
+    timings = _fake_timings(200)
+    line = build_headline_line(
+        timings, 0.1, dict(blk), dict(blk),
+        ingest_wide=dict(blk), ingest_streaming_wide=dict(blk),
+    )
+    assert len(line) <= LINE_BUDGET, len(line)
+    d = json.loads(line)
+    assert d["ingest"]["e0"] == "err"
+    assert d["n_queries"] == 200
+
+
 def test_subprocess_failure_path_fits_budget():
     """Advisor r7: when the ingest subprocess dies, all FOUR ingest
     blocks carry the same ~200-char error string plus an errors map —
