@@ -611,20 +611,12 @@ _D07_BITS = 4  # sign bits per band -> 16 leading dims feed the bands
 _D07_CHUNK = 1024  # cosine-matrix row chunk inside a bucket verify task
 
 
-def _d07_oracle() -> str:
-    band_selects = []
-    for b in range(_D07_BANDS):
-        chars = " || ".join(
-            f"(CASE WHEN embedding[{b * _D07_BITS + k + 1}] > 0 "
-            "THEN '1' ELSE '0' END)"
-            for k in range(_D07_BITS)
-        )
-        band_selects.append(
-            f"SELECT vec_id, {b} AS band, ({chars}) AS sig FROM embeddings"
-        )
-    bands = " UNION ALL ".join(band_selects)
+def _d07_oracle(bits: int = _D07_BITS, bands: int = _D07_BANDS) -> str:
+    from quacfka_spark.operators.lsh_tuning import sign_band_sql
+
+    bands_sql = sign_band_sql(bits, bands)
     return f"""
-    WITH bands AS ({bands}),
+    WITH bands AS ({bands_sql}),
     cand AS (
       SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
       FROM bands a JOIN bands b
@@ -663,12 +655,38 @@ def d07_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cosine_lsh_pairs(spark, sf_dir).orderBy("i", "j")
 
 
+@query(
+    "d07w_lsh_wideband_pairs",
+    oracle=_d07_oracle(bits=6),
+    doc="d07 at a NON-DEFAULT band width (6 sign bits per band -> 64 "
+    "buckets/band, leading 24 dims): the oracle-checked face of the "
+    "occupancy-adaptive width knob (round-8 verdict #1). Band width "
+    "is what bounds benign bucket occupancy (~N/2^bits) as the corpus "
+    "grows — salting alone caps at MAX_SALT and turns quadratic past "
+    "~4-8M vectors at the fixed 4-bit width. Width changes the "
+    "candidate set (stricter collision filter), so unlike the salt "
+    "knob this key has its OWN width-matched oracle "
+    "(_d07_oracle(bits=6) mirrors the same 4x6 deterministic band "
+    "family) proving exact Spark/DuckDB parity away from the 4x4 "
+    "default — i.e. the adaptive path stays oracle-checkable at "
+    "whatever width the chooser lands on. Recall-vs-width is measured "
+    "on the clustered probe corpus in SCALE_PROBE_BITS_*.json; "
+    "auto_bits picks the width at run time (lsh_tuning."
+    "choose_band_bits_measured).",
+)
+def d07w_lsh_wideband_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cosine_lsh_pairs(spark, sf_dir, bits=6).orderBy("i", "j")
+
+
 def _cosine_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
     salt_buckets: int = 1,
     *,
     auto: bool = False,
+    bits: int = _D07_BITS,
+    bands: int = _D07_BANDS,
+    auto_bits: bool = False,
 ) -> DataFrame:
     """Unordered verified near-dup pairs (i, j, cos) — shared by d07
     (reported pairs) and d08 (keep-list clustering).
@@ -721,25 +739,35 @@ def _cosine_lsh_pairs(
     stay on the replication-free S=1 plan. Output is identical either
     way (the engine-tested salting invariant); auto only picks WHICH
     identical-output plan runs.
+
+    ``bits``/``bands`` parameterize the band family's width and count
+    (default: the registered 4x4). Width is the occupancy knob that
+    salting is NOT: with B sign bits per band even a benign corpus
+    packs ~N/2^B vectors into its hottest bucket, so fixed B=4 +
+    MAX_SALT=16 turns quadratic past ~4-8M vectors (round-8 verdict
+    #1). ``auto_bits=True`` engages the occupancy-adaptive chooser
+    (lsh_tuning.choose_band_bits_measured), SALT-FIRST: width widens
+    only when the hottest bucket exceeds target * MAX_SALT — i.e.
+    where salting (which is recall-free) saturates, ~4.4M benign
+    vectors at the 4-bit floor — via an analytic first guess from
+    the corpus count, then measured escalation only while a
+    (band, sig) agg shows the hottest bucket actually splitting;
+    residual hot mass is near-identical vectors (sign bits can't
+    split them) and falls to the salt knob, whose measured occupancy
+    is reused without a second agg. UNLIKE salt, width changes the
+    CANDIDATE SET (a stricter collision filter -> recall trade,
+    measured in SCALE_PROBE_BITS_*.json); every emitted pair is
+    still exact-verified, so precision stays 1.0 at any width and
+    the width-parameterized oracle (_d07_oracle(bits, bands)) checks
+    exact parity at non-default widths (the d07w registered key).
     """
-    import pandas as pd
+    from quacfka_spark.operators.lsh_tuning import (
+        D07_TARGET_ROWS,
+        salt_for_occupancy,
+        sign_band_cols,
+    )
 
     t = load_views(spark, sf_dir)
-    band_sigs = [
-        F.concat(
-            *[
-                # try_element_at, not element_at: ANSI mode throws on
-                # out-of-range, while DuckDB's embedding[k] yields NULL
-                # -> ELSE '0'; try_ gives the same NULL->'0' degradation
-                F.when(
-                    F.try_element_at(F.col("embedding"), F.lit(b * _D07_BITS + k + 1)) > 0,
-                    F.lit("1"),
-                ).otherwise(F.lit("0"))
-                for k in range(_D07_BITS)
-            ]
-        ).alias(f"band{b}")
-        for b in range(_D07_BANDS)
-    ]
     # NULL embeddings can never verify (oracle: list_cosine_similarity
     # with a NULL side is NULL -> WHERE false), and a null row only ever
     # pairs with itself — dropping them pre-shuffle is output-equivalent
@@ -747,14 +775,36 @@ def _cosine_lsh_pairs(
     # No cast to double: the band exchange moves parquet float32 (half
     # the bytes); the kernel widens AFTER the shuffle — bit-exact.
     e = t["embeddings"].filter(F.col("embedding").isNotNull())
-    bands = e.select(
-        "vec_id",
-        "embedding",
-        F.array(*band_sigs).alias("sigs"),
-    ).select(
-        "vec_id", "embedding", "sigs",
-        F.posexplode_outer(F.col("sigs")).alias("band", "sig"),
-    )
+
+    def _banded(b_: int) -> DataFrame:
+        return e.select(
+            "vec_id",
+            "embedding",
+            F.array(*sign_band_cols(b_, bands)).alias("sigs"),
+        ).select(
+            "vec_id", "embedding", "sigs",
+            F.posexplode_outer(F.col("sigs")).alias("band", "sig"),
+        )
+
+    occ = None
+    if auto_bits:
+        from quacfka_spark.operators.lsh_tuning import (
+            choose_band_bits_measured,
+        )
+
+        # one narrow agg: corpus count + embedding dim (the width cap)
+        n_vecs, dim = e.agg(
+            F.count(F.lit(1)), F.min(F.size("embedding"))
+        ).first()
+        if n_vecs and dim:
+            bits, occ = choose_band_bits_measured(
+                _banded,
+                int(n_vecs),
+                dim=int(dim),
+                bands=bands,
+                target_rows=D07_TARGET_ROWS,
+            )
+    banded = _banded(bits)
 
     def bucket_verify(key, tbl):
         import numpy as np
@@ -806,16 +856,17 @@ def _cosine_lsh_pairs(
         )
 
     if auto:
-        from quacfka_spark.operators.lsh_tuning import (
-            D07_TARGET_ROWS,
-            choose_salt,
-        )
+        if occ is not None:
+            # auto_bits already measured occupancy at the chosen width
+            salt_buckets = salt_for_occupancy(occ, D07_TARGET_ROWS)
+        else:
+            from quacfka_spark.operators.lsh_tuning import choose_salt
 
-        salt_buckets = choose_salt(bands, D07_TARGET_ROWS)
+            salt_buckets = choose_salt(banded, D07_TARGET_ROWS)
 
     if salt_buckets <= 1:
         return (
-            bands.groupBy("band", "sig")
+            banded.groupBy("band", "sig")
             .applyInArrow(bucket_verify, schema="i bigint, j bigint, cos double")
             .select("i", "j", F.round("cos", 4).alias("cos"))
         )
@@ -833,7 +884,7 @@ def _cosine_lsh_pairs(
         for y in range(S)
     ]
     rep = (
-        bands.withColumn("slt", F.pmod(F.xxhash64("vec_id"), F.lit(S)))
+        banded.withColumn("slt", F.pmod(F.xxhash64("vec_id"), F.lit(S)))
         .select(
             "vec_id", "embedding", "sigs", "band", "sig", "slt",
             F.explode(F.array(*pair_structs)).alias("p"),

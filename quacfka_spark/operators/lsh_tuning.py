@@ -1,5 +1,38 @@
-"""Occupancy-driven auto-tuning for the LSH skew knobs (d07
-``salt_buckets``, sim10 ``salt_groups``).
+"""Occupancy-driven auto-tuning for the LSH scale knobs: band WIDTH
+(d07/sim10 ``bits``) and bucket SALT (d07 ``salt_buckets``, sim10
+``salt_groups``).
+
+Two knobs, two failure modes (round-8 verdict #1):
+
+- **salt** spreads a hot bucket with ZERO recall cost (the pair set
+  is engine-tested identical at any S), but caps at MAX_SALT=16: a
+  bucket bigger than target * 16 leaves sub-buckets over the
+  per-task budget no matter the salt.
+- **bits** bounds the BENIGN crowding term that drives buckets past
+  that cap. With B sign bits per band there are 2^B buckets per
+  band, so even a well-spread corpus packs ~N / 2^B vectors into
+  its largest bucket — at fixed B=4 that grows LINEARLY with corpus
+  size, and the pairs kernel's per-task verify work ((occ/S)^2 with
+  S saturated at 16) turns quadratic past ~4-8M vectors
+  (17,100 * 16 buckets * 16 salt ~= 4.4M). Cost: a wider band is a
+  STRICTER collision filter, so candidate recall drops for
+  genuinely-similar pairs whose extra sign bits disagree — measured
+  -44%/-67% pairs at +2/+4 bits on the clustered probe corpus
+  (SCALE_PROBE_BITS_250K.json); raise ``bands`` to buy recall back
+  (classic LSH bands-vs-width trade).
+
+The choosers are therefore SALT-FIRST: ``choose_band_bits`` picks
+the smallest B with N / 2^B <= target * max_salt (one driver-side
+count, no extra job over the data), clamped to
+[min_bits, dim // bands] — i.e. width engages exactly where salt
+saturates, and occupancy stays bounded at any corpus size the
+embedding dim can address (dim 64, 4 bands -> B <= 16 -> 65,536
+buckets/band: ~1.5k benign occupancy at 100M vectors).
+``choose_band_bits_measured`` hardens the analytic guess: measure
+real occupancy (one narrow agg), escalate B only while the hottest
+bucket both exceeds the salt budget AND demonstrably shrinks with
+width — when occupancy stops responding to bits, the residual is
+near-identical cluster mass and the salt chooser (below) takes over.
 
 The round-6 probes showed fixed band bits + a hand-picked salt is the
 wrong production interface: the right salt depends on the corpus's
@@ -65,6 +98,9 @@ from pyspark.sql import functions as F
 # largest verify-task side per operator family (see module docstring)
 D07_TARGET_ROWS = 17_100
 SIM10_TARGET_ROWS = 12_000
+# band-width floor: 4 bits = the registered fixture-scale default
+# (16 buckets/band); the chooser never narrows below it
+MIN_BAND_BITS = 4
 # Salt ceiling — measured, not asserted (SCALE_PROBE_SIM10_SALTCURVE
 # .json, r8): past the saturated optimum the top-k kernel's wall time
 # is pure band-replication + sub-bucket scheduling cost, rising +12%
@@ -78,6 +114,154 @@ SIM10_TARGET_ROWS = 12_000
 # with 64x hot buckets re-picks the measured S=6). Callers with a
 # measured flatter curve on their corpus can raise max_salt per-call.
 MAX_SALT = 16
+
+
+def sign_band_cols(
+    bits: int, bands: int, col: str = "embedding"
+) -> list[F.Column]:
+    """The d07/sim10 deterministic sign-LSH band family, width-
+    parameterized: band b is the concatenation of ``bits`` '0'/'1'
+    sign characters of dims [b*bits+1 .. (b+1)*bits] (1-based, the
+    leading bands*bits dims feed the bands). Axis-aligned projections
+    — no shared RNG, so any engine (the DuckDB oracle included)
+    replicates the bucketing exactly. try_element_at, not element_at:
+    ANSI mode throws on out-of-range while the oracle's CASE on
+    embedding[k] yields NULL -> '0'; try_ gives the same degradation.
+    Shared by dedup._cosine_lsh_pairs and similarity.knn_edges so the
+    two kernels can never drift on band construction."""
+    return [
+        F.concat(
+            *[
+                F.when(
+                    F.try_element_at(F.col(col), F.lit(b * bits + k + 1)) > 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0"))
+                for k in range(bits)
+            ]
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+
+
+def sign_band_sql(
+    bits: int, bands: int, src: str = "embeddings", where: str = ""
+) -> str:
+    """DuckDB mirror of :func:`sign_band_cols`: a UNION ALL of one
+    (vec_id, band, sig) select per band — the oracle half of the
+    width-parameterized band family, so parity is checkable at ANY
+    (bits, bands), not only the registered 4x4 default."""
+    selects = []
+    for b in range(bands):
+        chars = " || ".join(
+            f"(CASE WHEN embedding[{b * bits + k + 1}] > 0 "
+            "THEN '1' ELSE '0' END)"
+            for k in range(bits)
+        )
+        selects.append(
+            f"SELECT vec_id, {b} AS band, ({chars}) AS sig FROM {src}{where}"
+        )
+    return " UNION ALL ".join(selects)
+
+
+def choose_band_bits(
+    n_vectors: int,
+    *,
+    dim: int,
+    bands: int,
+    target_rows: int = D07_TARGET_ROWS,
+    min_bits: int = MIN_BAND_BITS,
+    max_salt: int = MAX_SALT,
+) -> int:
+    """Smallest band width B whose benign-corpus occupancy model
+    N / 2^B stays inside what the SALT knob can still spread:
+    target_rows * max_salt. Salt-first by design — salting splits a
+    hot bucket with ZERO recall cost (the pair set is engine-tested
+    identical), while every extra sign bit is a stricter collision
+    filter that drops genuine candidates (measured: -25% pairs for
+    +1 bit on the clustered probe corpus). So width engages only
+    where salt SATURATES: occ/max_salt > target means even the
+    max-salted sub-buckets exceed the per-task budget — at the
+    4-bit floor that is N > 17,100 * 16 * 16 ~= 4.4M vectors,
+    exactly the 4-8M blow-up region the fixed width hits. Clamped to
+    [min_bits, dim // bands] (bands consume the leading bands*B
+    dims). Pure arithmetic on the corpus count — no Spark job;
+    deterministic, so reruns plan identically. The model is exact
+    for sign-balanced corpora and an UNDER-estimate for clustered
+    ones — fine, because the residual is cluster mass that more bits
+    cannot split anyway (the measured escalation below stops on it)."""
+    max_bits = max(int(min_bits), int(dim) // max(1, int(bands)))
+    budget = target_rows * max(1, int(max_salt))
+    b = int(min_bits)
+    while b < max_bits and n_vectors > budget * (1 << b):
+        b += 1
+    return b
+
+
+def choose_band_bits_measured(
+    bands_builder,
+    n_vectors: int,
+    *,
+    dim: int,
+    bands: int,
+    target_rows: int = D07_TARGET_ROWS,
+    min_bits: int = MIN_BAND_BITS,
+    max_salt: int = MAX_SALT,
+    keys: tuple[str, ...] = ("band", "sig"),
+) -> tuple[int, int]:
+    """Occupancy-adaptive band width: start at the analytic
+    :func:`choose_band_bits` guess, MEASURE the real max bucket
+    occupancy (one narrow (band, sig) count agg — column pruning
+    drops the vector payload), and escalate B only while the hottest
+    bucket both EXCEEDS the salt knob's spreading budget
+    (target_rows * max_salt — salt-first, see choose_band_bits: salt
+    splits with zero recall cost, so occupancy it can absorb never
+    justifies a stricter collision filter) and demonstrably SHRINKS
+    with width. Returns (bits, occ) so the caller can hand the final
+    measured occupancy straight to the salt chooser without a second
+    agg.
+
+    Escalation rule: while occ > target * max_salt and B < dim //
+    bands, add ceil(log2(occ / (target * max_salt))) bits — the
+    benign model's prediction of the needed split — and re-measure.
+    STOP early when a step fails to shrink occupancy below 75% of
+    the previous measurement: sign bits that no longer split the
+    bucket mean its mass is near-identical vectors (they agree on
+    every dim's sign), which no width can separate; stay at the
+    narrower width (recall is the scarce resource) and let salt
+    spread the residual. Expected measurements: 1 for benign corpora
+    (the analytic guess lands), 2-3 for clustered ones — each a
+    cheap aggregation, the same runtime-statistics pattern AQE
+    applies.
+
+    ``bands_builder(bits)`` must return the banded frame at that
+    width; determinism of the result follows from determinism of the
+    corpus (no RNG anywhere in the family)."""
+    max_bits = max(int(min_bits), int(dim) // max(1, int(bands)))
+    budget = target_rows * max(1, int(max_salt))
+    b = choose_band_bits(
+        n_vectors,
+        dim=dim,
+        bands=bands,
+        target_rows=target_rows,
+        min_bits=min_bits,
+        max_salt=max_salt,
+    )
+    occ = max_bucket_occupancy(bands_builder(b), keys)
+    while occ > budget and b < max_bits:
+        # smallest s with occ / 2^s <= budget — the benign model's
+        # prediction of how many extra bits this bucket needs
+        step = 1
+        while (occ >> step) > budget:
+            step += 1
+        nb = min(max_bits, b + step)
+        nocc = max_bucket_occupancy(bands_builder(nb), keys)
+        if nocc > 0.75 * occ:
+            # width stopped helping (<25% shrink for `step` extra
+            # bits) -> the hot mass is near-identical vectors; stay
+            # at the NARROWER width and let salt spread the residual
+            return b, occ
+        b, occ = nb, nocc
+    return b, occ
 
 
 def max_bucket_occupancy(
@@ -95,6 +279,18 @@ def max_bucket_occupancy(
     return int(row["mx"] or 0)
 
 
+def salt_for_occupancy(
+    occ: int, target_rows: int, max_salt: int = MAX_SALT
+) -> int:
+    """The d07 salt rule on an ALREADY-measured occupancy:
+    S = clamp(ceil(occ / target), 1, max_salt). Split out so the
+    auto-bits path can reuse its final occupancy measurement instead
+    of paying a second (band, sig) agg."""
+    if occ <= target_rows:
+        return 1
+    return max(1, min(int(max_salt), -(-occ // int(target_rows))))
+
+
 def choose_salt(
     bands: DataFrame,
     target_rows: int,
@@ -104,10 +300,9 @@ def choose_salt(
     """Pick the salt S for the banded frame (see module docstring).
     S=1 (no salting, no replication cost) whenever every bucket fits a
     single task's budget."""
-    occ = max_bucket_occupancy(bands, keys)
-    if occ <= target_rows:
-        return 1
-    return max(1, min(int(max_salt), -(-occ // int(target_rows))))
+    return salt_for_occupancy(
+        max_bucket_occupancy(bands, keys), target_rows, max_salt
+    )
 
 
 def choose_salt_topk(

@@ -1008,21 +1008,14 @@ _SIM10_K = 5
 _SIM10_CHUNK = 1024
 
 
-def _sim10_oracle() -> str:
-    band_selects = []
-    for b in range(_SIM10_BANDS):
-        chars = " || ".join(
-            f"(CASE WHEN embedding[{b * _SIM10_BITS + k + 1}] > 0 "
-            "THEN '1' ELSE '0' END)"
-            for k in range(_SIM10_BITS)
-        )
-        band_selects.append(
-            f"SELECT vec_id, {b} AS band, ({chars}) AS sig "
-            "FROM embeddings WHERE embedding IS NOT NULL"
-        )
-    bands = " UNION ALL ".join(band_selects)
+def _sim10_oracle(bits: int = _SIM10_BITS, bands: int = _SIM10_BANDS) -> str:
+    from quacfka_spark.operators.lsh_tuning import sign_band_sql
+
+    bands_sql = sign_band_sql(
+        bits, bands, where=" WHERE embedding IS NOT NULL"
+    )
     return f"""
-    WITH bands AS ({bands}),
+    WITH bands AS ({bands_sql}),
     cand AS (
       SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
       FROM bands a JOIN bands b
@@ -1075,6 +1068,29 @@ def sim10_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: none (the reference's SQL surface has no ANN
     graph; this extends its list_cosine_similarity capability)."""
     return knn_edges(spark, sf_dir).orderBy("i", "rnk")
+
+
+@query(
+    "sim10w_knn_graph_wideband",
+    oracle=_sim10_oracle(bits=6),
+    doc="sim10's k-NN graph at a NON-DEFAULT band width (6 sign bits "
+    "per band -> 64 buckets/band): the oracle-checked face of the "
+    "occupancy-adaptive width knob for the top-k kernel family "
+    "(round-8 verdict #1 — fixed 4-bit banding lets benign bucket "
+    "occupancy grow as N/16 per band, beyond what MAX_SALT can "
+    "spread). Width changes which candidates each bucket sees, so "
+    "the graph differs from the 4-bit default by construction; this "
+    "key's width-matched oracle (_sim10_oracle(bits=6), same "
+    "deterministic 4x6 band family) proves exact Spark/DuckDB parity "
+    "away from the registered default — the adaptive path "
+    "(knn_edges(auto_bits=True)) stays oracle-checkable at whatever "
+    "width the chooser lands on. Edge-agreement vs the 4-bit graph "
+    "is measured in SCALE_PROBE_BITS_*.json.",
+)
+def sim10w_knn_graph_wideband(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return knn_edges(spark, sf_dir, bits=6).orderBy("i", "rnk")
 
 
 def _sim10_topk_block(ids_x, mx, ids_y, my, self_pairs: bool):
@@ -1162,6 +1178,9 @@ def knn_edges(
     salt_groups: int = 1,
     *,
     auto: bool = False,
+    bits: int = _SIM10_BITS,
+    bands: int = _SIM10_BANDS,
+    auto_bits: bool = False,
 ) -> DataFrame:
     """Unordered top-k neighbor edges (i, j, rnk, cos) — sim10's core,
     public so graph consumers (sim11 PageRank, composed pipelines) can
@@ -1193,40 +1212,59 @@ def knn_edges(
     shrinks with its side while the task count grows; d07's pairs
     kernel is the opposite (salt-invariant total work, so it uses
     the minimal-adequate occupancy rule). The graph is identical
-    either way (the engine-tested salting invariant)."""
+    either way (the engine-tested salting invariant).
+
+    ``bits``/``bands`` parameterize the band family (d07's width
+    knob — see dedup._cosine_lsh_pairs): width bounds benign bucket
+    occupancy (~N/2^bits), which fixed 4-bit banding lets grow
+    linearly with the corpus. ``auto_bits=True`` runs the
+    occupancy-adaptive chooser on the banded frame before the
+    expensive exchange — SALT-FIRST: width engages only past the
+    salt knob's recall-free spreading budget (gate * MAX_SALT). Width changes the CANDIDATE set, so sim10's
+    graph at a non-default width is checked by its own width-matched
+    oracle (the sim10w registered key at bits=6); edge-agreement vs
+    the 4-bit graph is measured in SCALE_PROBE_BITS_*.json."""
     import numpy as np
 
     from pyspark.sql.window import Window
 
+    from quacfka_spark.operators.lsh_tuning import sign_band_cols
+
     t = load_views(spark, sf_dir)
-    band_sigs = [
-        F.concat(
-            *[
-                # try_element_at: ANSI-safe NULL -> '0' degradation,
-                # matching the oracle's CASE on out-of-range (see d07)
-                F.when(
-                    F.try_element_at(
-                        F.col("embedding"), F.lit(b * _SIM10_BITS + k + 1)
-                    )
-                    > 0,
-                    F.lit("1"),
-                ).otherwise(F.lit("0"))
-                for k in range(_SIM10_BITS)
-            ]
-        ).alias(f"band{b}")
-        for b in range(_SIM10_BANDS)
-    ]
     # NULL embeddings drop on both sides (oracle bands WHERE NOT NULL):
     # they could never rank (NULL cosine) and would raggedize the bucket
     # matrix — the d10/d07 fixture-drift guard. No cast to double: the
     # band exchange moves the parquet float32 (half the bytes) and the
     # kernel widens after the shuffle — bit-exact, see arrowkit.
     e = t["embeddings"].filter(F.col("embedding").isNotNull())
-    bands = e.select(
-        "vec_id",
-        "embedding",
-        F.posexplode_outer(F.array(*band_sigs)).alias("band", "sig"),
-    )
+
+    def _banded(b_: int) -> DataFrame:
+        return e.select(
+            "vec_id",
+            "embedding",
+            F.posexplode_outer(
+                F.array(*sign_band_cols(b_, bands))
+            ).alias("band", "sig"),
+        )
+
+    if auto_bits:
+        from quacfka_spark.operators.lsh_tuning import (
+            SIM10_TARGET_ROWS,
+            choose_band_bits_measured,
+        )
+
+        n_vecs, dim = e.agg(
+            F.count(F.lit(1)), F.min(F.size("embedding"))
+        ).first()
+        if n_vecs and dim:
+            bits, _occ = choose_band_bits_measured(
+                _banded,
+                int(n_vecs),
+                dim=int(dim),
+                bands=bands,
+                target_rows=SIM10_TARGET_ROWS,
+            )
+    banded = _banded(bits)
 
     def bucket_topk(key, tbl):
         from quacfka_spark.operators.arrowkit import (
@@ -1300,7 +1338,7 @@ def knn_edges(
         )
 
         salt_groups = choose_salt_topk(
-            bands,
+            banded,
             SIM10_TARGET_ROWS,
             spark.sparkContext.defaultParallelism,
         )
@@ -1315,7 +1353,7 @@ def knn_edges(
             for y in range(S)
         ]
         rep = (
-            bands.withColumn(
+            banded.withColumn(
                 "slt", F.pmod(F.xxhash64("vec_id"), F.lit(S))
             )
             .select(
@@ -1331,7 +1369,7 @@ def knn_edges(
             bucket_topk_salted, schema="i bigint, j bigint, cos double"
         )
     else:
-        local = bands.groupBy("band", "sig").applyInArrow(
+        local = banded.groupBy("band", "sig").applyInArrow(
             bucket_topk, schema="i bigint, j bigint, cos double"
         )
     # cross-band dedup: the same edge from two buckets carries the same

@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Band-WIDTH probe for the d07/sim10 sign-LSH family — the round-8
+verdict-#1 evidence run: fixed 4-bit bands let benign bucket occupancy
+grow as ~N/16 per band, so past MAX_SALT's spread the per-task verify
+work turns quadratic in corpus size. The width knob
+(bits, lsh_tuning.choose_band_bits[_measured]) bounds occupancy at
+~N/2^B; its cost is candidate RECALL (a wider band is a stricter
+collision filter). This probe measures all three sides on the
+scale-probe clustered generator (tools/scale_probe.py synthesize,
+seed 42):
+
+- max (band, sig) occupancy per width — the bounded-occupancy claim;
+- wall time + emitted rows per width (auto salt engaged at every
+  width, the production posture);
+- pair/edge agreement vs the 4-bit default (optional --agreement):
+  every d07 pair is exact-verified at any width, so the intersection
+  count IS the shared-recall count, not a precision statement.
+
+Usage:
+  python tools/bits_probe.py --n-vecs 250000 --widths 4,6,8 \
+      --families d07,sim10 --agreement --out SCALE_PROBE_BITS_250K.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    import scale_probe
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-vecs", type=int, default=250_000)
+    ap.add_argument("--dir", default="/tmp/quacfka_bits_probe")
+    ap.add_argument("--out", default="SCALE_PROBE_BITS.json")
+    ap.add_argument("--widths", default="4,6,8")
+    ap.add_argument("--families", default="d07,sim10")
+    ap.add_argument("--fixture", default=scale_probe.FIXTURE)
+    ap.add_argument(
+        "--agreement",
+        action="store_true",
+        help="join each width's output against the 4-bit default and "
+        "record the intersection count (re-executes both plans)",
+    )
+    ap.add_argument(
+        "--autobits",
+        action="store_true",
+        help="add the auto_bits row (chooser-picked width + auto salt)",
+    )
+    args = ap.parse_args()
+    scale_probe.FIXTURE = args.fixture
+
+    from pyspark.sql import functions as F
+
+    from quacfka_spark.operators import lsh_tuning
+    from quacfka_spark.operators.dedup import _cosine_lsh_pairs
+    from quacfka_spark.operators.lsh_tuning import (
+        choose_band_bits,
+        max_bucket_occupancy,
+        sign_band_cols,
+    )
+    from quacfka_spark.operators.similarity import knn_edges
+    from quacfka_spark.session import get_spark
+
+    spark = get_spark("bits-probe")
+    t0 = time.perf_counter()
+    # n_docs minimal: this probe only reads embeddings
+    scale_probe.synthesize(spark, args.dir, args.n_vecs, 2000)
+    synth_s = round(time.perf_counter() - t0, 2)
+
+    widths = [int(w) for w in args.widths.split(",")]
+    fams = args.families.split(",")
+    emb = (
+        spark.read.parquet(os.path.join(args.dir, "embeddings.parquet"))
+        .filter(F.col("embedding").isNotNull())
+    )
+
+    def occupancy_at(bits: int) -> int:
+        banded = emb.select(
+            "vec_id",
+            F.posexplode_outer(
+                F.array(*sign_band_cols(bits, 4))
+            ).alias("band", "sig"),
+        )
+        return max_bucket_occupancy(banded)
+
+    results: dict[str, dict] = {}
+
+    def time_one(name: str, fn) -> None:
+        try:
+            t0 = time.perf_counter()
+            df = fn(spark, args.dir)
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            results[name] = {
+                "sec": round(time.perf_counter() - t0, 2),
+                "rows": int(obs.get["n"]),
+            }
+        except Exception as e:
+            results[name] = {"error": str(e)[:200]}
+        print(f"# {name}: {results[name]}", file=sys.stderr)
+
+    # per-width occupancy — the bounded-occupancy evidence — plus the
+    # analytic chooser picks for the record
+    occ_by_bits = {b: occupancy_at(b) for b in sorted(set(widths))}
+    print(f"# occupancy by width: {occ_by_bits}", file=sys.stderr)
+    picks = {
+        "d07_analytic_bits": choose_band_bits(
+            args.n_vecs, dim=64, bands=4,
+            target_rows=lsh_tuning.D07_TARGET_ROWS,
+        ),
+        "sim10_analytic_bits": choose_band_bits(
+            args.n_vecs, dim=64, bands=4,
+            target_rows=lsh_tuning.SIM10_TARGET_ROWS,
+        ),
+    }
+
+    for fam in fams:
+        for b in widths:
+            if fam == "d07":
+                time_one(
+                    f"d07_bits{b}",
+                    lambda s, d, b=b: _cosine_lsh_pairs(
+                        s, d, auto=True, bits=b
+                    ),
+                )
+            else:
+                time_one(
+                    f"sim10_bits{b}",
+                    lambda s, d, b=b: knn_edges(s, d, auto=True, bits=b),
+                )
+        if args.autobits:
+            if fam == "d07":
+                time_one(
+                    "d07_autobits",
+                    lambda s, d: _cosine_lsh_pairs(
+                        s, d, auto=True, auto_bits=True
+                    ),
+                )
+            else:
+                time_one(
+                    "sim10_autobits",
+                    lambda s, d: knn_edges(s, d, auto=True, auto_bits=True),
+                )
+
+    agreement: dict[str, dict] = {}
+    if args.agreement:
+        for fam in fams:
+            base_fn = (
+                (lambda s, d: _cosine_lsh_pairs(s, d, auto=True))
+                if fam == "d07"
+                else (lambda s, d: knn_edges(s, d, auto=True))
+            )
+            base = base_fn(spark, args.dir).select("i", "j")
+            for b in widths:
+                if b == 4:
+                    continue
+                wide_fn = (
+                    (lambda s, d, b=b: _cosine_lsh_pairs(s, d, auto=True, bits=b))
+                    if fam == "d07"
+                    else (lambda s, d, b=b: knn_edges(s, d, auto=True, bits=b))
+                )
+                wide = wide_fn(spark, args.dir).select("i", "j")
+                shared = base.join(wide, ["i", "j"]).count()
+                agreement[f"{fam}_bits{b}_vs_4"] = {"shared": shared}
+                print(
+                    f"# agreement {fam} bits{b} vs 4: {shared}",
+                    file=sys.stderr,
+                )
+
+    report = {
+        "metric": "band_width_probe",
+        "n_vecs": args.n_vecs,
+        "synthesize_sec": synth_s,
+        "occupancy_by_bits": occ_by_bits,
+        "chooser_picks": picks,
+        "ops": results,
+        **({"agreement": agreement} if agreement else {}),
+    }
+    line = json.dumps(report)
+    print(line)
+    with open(args.out, "w") as fh:
+        json.dump(report, fh, indent=1)
+        fh.write("\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
