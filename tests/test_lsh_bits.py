@@ -217,6 +217,37 @@ def test_sim10_auto_bits_equals_manual_pick(spark):
     assert auto == manual
 
 
+def test_d07_more_bands_oracle_parity(spark, duck_smoke):
+    """The recall-recovery knob (more bands at a wider width — linear
+    shuffle cost instead of quadratic verify) also carries a matched
+    oracle: 8 bands x 6 bits must agree exactly."""
+    from quacfka_spark.operators.dedup import _cosine_lsh_pairs, _d07_oracle
+
+    df = _cosine_lsh_pairs(spark, SMOKE_DIR, bits=6, bands=8).orderBy(
+        "i", "j"
+    )
+    assert compare(df, duck_smoke.sql(_d07_oracle(bits=6, bands=8))) == []
+
+
+def test_more_bands_recover_recall_monotonically(spark):
+    """Bands L < L' at the same width: the first L bands are a PREFIX
+    of L', so every collision survives and the verified pair set is a
+    strict-or-equal superset — the guaranteed direction of the
+    bands-for-recall trade (width has no such guarantee: its bands
+    cover different dims)."""
+    from quacfka_spark.operators.dedup import _cosine_lsh_pairs
+
+    p4 = {
+        (r.i, r.j)
+        for r in _cosine_lsh_pairs(spark, SMOKE_DIR, bits=6, bands=4).collect()
+    }
+    p8 = {
+        (r.i, r.j)
+        for r in _cosine_lsh_pairs(spark, SMOKE_DIR, bits=6, bands=8).collect()
+    }
+    assert p4 <= p8
+
+
 def test_wideband_pairs_are_exact_verified_subset(spark):
     """Width trades candidate RECALL, never precision: every pair the
     6-bit plan emits must appear in d05's exact all-pairs ground truth

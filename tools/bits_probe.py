@@ -41,6 +41,14 @@ def main() -> None:
     ap.add_argument("--dir", default="/tmp/quacfka_bits_probe")
     ap.add_argument("--out", default="SCALE_PROBE_BITS.json")
     ap.add_argument("--widths", default="4,6,8")
+    ap.add_argument(
+        "--occ-widths",
+        default=None,
+        help="widths to MEASURE occupancy at without running the "
+        "operator (defaults to --widths) — for scale notches where "
+        "the narrow-width baseline is infeasible to execute but its "
+        "occupancy is the evidence",
+    )
     ap.add_argument("--families", default="d07,sim10")
     ap.add_argument("--fixture", default=scale_probe.FIXTURE)
     ap.add_argument(
@@ -53,6 +61,25 @@ def main() -> None:
         "--autobits",
         action="store_true",
         help="add the auto_bits row (chooser-picked width + auto salt)",
+    )
+    ap.add_argument(
+        "--chooser-only",
+        action="store_true",
+        help="measure occupancy + record both families' measured "
+        "chooser decisions WITHOUT executing the kernels — for scale "
+        "notches (e.g. 8M vectors) where the occupancy/decision is "
+        "the evidence and total verify work is cluster-scale by "
+        "design (per-task work is what the knobs bound; total work "
+        "is what a 1000-executor cluster absorbs)",
+    )
+    ap.add_argument(
+        "--configs",
+        default="",
+        help="extra bits x bands rows, e.g. '6x8,8x8' — the classic "
+        "LSH recall-recovery trade: when width must engage, more "
+        "bands buy candidate recall back at linear shuffle cost "
+        "(each config joins the --agreement comparison vs the 4x4 "
+        "default when that flag is set)",
     )
     args = ap.parse_args()
     scale_probe.FIXTURE = args.fixture
@@ -75,21 +102,32 @@ def main() -> None:
     scale_probe.synthesize(spark, args.dir, args.n_vecs, 2000)
     synth_s = round(time.perf_counter() - t0, 2)
 
-    widths = [int(w) for w in args.widths.split(",")]
+    widths = [int(w) for w in args.widths.split(",") if w]
+    occ_widths = [
+        int(w)
+        for w in (args.occ_widths or args.widths).split(",")
+        if w
+    ]
     fams = args.families.split(",")
     emb = (
         spark.read.parquet(os.path.join(args.dir, "embeddings.parquet"))
         .filter(F.col("embedding").isNotNull())
     )
 
-    def occupancy_at(bits: int) -> int:
+    def occupancy_at(bits: int, bands: int = 4) -> int:
         banded = emb.select(
             "vec_id",
             F.posexplode_outer(
-                F.array(*sign_band_cols(bits, 4))
+                F.array(*sign_band_cols(bits, bands))
             ).alias("band", "sig"),
         )
         return max_bucket_occupancy(banded)
+
+    configs = [
+        tuple(int(x) for x in c.split("x"))
+        for c in args.configs.split(",")
+        if c
+    ]
 
     results: dict[str, dict] = {}
 
@@ -113,7 +151,9 @@ def main() -> None:
 
     # per-width occupancy — the bounded-occupancy evidence — plus the
     # analytic chooser picks for the record
-    occ_by_bits = {b: occupancy_at(b) for b in sorted(set(widths))}
+    occ_by_bits = {b: occupancy_at(b) for b in sorted(set(occ_widths))}
+    for b, nb in configs:
+        occ_by_bits[f"b{b}x{nb}"] = occupancy_at(b, nb)
     print(f"# occupancy by width: {occ_by_bits}", file=sys.stderr)
     picks = {
         "d07_analytic_bits": choose_band_bits(
@@ -125,6 +165,47 @@ def main() -> None:
             target_rows=lsh_tuning.SIM10_TARGET_ROWS,
         ),
     }
+
+    if args.chooser_only:
+        from quacfka_spark.operators.lsh_tuning import (
+            choose_band_bits_measured,
+            salt_for_occupancy,
+        )
+
+        def builder(b: int):
+            return emb.select(
+                "vec_id",
+                F.posexplode_outer(
+                    F.array(*sign_band_cols(b, 4))
+                ).alias("band", "sig"),
+            )
+
+        for fam, target in (
+            ("d07", lsh_tuning.D07_TARGET_ROWS),
+            ("sim10", lsh_tuning.SIM10_TARGET_ROWS),
+        ):
+            t0 = time.perf_counter()
+            bits, occ = choose_band_bits_measured(
+                builder, args.n_vecs, dim=64, bands=4, target_rows=target
+            )
+            salt = (
+                salt_for_occupancy(occ, target)
+                if fam == "d07"
+                else lsh_tuning.choose_salt_topk(
+                    builder(bits), target,
+                    spark.sparkContext.defaultParallelism,
+                )
+            )
+            picks[f"{fam}_measured"] = {
+                "bits": bits,
+                "occ": occ,
+                "salt_budget": target * lsh_tuning.MAX_SALT,
+                "salt_at_pick": salt,
+                "chooser_sec": round(time.perf_counter() - t0, 2),
+            }
+            print(f"# {fam} measured pick: {picks[f'{fam}_measured']}",
+                  file=sys.stderr)
+        fams = []
 
     for fam in fams:
         for b in widths:
@@ -139,6 +220,21 @@ def main() -> None:
                 time_one(
                     f"sim10_bits{b}",
                     lambda s, d, b=b: knn_edges(s, d, auto=True, bits=b),
+                )
+        for b, nb in configs:
+            if fam == "d07":
+                time_one(
+                    f"d07_b{b}x{nb}",
+                    lambda s, d, b=b, nb=nb: _cosine_lsh_pairs(
+                        s, d, auto=True, bits=b, bands=nb
+                    ),
+                )
+            else:
+                time_one(
+                    f"sim10_b{b}x{nb}",
+                    lambda s, d, b=b, nb=nb: knn_edges(
+                        s, d, auto=True, bits=b, bands=nb
+                    ),
                 )
         if args.autobits:
             if fam == "d07":
@@ -163,19 +259,20 @@ def main() -> None:
                 else (lambda s, d: knn_edges(s, d, auto=True))
             )
             base = base_fn(spark, args.dir).select("i", "j")
-            for b in widths:
-                if b == 4:
-                    continue
+            combos = [(b, 4) for b in widths if b != 4] + configs
+            for b, nb in combos:
                 wide_fn = (
-                    (lambda s, d, b=b: _cosine_lsh_pairs(s, d, auto=True, bits=b))
+                    (lambda s, d, b=b, nb=nb: _cosine_lsh_pairs(
+                        s, d, auto=True, bits=b, bands=nb))
                     if fam == "d07"
-                    else (lambda s, d, b=b: knn_edges(s, d, auto=True, bits=b))
+                    else (lambda s, d, b=b, nb=nb: knn_edges(
+                        s, d, auto=True, bits=b, bands=nb))
                 )
                 wide = wide_fn(spark, args.dir).select("i", "j")
                 shared = base.join(wide, ["i", "j"]).count()
-                agreement[f"{fam}_bits{b}_vs_4"] = {"shared": shared}
+                agreement[f"{fam}_b{b}x{nb}_vs_4x4"] = {"shared": shared}
                 print(
-                    f"# agreement {fam} bits{b} vs 4: {shared}",
+                    f"# agreement {fam} b{b}x{nb} vs 4x4: {shared}",
                     file=sys.stderr,
                 )
 
