@@ -41,6 +41,8 @@ __all__ = [
     "pack_sequences",
     "knn_edges",
     "choose_salt",
+    "choose_band_bits",
+    "cosine_lsh_pairs",
 ]
 __version__ = "0.1.0"
 
@@ -79,4 +81,16 @@ def __getattr__(name: str):
         from quacfka_spark.operators.lsh_tuning import choose_salt
 
         return choose_salt
+    if name == "choose_band_bits":
+        from quacfka_spark.operators.lsh_tuning import choose_band_bits
+
+        return choose_band_bits
+    if name == "cosine_lsh_pairs":
+        # public face of operators.dedup._cosine_lsh_pairs — the full
+        # knob surface (salt_buckets/auto, bits/bands/auto_bits) for
+        # composed vector-dedup pipelines (d08's recipe: pairs ->
+        # label_propagate -> keep-the-smallest)
+        from quacfka_spark.operators.dedup import _cosine_lsh_pairs
+
+        return _cosine_lsh_pairs
     raise AttributeError(name)
