@@ -687,6 +687,7 @@ def _cosine_lsh_pairs(
     bits: int = _D07_BITS,
     bands: int = _D07_BANDS,
     auto_bits: bool = False,
+    auto_bands: bool = False,
 ) -> DataFrame:
     """Unordered verified near-dup pairs (i, j, cos) — shared by d07
     (reported pairs) and d08 (keep-list clustering).
@@ -760,6 +761,13 @@ def _cosine_lsh_pairs(
     still exact-verified, so precision stays 1.0 at any width and
     the width-parameterized oracle (_d07_oracle(bits, bands)) checks
     exact parity at non-default widths (the d07w registered key).
+    ``auto_bands=True`` (only meaningful with auto_bits) recovers the
+    candidate recall a forced widening costs: when the chooser widens
+    past the configured floor, the band count is raised to the
+    analytic bands_for_recall match (1-(1-p^B)^L held at the floor
+    family's level, p taken at the verify threshold — the
+    conservative Charikar sign-LSH model), paying linear shuffle
+    replication instead of quadratic verify; capped at dim // bits.
     """
     from quacfka_spark.operators.lsh_tuning import (
         D07_TARGET_ROWS,
@@ -789,6 +797,7 @@ def _cosine_lsh_pairs(
     occ = None
     if auto_bits:
         from quacfka_spark.operators.lsh_tuning import (
+            bands_for_recall,
             choose_band_bits_measured,
         )
 
@@ -797,6 +806,7 @@ def _cosine_lsh_pairs(
             F.count(F.lit(1)), F.min(F.size("embedding"))
         ).first()
         if n_vecs and dim:
+            base_bits, base_bands = bits, bands
             bits, occ = choose_band_bits_measured(
                 _banded,
                 int(n_vecs),
@@ -804,6 +814,20 @@ def _cosine_lsh_pairs(
                 bands=bands,
                 target_rows=D07_TARGET_ROWS,
             )
+            if auto_bands and bits > base_bits:
+                # width engaged -> recover candidate recall with more
+                # bands (linear shuffle cost instead of quadratic
+                # verify; lsh_tuning.bands_for_recall). Occupancy was
+                # measured at the base band count — per-bucket
+                # occupancy is ~independent of L (each band hashes
+                # disjoint dims), so the salt pick below still holds.
+                bands = bands_for_recall(
+                    bits,
+                    dim=int(dim),
+                    threshold=_D05_THRESHOLD,
+                    base_bits=base_bits,
+                    base_bands=base_bands,
+                )
     banded = _banded(bits)
 
     def bucket_verify(key, tbl):

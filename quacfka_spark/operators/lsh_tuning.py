@@ -264,6 +264,50 @@ def choose_band_bits_measured(
     return b, occ
 
 
+def collision_p(threshold: float) -> float:
+    """Per-projection sign-agreement probability for a pair at cosine
+    exactly ``threshold`` under the random-hyperplane model (Charikar
+    2002, SimHash): p = 1 - arccos(cos) / pi. The band family's
+    projections are axis-aligned rather than random — on normalized
+    embeddings with no preferred axes this is the standard
+    approximation, and taking p AT the verify threshold makes it the
+    conservative floor (every pair the operator can emit has cosine
+    >= threshold, hence per-bit agreement >= p)."""
+    import math
+
+    return 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+
+
+def bands_for_recall(
+    bits: int,
+    *,
+    dim: int,
+    threshold: float,
+    base_bits: int = MIN_BAND_BITS,
+    base_bands: int = 4,
+) -> int:
+    """Smallest band count L at width ``bits`` whose analytic sign-LSH
+    recall floor 1 - (1 - p^bits)^L matches the BASE family's
+    1 - (1 - p^base_bits)^base_bands — the bands-for-recall half of
+    the classic LSH trade, so widening for occupancy doesn't silently
+    shrink the candidate set. Capped at dim // bits (the bands consume
+    the leading bands*bits dims); at 64 dims the cap binds above ~5
+    bits and the returned family under-recovers — production
+    embedding dims (768+) leave far more headroom, and the measured
+    recovery at the fixture dim is in SCALE_PROBE_BITS_250K.json
+    (6 bits x 8 bands: 86% of the 4-bit pair set vs 56% at 4 bands).
+    Cost model for the caller: shuffle volume scales linearly with L
+    (each vector rides the exchange L times) — linear replication
+    instead of quadratic verify."""
+    p = collision_p(threshold)
+    base = 1.0 - (1.0 - p ** base_bits) ** base_bands
+    cap = max(1, int(dim) // max(1, int(bits)))
+    L = max(1, int(base_bands))
+    while L < cap and 1.0 - (1.0 - p ** bits) ** L < base:
+        L += 1
+    return L
+
+
 def max_bucket_occupancy(
     bands: DataFrame, keys: tuple[str, ...] = ("band", "sig")
 ) -> int:

@@ -217,6 +217,66 @@ def test_sim10_auto_bits_equals_manual_pick(spark):
     assert auto == manual
 
 
+def test_bands_for_recall_analytic_match():
+    """bands_for_recall holds the Charikar-model recall floor
+    1-(1-p^B)^L at the base family's level, capped at dim // bits.
+    p at the d07 verify threshold 0.35 is ~0.614."""
+    from quacfka_spark.operators.lsh_tuning import (
+        bands_for_recall,
+        collision_p,
+    )
+
+    p = collision_p(0.35)
+    assert abs(p - 0.6138) < 1e-3
+    # identity at the base width
+    assert bands_for_recall(4, dim=64, threshold=0.35) == 4
+    # +1 bit needs 7 bands to hold the floor (6.7 analytic)
+    assert bands_for_recall(5, dim=64, threshold=0.35) == 7
+    # +2 bits wants 12 but the 64-dim cap binds at 10
+    assert bands_for_recall(6, dim=64, threshold=0.35) == 10
+    assert bands_for_recall(8, dim=64, threshold=0.35) == 8  # cap 64//8
+    # production dims have headroom: 768-dim recovers fully
+    assert bands_for_recall(6, dim=768, threshold=0.35) == 12
+    # the analytic floor really is held wherever the cap doesn't bind
+    base = 1 - (1 - p**4) ** 4
+    for bits, dim in ((5, 64), (6, 768), (8, 768)):
+        L = bands_for_recall(bits, dim=dim, threshold=0.35)
+        assert 1 - (1 - p**bits) ** L >= base
+
+
+def test_d07_auto_bands_noop_below_engagement(spark):
+    """auto_bands only acts when auto_bits actually widens; at fixture
+    scale the chooser stays at the floor, so output must equal the
+    manual default exactly."""
+    from quacfka_spark.operators.dedup import _cosine_lsh_pairs
+
+    auto = {
+        (r.i, r.j, r.cos)
+        for r in _cosine_lsh_pairs(
+            spark, SMOKE_DIR, auto=True, auto_bits=True, auto_bands=True
+        ).collect()
+    }
+    manual = {
+        (r.i, r.j, r.cos)
+        for r in _cosine_lsh_pairs(spark, SMOKE_DIR).collect()
+    }
+    assert auto == manual
+
+
+def test_d07_recovered_family_oracle_parity(spark, duck_smoke):
+    """The exact family auto_bands would pick at a forced 6-bit width
+    on 64-dim embeddings (10 bands, the dim cap) carries a matched
+    oracle like every other (bits, bands) point."""
+    from quacfka_spark.operators.dedup import _cosine_lsh_pairs, _d07_oracle
+    from quacfka_spark.operators.lsh_tuning import bands_for_recall
+
+    L = bands_for_recall(6, dim=64, threshold=0.35)
+    df = _cosine_lsh_pairs(spark, SMOKE_DIR, bits=6, bands=L).orderBy(
+        "i", "j"
+    )
+    assert compare(df, duck_smoke.sql(_d07_oracle(bits=6, bands=L))) == []
+
+
 def test_d07_more_bands_oracle_parity(spark, duck_smoke):
     """The recall-recovery knob (more bands at a wider width — linear
     shuffle cost instead of quadratic verify) also carries a matched
