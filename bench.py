@@ -86,6 +86,7 @@ HEADLINE = [
     "d10x_semdedup_recall",
     "d07x_lsh_recall",
     "d07w_lsh_wideband_pairs",
+    "d07wx_recovered_recall",
     "sim10w_knn_graph_wideband",
     # d03r_minhash_recall is registered + mirror-checked but NOT in the
     # headline: its exact-shingle-join baseline is d02-class cost (the

@@ -1671,6 +1671,111 @@ def d07x_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# d07wx — recall certification for the RECOVERED wide family: the exact
+# (bits=6, bands=10) plan auto_bands picks when the width chooser is
+# forced past the floor on 64-dim embeddings (bands_for_recall's dim-
+# capped Charikar match). Certified at the SAME 0.40 gate as the 4-bit
+# default's d07x — i.e. the driver-checked statement that recall
+# recovery restores the baseline certification level, not a weaker one.
+# measured vs d05: 0.4981 / 0.4133 / 0.4503 at sf0.001/0.01/0.1
+# (d07x 4-bit: 0.4786 / 0.4945 / 0.4781; UNrecovered 6x4: 0.21-0.24).
+_D07WX_RECALL_GATE = 0.40
+_D07WX_BITS, _D07WX_BANDS = 6, 10
+
+
+@query(
+    "d07wx_recovered_recall",
+    oracle=f"""
+    WITH rec_pairs AS (
+      {_d07_oracle(_D07WX_BITS, _D07WX_BANDS).replace("ORDER BY i, j", "")}),
+    exact_pairs AS (
+      SELECT a.vec_id AS i, b.vec_id AS j
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[]))
+            >= {_D05_THRESHOLD}),
+    u AS (
+      SELECT i, j, 1 AS in_exact, 0 AS in_rec FROM exact_pairs
+      UNION ALL
+      SELECT i, j, 0 AS in_exact, 1 AS in_rec FROM rec_pairs),
+    per AS (
+      SELECT i, j, MAX(in_exact) AS in_exact, MAX(in_rec) AS in_rec
+      FROM u GROUP BY i, j),
+    agg AS (
+      SELECT CAST(COALESCE(SUM(in_exact), 0) AS BIGINT) AS n_exact,
+             CAST(COALESCE(SUM(in_rec), 0) AS BIGINT) AS n_rec,
+             CAST(COALESCE(SUM(in_exact * in_rec), 0) AS BIGINT) AS n_common
+      FROM per)
+    SELECT n_exact, n_rec, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / NULLIF(n_exact, 0), 4) AS recall,
+           CAST(CASE WHEN n_exact = 0
+                       OR n_common >= {_D07WX_RECALL_GATE} * n_exact
+                     THEN 1 ELSE 0 END AS INTEGER) AS ok
+    FROM agg
+    """,
+    doc="Recall certification for the width-RECOVERED band family "
+    "(6 bits x 10 bands — exactly what auto_bands picks when the "
+    "salt-first chooser is forced past the 4-bit floor on 64-dim "
+    "embeddings), measured against d05's exact pair set at the SAME "
+    "0.40 gate as the 4-bit default's d07x. The driver-hashed "
+    "statement that the recall-recovery knob restores the baseline "
+    "certification level (measured 0.41-0.50 vs d07x's 0.48; the "
+    "unrecovered 6x4 family sits at 0.21-0.24 and would FAIL this "
+    "gate) — a bands_for_recall regression that silently under-"
+    "recovers flips the hash. Counts + 4dp recall + gate flag, the "
+    "d07x/d10x/d03r certification shape.",
+)
+def d07wx_recovered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same union-with-marker single-pass shape as d07x (each side's
+    pipeline evaluates once); certification key, fixture-scale by
+    role — at 100 TB the same plan runs behind a deterministic
+    sampled stratum."""
+    exact = d05_embedding_cosine(spark, sf_dir).select(
+        "i", "j", F.lit(1).alias("in_exact"), F.lit(0).alias("in_rec")
+    )
+    recp = _cosine_lsh_pairs(
+        spark, sf_dir, bits=_D07WX_BITS, bands=_D07WX_BANDS
+    ).select("i", "j", F.lit(0).alias("in_exact"), F.lit(1).alias("in_rec"))
+    per = (
+        exact.unionByName(recp)
+        .groupBy("i", "j")
+        .agg(
+            F.max("in_exact").alias("in_exact"),
+            F.max("in_rec").alias("in_rec"),
+        )
+    )
+    agg = per.agg(
+        F.coalesce(F.sum("in_exact"), F.lit(0)).cast("long").alias("n_exact"),
+        F.coalesce(F.sum("in_rec"), F.lit(0)).cast("long").alias("n_rec"),
+        F.coalesce(F.sum(F.col("in_exact") * F.col("in_rec")), F.lit(0))
+        .cast("long")
+        .alias("n_common"),
+    )
+    recall = F.round(
+        F.try_divide(
+            F.col("n_common").cast("double"),
+            F.nullif(F.col("n_exact"), F.lit(0)).cast("double"),
+        ),
+        4,
+    )
+    ok = (
+        F.when(
+            (F.col("n_exact") == 0)
+            | (
+                F.col("n_common")
+                >= F.lit(_D07WX_RECALL_GATE) * F.col("n_exact")
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    return agg.select(
+        "n_exact", "n_rec", "n_common", recall.alias("recall"), ok.alias("ok")
+    )
+
+
+# --------------------------------------------------------------------------
 # d03r — measured recall certification for d03's MinHash-LSH banding,
 # the text-side sibling of d07x (vectors): banded-candidate recall
 # against the EXACT shingle-join pair set at the same 0.7 Jaccard
