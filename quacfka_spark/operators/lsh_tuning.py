@@ -177,8 +177,9 @@ def choose_band_bits(
     target_rows * max_salt. Salt-first by design — salting splits a
     hot bucket with ZERO recall cost (the pair set is engine-tested
     identical), while every extra sign bit is a stricter collision
-    filter that drops genuine candidates (measured: -25% pairs for
-    +1 bit on the clustered probe corpus). So width engages only
+    filter that drops genuine candidates (measured: -44% pairs at
+    +2 bits on the clustered probe corpus,
+    SCALE_PROBE_BITS_250K.json). So width engages only
     where salt SATURATES: occ/max_salt > target means even the
     max-salted sub-buckets exceed the per-task budget — at the
     4-bit floor that is N > 17,100 * 16 * 16 ~= 4.4M vectors,
@@ -293,9 +294,12 @@ def bands_for_recall(
     shrink the candidate set. Capped at dim // bits (the bands consume
     the leading bands*bits dims); at 64 dims the cap binds above ~5
     bits and the returned family under-recovers — production
-    embedding dims (768+) leave far more headroom, and the measured
-    recovery at the fixture dim is in SCALE_PROBE_BITS_250K.json
-    (6 bits x 8 bands: 86% of the 4-bit pair set vs 56% at 4 bands).
+    embedding dims (768+) leave far more headroom. Measured recovery
+    at the fixture dim: the capped pick at 6 bits (10 bands) emits
+    97.0% of the 4-bit pair set vs 56% at 4 bands
+    (SCALE_PROBE_BITS_250K_RECOVERY.json), and restores the 4-bit
+    family's driver-hashed certification level (d07wx vs d07x, both
+    at the 0.40 recall-vs-d05 gate).
     Cost model for the caller: shuffle volume scales linearly with L
     (each vector rides the exchange L times) — linear replication
     instead of quadratic verify."""

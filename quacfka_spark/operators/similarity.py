@@ -1220,7 +1220,16 @@ def knn_edges(
     linearly with the corpus. ``auto_bits=True`` runs the
     occupancy-adaptive chooser on the banded frame before the
     expensive exchange — SALT-FIRST: width engages only past the
-    salt knob's recall-free spreading budget (gate * MAX_SALT). Width changes the CANDIDATE set, so sim10's
+    salt knob's recall-free spreading budget (gate * MAX_SALT).
+    No ``auto_bands`` here, deliberately: the d07 recovery rule
+    anchors its collision model at the verify THRESHOLD, which a
+    top-k kernel doesn't have (the k-th neighbor similarity is
+    data-dependent), and the 250k sweep measured more bands buying
+    agreement (96.4% at 6x8 vs 90.7% at 6x4) at a wall cost that
+    cancels the width win (49.8s vs 46.3s at the 4-bit baseline) —
+    candidate emission grows k-per-member-per-BAND in this kernel,
+    unlike d07's band-dedup'd pairs. ``bands`` stays a documented
+    manual knob for callers who value agreement over wall. Width changes the CANDIDATE set, so sim10's
     graph at a non-default width is checked by its own width-matched
     oracle (the sim10w registered key at bits=6); edge-agreement vs
     the 4-bit graph is measured in SCALE_PROBE_BITS_*.json."""
