@@ -11,8 +11,6 @@ keys carry width-matched oracles)."""
 
 from __future__ import annotations
 
-import numpy as np
-import pytest
 from pyspark.sql import functions as F
 
 from quacfka_spark.operators import lsh_tuning
