@@ -86,11 +86,10 @@ def __getattr__(name: str):
 
         return choose_band_bits
     if name == "cosine_lsh_pairs":
-        # public face of operators.dedup._cosine_lsh_pairs — the full
-        # knob surface (salt_buckets/auto, bits/bands/auto_bits) for
-        # composed vector-dedup pipelines (d08's recipe: pairs ->
-        # label_propagate -> keep-the-smallest)
-        from quacfka_spark.operators.dedup import _cosine_lsh_pairs
+        # the full knob surface (salt_buckets/auto, bits/bands/
+        # auto_bits/auto_bands) for composed vector-dedup pipelines
+        # (d08's recipe: pairs -> label_propagate -> keep-the-smallest)
+        from quacfka_spark.operators.dedup import cosine_lsh_pairs
 
-        return _cosine_lsh_pairs
+        return cosine_lsh_pairs
     raise AttributeError(name)

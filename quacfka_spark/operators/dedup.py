@@ -807,20 +807,21 @@ def _cosine_lsh_pairs(
         ).first()
         if n_vecs and dim:
             base_bits, base_bands = bits, bands
+            # min_bits=bits: a caller-configured width is the FLOOR —
+            # the chooser may widen past it but never narrows below
+            # the occupancy bound the caller asked for
             bits, occ = choose_band_bits_measured(
                 _banded,
                 int(n_vecs),
                 dim=int(dim),
                 bands=bands,
                 target_rows=D07_TARGET_ROWS,
+                min_bits=bits,
             )
             if auto_bands and bits > base_bits:
                 # width engaged -> recover candidate recall with more
                 # bands (linear shuffle cost instead of quadratic
-                # verify; lsh_tuning.bands_for_recall). Occupancy was
-                # measured at the base band count — per-bucket
-                # occupancy is ~independent of L (each band hashes
-                # disjoint dims), so the salt pick below still holds.
+                # verify; lsh_tuning.bands_for_recall)
                 bands = bands_for_recall(
                     bits,
                     dim=int(dim),
@@ -828,6 +829,14 @@ def _cosine_lsh_pairs(
                     base_bits=base_bits,
                     base_bands=base_bands,
                 )
+                if bands != base_bands:
+                    # the added bands hash DIFFERENT dims, so the hot
+                    # bucket of the widened family can exceed what was
+                    # measured over the base bands (a sign-skewed tail
+                    # dim packs a near-constant band) — drop the stale
+                    # measurement and let the salt chooser re-measure
+                    # the family that actually runs
+                    occ = None
     banded = _banded(bits)
 
     def bucket_verify(key, tbl):
@@ -1002,6 +1011,12 @@ def _cosine_lsh_pairs(
         )
         .select("i", "j", F.round("cos", 4).alias("cos"))
     )
+
+
+# public name for the composed-pipeline surface (re-exported at package
+# top level); the underscore original stays for the registered keys'
+# internal call sites
+cosine_lsh_pairs = _cosine_lsh_pairs
 
 
 # --------------------------------------------------------------------------

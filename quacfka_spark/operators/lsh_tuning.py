@@ -306,7 +306,11 @@ def bands_for_recall(
     p = collision_p(threshold)
     base = 1.0 - (1.0 - p ** base_bits) ** base_bands
     cap = max(1, int(dim) // max(1, int(bits)))
-    L = max(1, int(base_bands))
+    # clamp the starting point too: base_bands can itself exceed the
+    # cap at this width (e.g. 4 base bands at 8 bits on 16-dim
+    # embeddings), and bands beyond dim//bits hash only out-of-range
+    # dims — every vector lands in one '000...' bucket per such band
+    L = max(1, min(int(base_bands), cap))
     while L < cap and 1.0 - (1.0 - p ** bits) ** L < base:
         L += 1
     return L

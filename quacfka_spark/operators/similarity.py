@@ -1266,12 +1266,18 @@ def knn_edges(
             F.count(F.lit(1)), F.min(F.size("embedding"))
         ).first()
         if n_vecs and dim:
+            # min_bits=bits: a caller-configured width is the FLOOR
+            # (see d07). The measured occupancy is NOT reused for the
+            # salt pick: choose_salt_topk needs the hot-bucket COUNT,
+            # which the width chooser's max-only agg doesn't compute —
+            # its one extra narrow agg below is the documented cost.
             bits, _occ = choose_band_bits_measured(
                 _banded,
                 int(n_vecs),
                 dim=int(dim),
                 bands=bands,
                 target_rows=SIM10_TARGET_ROWS,
+                min_bits=bits,
             )
     banded = _banded(bits)
 

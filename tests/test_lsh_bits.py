@@ -242,6 +242,59 @@ def test_bands_for_recall_analytic_match():
         assert 1 - (1 - p**bits) ** L >= base
 
 
+def test_bands_for_recall_never_exceeds_dim_cap():
+    """The cap must bind even when base_bands itself exceeds it —
+    bands past dim // bits hash only out-of-range dims (every vector
+    in one '000...' bucket per band: an N^2 single-task trap)."""
+    from quacfka_spark.operators.lsh_tuning import bands_for_recall
+
+    assert bands_for_recall(8, dim=16, threshold=0.35) == 2
+    assert bands_for_recall(16, dim=32, threshold=0.35) == 2
+
+
+def test_d07wx_family_is_the_auto_bands_pick():
+    """d07wx certifies 'exactly what auto_bands picks at a forced
+    6-bit width on 64-dim embeddings' — pin the constant to the
+    chooser so a bands_for_recall change can't silently decouple
+    the certified family from the adaptive path."""
+    from quacfka_spark.operators.dedup import (
+        _D05_THRESHOLD,
+        _D07WX_BANDS,
+        _D07WX_BITS,
+    )
+    from quacfka_spark.operators.lsh_tuning import bands_for_recall
+
+    assert (
+        bands_for_recall(_D07WX_BITS, dim=64, threshold=_D05_THRESHOLD)
+        == _D07WX_BANDS
+    )
+
+
+def test_auto_bits_respects_caller_width_floor(spark):
+    """A caller-configured bits value is the FLOOR under auto_bits:
+    the chooser may widen but never narrows below it. At fixture
+    scale nothing escalates, so the output must equal the manual
+    6-bit plan, not the 4-bit default."""
+    from quacfka_spark.operators.dedup import _cosine_lsh_pairs
+
+    auto = {
+        (r.i, r.j, r.cos)
+        for r in _cosine_lsh_pairs(
+            spark, SMOKE_DIR, bits=6, auto_bits=True
+        ).collect()
+    }
+    manual6 = {
+        (r.i, r.j, r.cos)
+        for r in _cosine_lsh_pairs(spark, SMOKE_DIR, bits=6).collect()
+    }
+    manual4 = {
+        (r.i, r.j, r.cos)
+        for r in _cosine_lsh_pairs(spark, SMOKE_DIR).collect()
+    }
+    assert auto == manual6
+    assert auto != manual4  # the floor actually held
+
+
 def test_d07_auto_bands_noop_below_engagement(spark):
     """auto_bands only acts when auto_bits actually widens; at fixture
     scale the chooser stays at the floor, so output must equal the

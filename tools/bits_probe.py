@@ -258,7 +258,10 @@ def main() -> None:
                 if fam == "d07"
                 else (lambda s, d: knn_edges(s, d, auto=True))
             )
-            base = base_fn(spark, args.dir).select("i", "j")
+            # materialize the 4-bit base once: each comparison's
+            # .count() would otherwise re-execute the full base plan
+            # (~6 min at 1M for d07) per width/config
+            base = base_fn(spark, args.dir).select("i", "j").localCheckpoint()
             combos = [(b, 4) for b in widths if b != 4] + configs
             for b, nb in combos:
                 wide_fn = (
