@@ -666,7 +666,8 @@ def d07_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "~4-8M vectors at the fixed 4-bit width. Width changes the "
     "candidate set (stricter collision filter), so unlike the salt "
     "knob this key has its OWN width-matched oracle "
-    "(_d07_oracle(bits=6) mirrors the same 4x6 deterministic band "
+    "(_d07_oracle(bits=6) mirrors the same 6-bit x 4-band (6x4) "
+    "deterministic band "
     "family) proving exact Spark/DuckDB parity away from the 4x4 "
     "default — i.e. the adaptive path stays oracle-checkable at "
     "whatever width the chooser lands on. Recall-vs-width is measured "
@@ -771,6 +772,7 @@ def _cosine_lsh_pairs(
     """
     from quacfka_spark.operators.lsh_tuning import (
         D07_TARGET_ROWS,
+        MAX_SALT,
         salt_for_occupancy,
         sign_band_cols,
     )
@@ -809,7 +811,14 @@ def _cosine_lsh_pairs(
             base_bits, base_bands = bits, bands
             # min_bits=bits: a caller-configured width is the FLOOR —
             # the chooser may widen past it but never narrows below
-            # the occupancy bound the caller asked for
+            # the occupancy bound the caller asked for.
+            # max_salt mirrors the salt plan that ACTUALLY runs
+            # (advisor r9): with auto salting the full MAX_SALT
+            # spreading budget is real, but a manual/disabled salt
+            # (auto=False) leaves hot buckets unsalted at whatever S
+            # the caller fixed — the width budget must reflect that,
+            # or buckets inside the phantom salt budget stay unsplit
+            # AND unsalted (single-task occ^2 verify work).
             bits, occ = choose_band_bits_measured(
                 _banded,
                 int(n_vecs),
@@ -817,6 +826,7 @@ def _cosine_lsh_pairs(
                 bands=bands,
                 target_rows=D07_TARGET_ROWS,
                 min_bits=bits,
+                max_salt=MAX_SALT if auto else max(1, int(salt_buckets)),
             )
             if auto_bands and bits > base_bits:
                 # width engaged -> recover candidate recall with more

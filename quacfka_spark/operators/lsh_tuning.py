@@ -144,16 +144,23 @@ def sign_band_cols(
 
 
 def sign_band_sql(
-    bits: int, bands: int, src: str = "embeddings", where: str = ""
+    bits: int,
+    bands: int,
+    src: str = "embeddings",
+    where: str = "",
+    col: str = "embedding",
 ) -> str:
     """DuckDB mirror of :func:`sign_band_cols`: a UNION ALL of one
     (vec_id, band, sig) select per band — the oracle half of the
     width-parameterized band family, so parity is checkable at ANY
-    (bits, bands), not only the registered 4x4 default."""
+    (bits, bands), not only the registered 4-bit x 4-band default.
+    ``col`` names the vector column (matching sign_band_cols' col
+    argument) so a non-default ``src`` whose embedding column differs
+    still renders correct SQL."""
     selects = []
     for b in range(bands):
         chars = " || ".join(
-            f"(CASE WHEN embedding[{b * bits + k + 1}] > 0 "
+            f"(CASE WHEN {col}[{b * bits + k + 1}] > 0 "
             "THEN '1' ELSE '0' END)"
             for k in range(bits)
         )
@@ -224,13 +231,21 @@ def choose_band_bits_measured(
     Escalation rule: while occ > target * max_salt and B < dim //
     bands, add ceil(log2(occ / (target * max_salt))) bits — the
     benign model's prediction of the needed split — and re-measure.
-    STOP early when a step fails to shrink occupancy below 75% of
-    the previous measurement: sign bits that no longer split the
-    bucket mean its mass is near-identical vectors (they agree on
-    every dim's sign), which no width can separate; stay at the
-    narrower width (recall is the scarce resource) and let salt
+    The commit criterion SCALES WITH THE STEP (advisor r9: a flat
+    <25% bound let a multi-bit jump commit several bits of recall
+    for one bit's worth of relief): an s-bit jump commits only if
+    occ shrinks below 0.75 * occ / 2^(s-1) — i.e. every added bit
+    beyond the first must fully halve the bucket, and the first
+    needs the original 25% (a benign split shrinks by 2^s and always
+    passes). A multi-bit jump that under-delivers falls back to ONE
+    re-measured bit before stopping, so useful leading bits of a
+    partly-splittable bucket aren't discarded with the jump. STOP
+    when a single bit fails the 25% bound: sign bits that no longer
+    split the bucket mean its mass is near-identical vectors (they
+    agree on every dim's sign), which no width can separate; stay at
+    the narrower width (recall is the scarce resource) and let salt
     spread the residual. Expected measurements: 1 for benign corpora
-    (the analytic guess lands), 2-3 for clustered ones — each a
+    (the analytic guess lands), 2-4 for clustered ones — each a
     cheap aggregation, the same runtime-statistics pattern AQE
     applies.
 
@@ -255,12 +270,23 @@ def choose_band_bits_measured(
         while (occ >> step) > budget:
             step += 1
         nb = min(max_bits, b + step)
+        step = nb - b
         nocc = max_bucket_occupancy(bands_builder(nb), keys)
-        if nocc > 0.75 * occ:
-            # width stopped helping (<25% shrink for `step` extra
-            # bits) -> the hot mass is near-identical vectors; stay
-            # at the NARROWER width and let salt spread the residual
-            return b, occ
+        if nocc * (1 << (step - 1)) > 0.75 * occ:
+            # the jump under-delivered against the step-scaled bound
+            # (every bit beyond the first must halve the bucket; the
+            # first needs >= 25% shrink — benign splits always pass).
+            # Before concluding width stopped helping, probe a SINGLE
+            # bit: a partly-splittable bucket can justify its leading
+            # bits even when the full jump doesn't.
+            if step > 1:
+                nb = b + 1
+                nocc = max_bucket_occupancy(bands_builder(nb), keys)
+            if nocc > 0.75 * occ:
+                # width stopped helping -> the hot mass is near-
+                # identical vectors; stay at the NARROWER width and
+                # let salt spread the residual
+                return b, occ
         b, occ = nb, nocc
     return b, occ
 

@@ -1081,7 +1081,8 @@ def sim10_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     "spread). Width changes which candidates each bucket sees, so "
     "the graph differs from the 4-bit default by construction; this "
     "key's width-matched oracle (_sim10_oracle(bits=6), same "
-    "deterministic 4x6 band family) proves exact Spark/DuckDB parity "
+    "deterministic 6-bit x 4-band (6x4) family) proves exact "
+    "Spark/DuckDB parity "
     "away from the registered default — the adaptive path "
     "(knn_edges(auto_bits=True)) stays oracle-checkable at whatever "
     "width the chooser lands on. Edge-agreement vs the 4-bit graph "
@@ -1258,6 +1259,7 @@ def knn_edges(
 
     if auto_bits:
         from quacfka_spark.operators.lsh_tuning import (
+            MAX_SALT,
             SIM10_TARGET_ROWS,
             choose_band_bits_measured,
         )
@@ -1271,6 +1273,9 @@ def knn_edges(
             # salt pick: choose_salt_topk needs the hot-bucket COUNT,
             # which the width chooser's max-only agg doesn't compute —
             # its one extra narrow agg below is the documented cost.
+            # max_salt mirrors the salt plan that actually runs (see
+            # d07): a manual/disabled salt must not inflate the width
+            # budget with spreading that never engages.
             bits, _occ = choose_band_bits_measured(
                 _banded,
                 int(n_vecs),
@@ -1278,6 +1283,7 @@ def knn_edges(
                 bands=bands,
                 target_rows=SIM10_TARGET_ROWS,
                 min_bits=bits,
+                max_salt=MAX_SALT if auto else max(1, int(salt_groups)),
             )
     banded = _banded(bits)
 

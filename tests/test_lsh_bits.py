@@ -151,6 +151,30 @@ def test_measured_width_stops_on_cluster_mass(spark):
     assert lsh_tuning.salt_for_occupancy(occ, 100) == 10
 
 
+def test_measured_width_jump_falls_back_to_single_bit(spark):
+    """Step-scaled commit criterion (advisor r9): a multi-bit jump
+    must shrink occupancy below 0.75 * occ / 2^(step-1) — one bit's
+    worth of relief no longer buys several bits of recall. When the
+    jump under-delivers but the bucket is PARTLY splittable, the
+    single-bit fallback keeps the leading bit instead of discarding
+    the whole jump (the old flat 25% rule would have committed all
+    4 bits here for a 51% shrink)."""
+    occs = {4: 1000, 5: 490, 6: 489, 8: 488}
+
+    def build(bits: int):
+        return spark.range(occs[bits]).select(
+            F.lit(0).alias("band"), F.lit("x").alias("sig")
+        )
+
+    bits, occ = choose_band_bits_measured(
+        build, 1000, dim=64, bands=4, target_rows=100, max_salt=1
+    )
+    # jump 4->8 shrinks only to 488 (fails 3904 > 750); fallback bit
+    # 5 shrinks to 490 (passes 490 <= 750); the next jump 5->8 fails
+    # again (1952 > 367) and bit 6 fails the 25% bound -> stop at 5.
+    assert (bits, occ) == (5, 490)
+
+
 def test_salt_for_occupancy_matches_choose_salt(spark):
     """The split-out occupancy->salt rule (reused by auto_bits without
     a second agg) is the same function choose_salt applies."""
