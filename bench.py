@@ -88,6 +88,7 @@ HEADLINE = [
     "d07w_lsh_wideband_pairs",
     "d07wx_recovered_recall",
     "sim10w_knn_graph_wideband",
+    "sim10wx_wideband_agreement",
     # d03r_minhash_recall is registered + mirror-checked but NOT in the
     # headline: its exact-shingle-join baseline is d02-class cost (the
     # same reason d02 itself isn't here) — certification keys ride the
@@ -195,7 +196,11 @@ def build_headline_line(
     the parsed line so a stall-heavy driver window is distinguishable
     from a code regression FROM THE ARTIFACT ALONE — med_total/value
     near 1.0 means the samples agree (clean window); a large ratio
-    means the non-best samples carry multi-second stalls."""
+    means the non-best samples carry multi-second stalls, and
+    spread.stalls names WHICH queries' samples scattered (per-sample
+    wall times, so the stalled sample is identifiable by eye). If the
+    line still overflows after query-map trimming, stalls is the
+    first evidence dropped (it also lives in BENCH_STATS.json)."""
     headline = {
         "metric": "headline_query_wall_time",
         "value": round(sum(timings.values()), 4) if value is None else value,
@@ -235,6 +240,13 @@ def build_headline_line(
         headline["n_queries"] = len(timings)
         line = json.dumps(headline, separators=(",", ":"))
         keep_n -= 8
+    if len(line) > LINE_BUDGET and spread and "stalls" in spread:
+        # stall detail is secondary evidence (full copy in
+        # BENCH_STATS.json) — shed it before error names
+        headline["spread"] = {
+            k: v for k, v in spread.items() if k != "stalls"
+        }
+        line = json.dumps(headline, separators=(",", ":"))
     if len(line) > LINE_BUDGET and errors:
         # last resort: error DETAIL is in stderr/BENCH_STATS.json — the
         # parseable line only needs the failing names.
@@ -402,13 +414,31 @@ def main() -> None:
     # sum of per-query MEDIANS, max_total of maxes, rerun the size of
     # the targeted third pass. med_total/value ~ 1.0-1.15 = samples
     # agree (clean window, value is trustworthy); >> 1.2 = the window
-    # carried stalls and value is the stall-free floor.
+    # carried stalls and value is the stall-free floor. "stalls"
+    # (round-9 verdict #4) NAMES the scattered queries so the
+    # artifact says WHICH samples stalled, not only that some did:
+    # per-sample wall times (1dp) for every query whose spread
+    # max-min exceeds max(1 s, 50% of its best) — a [1.2, 14.8, 1.3]
+    # entry is one stalled middle sample, while uniformly slow
+    # samples (a regression, not a stall) never appear here. Capped
+    # at the 6 widest so the line stays inside LINE_BUDGET.
+    stalled = {
+        n: [round(t, 1) for t in ts]
+        for n, ts in samples.items()
+        if max(ts) - min(ts) > max(1.0, 0.5 * min(ts))
+    }
+    stalled = dict(
+        sorted(
+            stalled.items(), key=lambda kv: min(kv[1]) - max(kv[1])
+        )[:6]
+    )
     spread = {
         "med_total": round(
             sum(statistics.median(ts) for ts in samples.values()), 1
         ),
         "max_total": round(sum(max(ts) for ts in samples.values()), 1),
         "rerun": len(hot),
+        **({"stalls": stalled} if stalled else {}),
     }
 
     # Full detail (per-query best/median/max + untrimmed ingest reports)

@@ -362,18 +362,80 @@ def minhash_pairs(
 
 
 # --------------------------------------------------------------------------
+def _d03p_oracle() -> str:
+    """The xxhash64 MinHash chain replicated in DuckDB SQL — the
+    round-9 verdict's carried ask #2. xxHash64 is a public
+    deterministic spec with only fold-shaped loops, so it renders as
+    list_reduce folds over HUGEINT arithmetic (operators/xxh64_sql.py,
+    fuzz-proven bit-identical to Spark's JVM implementation). Spark's
+    ``xxhash64(lit(i), s)`` chains hashInt(i, 42) into the string
+    hash's seed — a constant per i, folded at SQL-build time; the
+    band signature ``xxhash64(mh0, mh1, mh2)`` is the hashLong chain
+    (long_chain_stages). Docs whose shingle set is EMPTY are excluded
+    from the band CTE: on the Spark side their minhashes are NULL, so
+    every such doc lands in the constant seed-42 bucket, and any
+    candidate pair it forms has NULL/0 Jaccard — never >= 0.7, so the
+    VERIFIED output is identical with or without them."""
+    from quacfka_spark.operators.xxh64_sql import (
+        hash_int,
+        long_chain_stages,
+        str_hash_ctes,
+    )
+
+    seeds = {i: hash_int(i, 42) for i in range(_MINHASH_N)}
+    str_ctes, str_out = str_hash_ctes("xd", seeds, "xx")
+    long_ctes, long_out = long_chain_stages(
+        "mhp", ["m0", "m1", "m2"], "sig", "xl"
+    )
+    return f"""
+    WITH toks AS ({_ORACLE_TOKS}),
+    sh AS ({_ORACLE_SHINGLES}),
+    ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    xd AS (SELECT DISTINCT s FROM ex),
+    {str_ctes},
+    mh AS (
+      SELECT e.doc_id, x.i, MIN(x.hs) AS m
+      FROM ex e JOIN {str_out} x ON x.s = e.s
+      GROUP BY e.doc_id, x.i),
+    mhp AS (
+      SELECT doc_id, i // {_BAND_SIZE} AS band,
+        MAX(CASE WHEN i % {_BAND_SIZE} = 0 THEN m END) AS m0,
+        MAX(CASE WHEN i % {_BAND_SIZE} = 1 THEN m END) AS m1,
+        MAX(CASE WHEN i % {_BAND_SIZE} = 2 THEN m END) AS m2
+      FROM mh GROUP BY doc_id, i // {_BAND_SIZE}){long_ctes},
+    bands AS (SELECT doc_id, band, sig FROM {long_out}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    n AS (SELECT doc_id, len(shs) AS n FROM sh),
+    common AS (
+      SELECT c.i, c.j, COUNT(*) AS c
+      FROM cand c JOIN ex a ON a.doc_id = c.i
+                  JOIN ex b ON b.doc_id = c.j AND b.s = a.s
+      GROUP BY c.i, c.j)
+    SELECT c.i, c.j, ROUND(c.c * 1.0 / (na.n + nb.n - c.c), 4) AS jaccard
+    FROM common c JOIN n na ON na.doc_id = c.i JOIN n nb ON nb.doc_id = c.j
+    WHERE c.c * 1.0 / (na.n + nb.n - c.c) >= 0.7
+    ORDER BY i, j
+    """
+
+
 @query(
     "d03p_minhash_xxhash_pairs",
-    oracle=None,
+    oracle=_d03p_oracle(),
     doc="d03's production hash family: MinHash+LSH with seeded xxhash64 "
     "instead of md5 — identical plan shape (signature folds in one "
     "projection, one reused band exchange, Jaccard verify on candidates "
     "only) but native 64-bit hashes end to end: no hex strings "
     "materialize and the band shuffle key is 8 bytes, which is why this "
-    "is the 100 TB configuration. xxhash64 has no DuckDB builtin, so "
-    "this key has no SQL oracle (rows-only driver check); its "
-    "correctness rides on d03x_minhash_xxhash, which oracle-checks the "
-    "verified pair set against the md5 family's.",
+    "is the 100 TB configuration. Oracle-checked since round 10: the "
+    "public xxHash64 spec is replicated as DuckDB SQL folds "
+    "(operators/xxh64_sql.py), so the ENTIRE production chain — seeded "
+    "per-shingle hashes, minhash folds, hashLong band signatures, "
+    "banded candidates, exact Jaccard verify — hash-matches engine-vs-"
+    "oracle like every other dedup key. d03x_minhash_xxhash remains as "
+    "the cross-family agreement regression gate.",
 )
 def d03p_minhash_xxhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -386,13 +448,16 @@ def d03p_minhash_xxhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d03x_minhash_xxhash",
     oracle="SELECT CAST(1 AS INTEGER) AS ok",
-    doc="Self-verifying agreement check for the xxhash64 production "
-    "family (q06 pattern — different hash families can't hash-match an "
-    "engine-specific oracle): both families' Jaccard-VERIFIED pair sets "
-    "(threshold 0.7) must agree to >= 95% set-Jaccard. Verify-stage "
-    "precision is exact in both (candidates are re-scored with true "
-    "Jaccard), so any disagreement is LSH recall on boundary pairs — "
-    "bounded here, and empirically zero on the fixtures.",
+    doc="Cross-family agreement gate for the xxhash64 production "
+    "family: both families' Jaccard-VERIFIED pair sets (threshold 0.7) "
+    "must agree to >= 95% set-Jaccard. Verify-stage precision is exact "
+    "in both (candidates are re-scored with true Jaccard), so any "
+    "disagreement is LSH recall on boundary pairs — bounded here, and "
+    "empirically zero on the fixtures. RETIRED from load-bearing duty "
+    "in round 10: d03p now carries its own exact oracle (the xxHash64 "
+    "spec replicated as DuckDB SQL, operators/xxh64_sql.py), so this "
+    "key survives as the regression check that the two hash families "
+    "keep finding the same near-dups.",
 )
 def d03x_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One union-with-marker aggregation, NOT intersect + union.distinct:

@@ -1094,6 +1094,154 @@ def sim10w_knn_graph_wideband(
     return knn_edges(spark, sf_dir, bits=6).orderBy("i", "rnk")
 
 
+# --------------------------------------------------------------------------
+# sim10wx — width-engagement quality gate for the TOP-K kernel (round-9
+# verdict ask #5): d07 certifies its width cost through d07wx (recall vs
+# the exact pair set); a top-k kernel has no verify threshold to anchor
+# an exact-recall statement, so its measured quality currency is EDGE
+# AGREEMENT vs the 4-bit default graph — the same metric the 250k/1M
+# probes report (90.7% at 6x4, 96.4% at 6x8,
+# SCALE_PROBE_BITS_250K.json / _1M_SIM10.json). This key registers that
+# measurement as a driver-hashed value: agreement of the 6x4 family
+# (sim10w, what a forced width runs) AND the 6x8 family (the documented
+# manual ``bands`` recovery knob) vs the default graph, each gated.
+# Fixture-scale agreement is MUCH lower than the probe's — 0.31-0.35
+# (6x4) / 0.39-0.44 (6x8) at sf0.001-0.1 vs 0.907/0.964 at 250k —
+# because the fixtures' buckets are near-singletons at 6 bits (the
+# k-th-neighbor cosine is low, so a stricter collision filter replaces
+# most candidate pools outright), while the probe's clustered corpus
+# keeps dense buckets where top-5 is stable. The gates are therefore
+# fixture-scale floors (0.25 / 0.30), NOT the production-scale claim;
+# the 4dp agreement values are value-hashed, so ANY banding or
+# selection regression flips the hash long before it crosses a gate.
+_SIM10WX_GATE_WIDE = 0.25  # 6x4 measured 0.3132/0.3436/0.3488
+_SIM10WX_GATE_REC = 0.30  # 6x8 measured 0.3900/0.4112/0.4374
+_SIM10WX_REC_BANDS = 8
+
+
+def _sim10wx_oracle() -> str:
+    base = _sim10_oracle().replace("ORDER BY i, rnk", "")
+    wide = _sim10_oracle(bits=6).replace("ORDER BY i, rnk", "")
+    rec = _sim10_oracle(bits=6, bands=_SIM10WX_REC_BANDS).replace(
+        "ORDER BY i, rnk", ""
+    )
+    return f"""
+    WITH base_e AS (SELECT i, j FROM ({base}) t),
+    wide_e AS (SELECT i, j FROM ({wide}) t),
+    rec_e AS (SELECT i, j FROM ({rec}) t),
+    u AS (
+      SELECT i, j, 1 AS in_base, 0 AS in_w, 0 AS in_r FROM base_e
+      UNION ALL
+      SELECT i, j, 0, 1, 0 FROM wide_e
+      UNION ALL
+      SELECT i, j, 0, 0, 1 FROM rec_e),
+    per AS (
+      SELECT i, j, MAX(in_base) AS in_base, MAX(in_w) AS in_w,
+             MAX(in_r) AS in_r
+      FROM u GROUP BY i, j),
+    agg AS (
+      SELECT CAST(COALESCE(SUM(in_base), 0) AS BIGINT) AS n_base,
+             CAST(COALESCE(SUM(in_base * in_w), 0) AS BIGINT) AS n_w,
+             CAST(COALESCE(SUM(in_base * in_r), 0) AS BIGINT) AS n_r
+      FROM per)
+    SELECT n_base, n_w, n_r,
+           ROUND(CAST(n_w AS DOUBLE) / NULLIF(n_base, 0), 4) AS agree_wide,
+           ROUND(CAST(n_r AS DOUBLE) / NULLIF(n_base, 0), 4) AS agree_rec,
+           CAST(CASE WHEN n_base = 0
+                       OR (n_w >= {_SIM10WX_GATE_WIDE} * n_base
+                           AND n_r >= {_SIM10WX_GATE_REC} * n_base)
+                     THEN 1 ELSE 0 END AS INTEGER) AS ok
+    FROM agg
+    """
+
+
+@query(
+    "sim10wx_wideband_agreement",
+    oracle=_sim10wx_oracle(),
+    doc="Width-engagement quality certification for the top-k kernel "
+    "(the d07wx sibling, in the metric a top-k kernel actually has): "
+    "edge agreement of the 6-bit graphs — 6x4 (the sim10w registered "
+    "width) and 6x8 (the documented manual bands recovery knob) — vs "
+    "the 4-bit default graph, as driver-hashed counts + 4dp "
+    "agreements + a dual gate (>= 0.25 / >= 0.30, the fixture-scale "
+    "floors; fixture buckets are near-singletons at 6 bits, so these "
+    "sit far below the 250k probe's 0.907/0.964 — see the module "
+    "comment). More bands must measurably buy agreement back: a "
+    "banding or selection regression that silently degrades either "
+    "family flips the hash even inside the gates.",
+)
+def sim10wx_wideband_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single-pass union-with-marker shape (d07x/d07wx): each graph's
+    pipeline evaluates once; certification key, fixture-scale by role
+    — at 100 TB the same statement runs on a sampled stratum."""
+    base = knn_edges(spark, sf_dir).select(
+        "i", "j", F.lit(1).alias("in_base"), F.lit(0).alias("in_w"),
+        F.lit(0).alias("in_r"),
+    )
+    wide = knn_edges(spark, sf_dir, bits=6).select(
+        "i", "j", F.lit(0).alias("in_base"), F.lit(1).alias("in_w"),
+        F.lit(0).alias("in_r"),
+    )
+    rec = knn_edges(
+        spark, sf_dir, bits=6, bands=_SIM10WX_REC_BANDS
+    ).select(
+        "i", "j", F.lit(0).alias("in_base"), F.lit(0).alias("in_w"),
+        F.lit(1).alias("in_r"),
+    )
+    per = (
+        base.unionByName(wide)
+        .unionByName(rec)
+        .groupBy("i", "j")
+        .agg(
+            F.max("in_base").alias("in_base"),
+            F.max("in_w").alias("in_w"),
+            F.max("in_r").alias("in_r"),
+        )
+    )
+    agg = per.agg(
+        F.coalesce(F.sum("in_base"), F.lit(0)).cast("long").alias("n_base"),
+        F.coalesce(F.sum(F.col("in_base") * F.col("in_w")), F.lit(0))
+        .cast("long")
+        .alias("n_w"),
+        F.coalesce(F.sum(F.col("in_base") * F.col("in_r")), F.lit(0))
+        .cast("long")
+        .alias("n_r"),
+    )
+    agree_w = F.round(
+        F.try_divide(
+            F.col("n_w").cast("double"),
+            F.nullif(F.col("n_base"), F.lit(0)).cast("double"),
+        ),
+        4,
+    )
+    agree_r = F.round(
+        F.try_divide(
+            F.col("n_r").cast("double"),
+            F.nullif(F.col("n_base"), F.lit(0)).cast("double"),
+        ),
+        4,
+    )
+    ok = (
+        F.when(
+            (F.col("n_base") == 0)
+            | (
+                (F.col("n_w") >= F.lit(_SIM10WX_GATE_WIDE) * F.col("n_base"))
+                & (F.col("n_r") >= F.lit(_SIM10WX_GATE_REC) * F.col("n_base"))
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    return agg.select(
+        "n_base", "n_w", "n_r",
+        agree_w.alias("agree_wide"), agree_r.alias("agree_rec"),
+        ok.alias("ok"),
+    )
+
+
 def _sim10_topk_block(ids_x, mx, ids_y, my, self_pairs: bool):
     """Per-row top-k of x members over y candidates — the shared
     selection core of the unsalted bucket kernel (x == y, self pairs

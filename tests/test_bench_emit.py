@@ -127,6 +127,42 @@ def test_spread_block_rides_the_line_under_budget():
     assert d["spread"] == spread
 
 
+def test_spread_stall_markers_ride_then_shed():
+    """Round-10 (r9 verdict #4): per-query stall markers — the
+    per-sample wall times of scattered queries — ride the parsed line
+    with the full headline set, and are the FIRST evidence shed when
+    the line would overflow (full copy stays in BENCH_STATS.json)."""
+    timings = {name: 1.23 for name in HEADLINE}
+    spread = {
+        "med_total": 81.4, "max_total": 112.9, "rerun": 12,
+        "stalls": {
+            f"q{i:02d}_some_scattered_query": [1.2, 14.8, 1.3]
+            for i in range(6)
+        },
+    }
+    line = build_headline_line(
+        timings, 0.1, _INGEST, _INGEST,
+        ingest_wide=_INGEST_WIDE, ingest_streaming_wide=_INGEST_WIDE,
+        spread=spread,
+    )
+    assert len(line) <= LINE_BUDGET, len(line)
+    d = json.loads(line)
+    assert d["spread"]["stalls"]["q00_some_scattered_query"] == [1.2, 14.8, 1.3]
+    # overflow path: 200 long-named queries + 4 long ingest blocks ->
+    # stalls shed, core spread stats survive, line parses
+    big = _fake_timings(200)
+    line2 = build_headline_line(
+        big, 0.1, _INGEST, _INGEST,
+        errors={f"q{i:02d}_failing_operator": "e" * 200 for i in range(10)},
+        ingest_wide=_INGEST_WIDE, ingest_streaming_wide=_INGEST_WIDE,
+        spread=spread,
+    )
+    assert len(line2) <= LINE_BUDGET, len(line2)
+    d2 = json.loads(line2)
+    assert d2["spread"]["med_total"] == 81.4
+    assert "stalls" not in d2["spread"]
+
+
 def test_unconditional_guard_without_errors_map():
     """Advisor r8: long strings in the ingest blocks with NO errors map
     must still shrink to a parseable under-budget line (the old guard

@@ -383,6 +383,24 @@ def test_more_bands_recover_recall_monotonically(spark):
     assert p4 <= p8
 
 
+def test_sim10wx_agreement_gate(spark, duck_smoke):
+    """The top-k width certification key (r9 ask #5): edge agreement
+    of the 6x4 and 6x8 graphs vs the 4-bit default, oracle-matched
+    and inside both gates, with the bands knob measurably buying
+    agreement back (the fixture-scale direction of the probe's
+    90.7% -> 96.4%)."""
+    from quacfka_spark.operators.similarity import (
+        _sim10wx_oracle,
+        sim10wx_wideband_agreement,
+    )
+
+    df = sim10wx_wideband_agreement(spark, SMOKE_DIR)
+    assert compare(df, duck_smoke.sql(_sim10wx_oracle())) == []
+    row = df.collect()[0]
+    assert row.ok == 1
+    assert row.agree_rec > row.agree_wide  # more bands -> more agreement
+
+
 def test_wideband_pairs_are_exact_verified_subset(spark):
     """Width trades candidate RECALL, never precision: every pair the
     6-bit plan emits must appear in d05's exact all-pairs ground truth
