@@ -506,6 +506,7 @@ def run_streaming_ingest_bench(
     epochs: int = 2,
     deadline: float | None = None,
     shape: str = "small",
+    file_grain: int = 1,
 ) -> dict:
     """Same measurement through the actual StreamingPipeline orchestrator
     (foreachBatch, rotation epochs, post-publish, metrics) — the full
@@ -520,7 +521,18 @@ def run_streaming_ingest_bench(
     total rows/s while 2M-row epochs reach ~2M on the same box — and a
     PURE BATCH write of the same 500k-row chunk costs the same, so the
     overhead is chunk size, not the orchestrator). Rotation cadence
-    (D15/D16) is the user's knob for this trade at deployment time."""
+    (D15/D16) is the user's knob for this trade at deployment time.
+
+    ``file_grain`` multiplies source-file count and the per-trigger
+    file quota together (epoch/batch count unchanged): each micro-batch
+    processes grain x cores tasks of payload/grain size instead of one
+    task wave of full-size files. Measured on the wide shape at 2.2M
+    rows (r10, same window): grain 4 = 259.8 MB/s vs ~198 at grain 1 —
+    a micro-batch is a BARRIER, so one straggler in a 32-task wave
+    idles 31 cores until the batch commits, and finer tasks shrink the
+    straggler tail the way a 4x-cores shuffle-partition count does for
+    joins. Grain 1 stays the default for the small-shape continuity
+    series (its ~2 s passes are commit-bound, not straggler-bound)."""
     from quacfka_spark.plans.normalizer import NormalizerSpec
     from quacfka_spark.streaming import PipelineConfig, StreamingPipeline
 
@@ -530,12 +542,15 @@ def run_streaming_ingest_bench(
     out = os.path.join(work_dir, "out")
     shutil.rmtree(work_dir, ignore_errors=True)
     fmt, encode, decode = _codec(spark, sh)
-    mb = _gen_bytes(spark, rows, src, cores * epochs, encode, sh.payload)
+    grain = max(1, int(file_grain))
+    mb = _gen_bytes(
+        spark, rows, src, cores * epochs * grain, encode, sh.payload
+    )
 
     def one_pass(i: int) -> tuple[float, dict]:
         source = (
             spark.readStream.schema("value binary")
-            .option("maxFilesPerTrigger", str(cores))
+            .option("maxFilesPerTrigger", str(cores * grain))
             .parquet(src)
         )
         pipe = StreamingPipeline(
@@ -1003,13 +1018,32 @@ def main() -> None:
         ),
     )
     wide_rows = out["ingest_wide"].get("records_consumed", _CALIB_ROWS // 2)
+    # Pass-length fix (r9 verdict #3, INGEST_WIDE_STREAM_GRID.json):
+    # each orchestrator pass pays ~1.5-2 s of fixed setup (streaming
+    # query start, checkpoint init, micro-batch commits, stop) that the
+    # old sizing — the batch phase's cold-calibrated row count, ~3.5 s
+    # passes — never amortized: the streaming block read 190 MB/s in
+    # windows where the same pipeline's asymptotic rate was 300+. Size
+    # the streaming pass to ~8 s of payload at the batch phase's
+    # MEASURED best rate instead (the best pass is the right estimator:
+    # a stalled calibration must not lock in short passes), floored at
+    # the old sizing and capped at DEFAULT_ROWS. Longer passes are also
+    # the faithful shape — the reference's rotation unit is ~30 s of
+    # ingest (README.md:170), not 3 s.
+    wide_rate = out["ingest_wide"].get("records_per_second", 0)
+    stream_wide_rows = max(
+        _CALIB_ROWS // 8,
+        wide_rows,
+        min(DEFAULT_ROWS, int(wide_rate * 8) // 10_000 * 10_000),
+    )
     phase(
         "ingest_streaming_wide", 0.24, 60,
         lambda end: run_streaming_ingest_bench(
             spark,
-            rows=max(_CALIB_ROWS // 8, wide_rows),
+            rows=stream_wide_rows,
             deadline=end,
             shape="wide",
+            file_grain=4,
             work_dir="/tmp/quacfka_spark_ingest_stream_wide",
         ),
     )

@@ -63,6 +63,26 @@ def main() -> None:
         help="add the auto_bits row (chooser-picked width + auto salt)",
     )
     ap.add_argument(
+        "--autobands",
+        action="store_true",
+        help="add the auto_bits+auto_bands row (d07 only: chooser-"
+        "picked width with the analytic recall-recovery band count)",
+    )
+    ap.add_argument(
+        "--stratum-recall",
+        type=int,
+        default=0,
+        metavar="K",
+        help="d07wx-style recall certification at the configurations "
+        "the rows run, measured on a deterministic 1-in-K vec_id "
+        "stratum where exact all-pairs is affordable: band collision "
+        "is a PAIRWISE property (axis-aligned sign projections depend "
+        "only on the two vectors), so the kernel's pair set restricted "
+        "to the stratum equals the kernel run ON the stratum — the "
+        "cheap faithful sample of full-corpus recall, and exactly the "
+        "documented 100 TB spot-check posture (dedup.py d07x note)",
+    )
+    ap.add_argument(
         "--chooser-only",
         action="store_true",
         help="measure occupancy + record both families' measured "
@@ -131,6 +151,26 @@ def main() -> None:
 
     results: dict[str, dict] = {}
 
+    def flush_partial() -> None:
+        # hours-long notches (the 5M engagement run) must survive a
+        # timeout: every finished row lands in the artifact immediately,
+        # flagged partial until the final write
+        try:
+            with open(args.out, "w") as fh:
+                json.dump(
+                    {
+                        "metric": "band_width_probe",
+                        "n_vecs": args.n_vecs,
+                        "partial": True,
+                        "ops": results,
+                    },
+                    fh,
+                    indent=1,
+                )
+                fh.write("\n")
+        except OSError:
+            pass
+
     def time_one(name: str, fn) -> None:
         try:
             t0 = time.perf_counter()
@@ -148,6 +188,7 @@ def main() -> None:
         except Exception as e:
             results[name] = {"error": str(e)[:200]}
         print(f"# {name}: {results[name]}", file=sys.stderr)
+        flush_partial()
 
     # per-width occupancy — the bounded-occupancy evidence — plus the
     # analytic chooser picks for the record
@@ -249,6 +290,13 @@ def main() -> None:
                     "sim10_autobits",
                     lambda s, d: knn_edges(s, d, auto=True, auto_bits=True),
                 )
+        if args.autobands and fam == "d07":
+            time_one(
+                "d07_autobits_autobands",
+                lambda s, d: _cosine_lsh_pairs(
+                    s, d, auto=True, auto_bits=True, auto_bands=True
+                ),
+            )
 
     agreement: dict[str, dict] = {}
     if args.agreement:
@@ -279,6 +327,100 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
+    stratum: dict[str, dict] = {}
+    if args.stratum_recall:
+        # deterministic 1-in-K stratum; pairwise band collision means
+        # kernel-on-stratum == full-kernel-restricted-to-stratum (see
+        # --stratum-recall help), so these recall rows certify the
+        # configurations the timed rows above actually ran.
+        import shutil
+
+        from quacfka_spark.operators.dedup import d05_embedding_cosine
+        from quacfka_spark.operators.lsh_tuning import (
+            bands_for_recall,
+            choose_band_bits_measured,
+        )
+
+        K = args.stratum_recall
+        sdir = os.path.join(args.dir, f"stratum_{K}")
+        shutil.rmtree(sdir, ignore_errors=True)
+        os.makedirs(sdir, exist_ok=True)
+        emb.filter(
+            F.pmod(F.xxhash64("vec_id"), F.lit(K)) == 0
+        ).write.mode("overwrite").parquet(
+            os.path.join(sdir, "embeddings.parquet")
+        )
+        for name in os.listdir(args.dir):
+            if name.endswith(".parquet") and name != "embeddings.parquet":
+                os.symlink(
+                    os.path.join(args.dir, name), os.path.join(sdir, name)
+                )
+        n_strat = spark.read.parquet(
+            os.path.join(sdir, "embeddings.parquet")
+        ).count()
+
+        def builder(b: int):
+            return emb.select(
+                "vec_id",
+                F.posexplode_outer(
+                    F.array(*sign_band_cols(b, 4))
+                ).alias("band", "sig"),
+            )
+
+        bm, _occ = choose_band_bits_measured(
+            builder, args.n_vecs, dim=64, bands=4,
+            target_rows=lsh_tuning.D07_TARGET_ROWS,
+        )
+        configs_cert = [(4, 4)]
+        if bm != 4:
+            configs_cert.append((bm, 4))
+            configs_cert.append(
+                (bm, bands_for_recall(bm, dim=64, threshold=0.35))
+            )
+
+        exact = d05_embedding_cosine(spark, sdir).select(
+            "i", "j", F.lit(1).alias("in_exact"), F.lit(0).alias("in_cfg")
+        )
+        for b, nb in configs_cert:
+            cfg = _cosine_lsh_pairs(
+                spark, sdir, auto=True, bits=b, bands=nb
+            ).select(
+                "i", "j", F.lit(0).alias("in_exact"), F.lit(1).alias("in_cfg")
+            )
+            per = (
+                exact.unionByName(cfg)
+                .groupBy("i", "j")
+                .agg(
+                    F.max("in_exact").alias("in_exact"),
+                    F.max("in_cfg").alias("in_cfg"),
+                )
+            )
+            row = per.agg(
+                F.coalesce(F.sum("in_exact"), F.lit(0)).alias("n_exact"),
+                F.coalesce(F.sum("in_cfg"), F.lit(0)).alias("n_cfg"),
+                F.coalesce(
+                    F.sum(F.col("in_exact") * F.col("in_cfg")), F.lit(0)
+                ).alias("n_common"),
+            ).collect()[0]
+            rec = (
+                round(row.n_common / row.n_exact, 4) if row.n_exact else None
+            )
+            stratum[f"b{b}x{nb}"] = {
+                "n_exact": int(row.n_exact),
+                "n_pairs": int(row.n_cfg),
+                "n_common": int(row.n_common),
+                "recall": rec,
+            }
+            print(
+                f"# stratum recall b{b}x{nb}: {stratum[f'b{b}x{nb}']}",
+                file=sys.stderr,
+            )
+        stratum["_meta"] = {
+            "one_in_k": K,
+            "stratum_vectors": int(n_strat),
+            "chooser_bits": bm,
+        }
+
     report = {
         "metric": "band_width_probe",
         "n_vecs": args.n_vecs,
@@ -287,6 +429,7 @@ def main() -> None:
         "chooser_picks": picks,
         "ops": results,
         **({"agreement": agreement} if agreement else {}),
+        **({"stratum_recall": stratum} if stratum else {}),
     }
     line = json.dumps(report)
     print(line)
