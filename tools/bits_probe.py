@@ -69,6 +69,24 @@ def main() -> None:
         "picked width with the analytic recall-recovery band count)",
     )
     ap.add_argument(
+        "--target-rows",
+        type=int,
+        default=0,
+        metavar="T",
+        help="override lsh_tuning.D07_TARGET_ROWS for this probe "
+        "(patched module-wide so the kernels' auto paths see it). The "
+        "knob geometry is scale-free — engagement happens at "
+        "T * MAX_SALT * 2^min_bits vectors — so shrinking T moves the "
+        "SAME salt-saturation -> width-escalation -> recall-recovery "
+        "mechanism to a notch whose salted band shuffle fits this "
+        "box's disk: at the production T=17,100 the engagement notch "
+        "is ~4.4M vectors, where the S=16 row's embedding-carrying "
+        "shuffle needs >100 GB of scratch (measured r10: the 4.5M row "
+        "died SPILL_OUT_OF_MEMORY/no-space after 69 GB of spill with "
+        "9.5 GB free). Production clusters provision shuffle scratch; "
+        "a single 252 GB VM does not.",
+    )
+    ap.add_argument(
         "--stratum-recall",
         type=int,
         default=0,
@@ -103,6 +121,11 @@ def main() -> None:
     )
     args = ap.parse_args()
     scale_probe.FIXTURE = args.fixture
+
+    if args.target_rows:
+        from quacfka_spark.operators import lsh_tuning as _lt
+
+        _lt.D07_TARGET_ROWS = args.target_rows
 
     from pyspark.sql import functions as F
 
@@ -248,85 +271,6 @@ def main() -> None:
                   file=sys.stderr)
         fams = []
 
-    for fam in fams:
-        for b in widths:
-            if fam == "d07":
-                time_one(
-                    f"d07_bits{b}",
-                    lambda s, d, b=b: _cosine_lsh_pairs(
-                        s, d, auto=True, bits=b
-                    ),
-                )
-            else:
-                time_one(
-                    f"sim10_bits{b}",
-                    lambda s, d, b=b: knn_edges(s, d, auto=True, bits=b),
-                )
-        for b, nb in configs:
-            if fam == "d07":
-                time_one(
-                    f"d07_b{b}x{nb}",
-                    lambda s, d, b=b, nb=nb: _cosine_lsh_pairs(
-                        s, d, auto=True, bits=b, bands=nb
-                    ),
-                )
-            else:
-                time_one(
-                    f"sim10_b{b}x{nb}",
-                    lambda s, d, b=b, nb=nb: knn_edges(
-                        s, d, auto=True, bits=b, bands=nb
-                    ),
-                )
-        if args.autobits:
-            if fam == "d07":
-                time_one(
-                    "d07_autobits",
-                    lambda s, d: _cosine_lsh_pairs(
-                        s, d, auto=True, auto_bits=True
-                    ),
-                )
-            else:
-                time_one(
-                    "sim10_autobits",
-                    lambda s, d: knn_edges(s, d, auto=True, auto_bits=True),
-                )
-        if args.autobands and fam == "d07":
-            time_one(
-                "d07_autobits_autobands",
-                lambda s, d: _cosine_lsh_pairs(
-                    s, d, auto=True, auto_bits=True, auto_bands=True
-                ),
-            )
-
-    agreement: dict[str, dict] = {}
-    if args.agreement:
-        for fam in fams:
-            base_fn = (
-                (lambda s, d: _cosine_lsh_pairs(s, d, auto=True))
-                if fam == "d07"
-                else (lambda s, d: knn_edges(s, d, auto=True))
-            )
-            # materialize the 4-bit base once: each comparison's
-            # .count() would otherwise re-execute the full base plan
-            # (~6 min at 1M for d07) per width/config
-            base = base_fn(spark, args.dir).select("i", "j").localCheckpoint()
-            combos = [(b, 4) for b in widths if b != 4] + configs
-            for b, nb in combos:
-                wide_fn = (
-                    (lambda s, d, b=b, nb=nb: _cosine_lsh_pairs(
-                        s, d, auto=True, bits=b, bands=nb))
-                    if fam == "d07"
-                    else (lambda s, d, b=b, nb=nb: knn_edges(
-                        s, d, auto=True, bits=b, bands=nb))
-                )
-                wide = wide_fn(spark, args.dir).select("i", "j")
-                shared = base.join(wide, ["i", "j"]).count()
-                agreement[f"{fam}_b{b}x{nb}_vs_4x4"] = {"shared": shared}
-                print(
-                    f"# agreement {fam} b{b}x{nb} vs 4x4: {shared}",
-                    file=sys.stderr,
-                )
-
     stratum: dict[str, dict] = {}
     if args.stratum_recall:
         # deterministic 1-in-K stratum; pairwise band collision means
@@ -421,10 +365,94 @@ def main() -> None:
             "chooser_bits": bm,
         }
 
+    for fam in fams:
+        for b in widths:
+            if fam == "d07":
+                time_one(
+                    f"d07_bits{b}",
+                    lambda s, d, b=b: _cosine_lsh_pairs(
+                        s, d, auto=True, bits=b
+                    ),
+                )
+            else:
+                time_one(
+                    f"sim10_bits{b}",
+                    lambda s, d, b=b: knn_edges(s, d, auto=True, bits=b),
+                )
+        for b, nb in configs:
+            if fam == "d07":
+                time_one(
+                    f"d07_b{b}x{nb}",
+                    lambda s, d, b=b, nb=nb: _cosine_lsh_pairs(
+                        s, d, auto=True, bits=b, bands=nb
+                    ),
+                )
+            else:
+                time_one(
+                    f"sim10_b{b}x{nb}",
+                    lambda s, d, b=b, nb=nb: knn_edges(
+                        s, d, auto=True, bits=b, bands=nb
+                    ),
+                )
+        if args.autobits:
+            if fam == "d07":
+                time_one(
+                    "d07_autobits",
+                    lambda s, d: _cosine_lsh_pairs(
+                        s, d, auto=True, auto_bits=True
+                    ),
+                )
+            else:
+                time_one(
+                    "sim10_autobits",
+                    lambda s, d: knn_edges(s, d, auto=True, auto_bits=True),
+                )
+        if args.autobands and fam == "d07":
+            time_one(
+                "d07_autobits_autobands",
+                lambda s, d: _cosine_lsh_pairs(
+                    s, d, auto=True, auto_bits=True, auto_bands=True
+                ),
+            )
+
+    agreement: dict[str, dict] = {}
+    if args.agreement:
+        for fam in fams:
+            base_fn = (
+                (lambda s, d: _cosine_lsh_pairs(s, d, auto=True))
+                if fam == "d07"
+                else (lambda s, d: knn_edges(s, d, auto=True))
+            )
+            # materialize the 4-bit base once: each comparison's
+            # .count() would otherwise re-execute the full base plan
+            # (~6 min at 1M for d07) per width/config
+            base = base_fn(spark, args.dir).select("i", "j").localCheckpoint()
+            combos = [(b, 4) for b in widths if b != 4] + configs
+            for b, nb in combos:
+                wide_fn = (
+                    (lambda s, d, b=b, nb=nb: _cosine_lsh_pairs(
+                        s, d, auto=True, bits=b, bands=nb))
+                    if fam == "d07"
+                    else (lambda s, d, b=b, nb=nb: knn_edges(
+                        s, d, auto=True, bits=b, bands=nb))
+                )
+                wide = wide_fn(spark, args.dir).select("i", "j")
+                shared = base.join(wide, ["i", "j"]).count()
+                agreement[f"{fam}_b{b}x{nb}_vs_4x4"] = {"shared": shared}
+                print(
+                    f"# agreement {fam} b{b}x{nb} vs 4x4: {shared}",
+                    file=sys.stderr,
+                )
+
     report = {
         "metric": "band_width_probe",
         "n_vecs": args.n_vecs,
         "synthesize_sec": synth_s,
+        **(
+            {"target_rows_override": args.target_rows}
+            if args.target_rows
+            else {}
+        ),
         "occupancy_by_bits": occ_by_bits,
         "chooser_picks": picks,
         "ops": results,
