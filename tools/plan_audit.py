@@ -80,6 +80,10 @@ HEADLINE = [
     "d14_fuzzy_containment",
     "q53_string_agg",
     "sim13_knn_communities",
+    "d07w_lsh_wideband_pairs",
+    "d07wx_recovered_recall",
+    "sim10w_knn_graph_wideband",
+    "sim10wx_wideband_agreement",
 ]
 
 DETAIL_NODES = re.compile(
