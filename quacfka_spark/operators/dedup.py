@@ -834,6 +834,22 @@ def _cosine_lsh_pairs(
     family's level, p taken at the verify threshold — the
     conservative Charikar sign-LSH model), paying linear shuffle
     replication instead of quadratic verify; capped at dim // bits.
+
+    Measured AT the engagement point (r10): at the true 4.5M notch,
+    occupancy 288,414 > the 273,600 salt budget, measured chooser
+    escalation to 5 bits, and a 1-in-32-stratum recall certification
+    at the chosen width (SCALE_PROBE_D07_AUTO_5M.json: baseline
+    0.4879 / unrecovered 0.3314 / 5x7-recovered 0.5072 — ABOVE the
+    baseline); full three-row wall comparison at a disk-feasible
+    scaled notch (SCALE_PROBE_D07_AUTO_SCALED.json: salt-capped fixed
+    width 645.8 s vs auto_bits 160.4 s vs auto_bits+auto_bands
+    365.3 s with MORE verified pairs than the fixed plan, 703.2M vs
+    675.6M; emitted-pair ratios reproduce the stratum recall ratios
+    to 3 decimals). The same artifacts record why the true-notch
+    salted full row cannot run on one VM: the S=16 band exchange
+    carries the embedding on every replica (~115 GB of shuffle
+    scratch at 4.5M) — a per-executor disk provision at cluster
+    scale, not a memory bound.
     """
     from quacfka_spark.operators.lsh_tuning import (
         D07_TARGET_ROWS,

@@ -157,6 +157,27 @@ def test_ingest_bench_invariants(spark, tmp_path):
     assert len(r["pass_seconds"]) == r["passes"]
 
 
+def test_streaming_bench_file_grain_output_invariant(spark, tmp_path):
+    """file_grain (r10: the wide block's straggler-tail fix) changes
+    TASK granularity only — source files and per-trigger quota scale
+    together, so batch count, consumed/inserted counts, and norm
+    semantics are identical to grain 1."""
+    from quacfka_spark.bench_ingest import run_streaming_ingest_bench
+
+    n = 9_000
+    r = run_streaming_ingest_bench(
+        spark,
+        rows=n,
+        epochs=2,
+        file_grain=2,
+        work_dir=str(tmp_path / "stream_grain"),
+    )
+    assert r["records_consumed"] == n
+    assert r["records_inserted"] == n
+    assert r["norm_records_inserted"] == n // 3 * 4
+    assert r["batches"] == 2  # grain multiplies files AND quota
+
+
 def test_sqlrunner_exec_mode_with_export(spark, tmp_path, input_dir):
     """D18 exec mode: ordered SQL statements run for effect per completed
     epoch — including the reference's documented COPY TO-style export
