@@ -123,9 +123,13 @@ def main() -> None:
     scale_probe.FIXTURE = args.fixture
 
     if args.target_rows:
+        # both families' targets, so the d07 pairs kernel and the
+        # sim10 top-k kernel hit width engagement at the same scaled
+        # notch (each kernel reads the module attribute at call time)
         from quacfka_spark.operators import lsh_tuning as _lt
 
         _lt.D07_TARGET_ROWS = args.target_rows
+        _lt.SIM10_TARGET_ROWS = args.target_rows
 
     from pyspark.sql import functions as F
 
