@@ -357,7 +357,14 @@ def minhash_pairs(
         .agg(F.first("a.shs").alias("shs_i"), F.first("b.shs").alias("shs_j"))
     )
     common = F.size(F.array_intersect("shs_i", "shs_j"))
-    jac = common / (F.size("shs_i") + F.size("shs_j") - common)
+    # try_divide, not /: two empty shingle sets would score 0/0 = NaN,
+    # and Spark's NaN ordering makes NaN >= 0.7 TRUE — try_divide yields
+    # NULL instead, which the filter drops. Unreachable today only
+    # because shingles(short_empty=False) never returns an empty array
+    # (functions/text.py: a sub-n-token doc gets its whole token string,
+    # '' for zero tokens) — a non-local invariant this guard removes the
+    # dependence on.
+    jac = F.try_divide(common, F.size("shs_i") + F.size("shs_j") - common)
     return cand.select("i", "j", jac.alias("_j")).filter(F.col("_j") >= 0.7)
 
 
@@ -372,10 +379,14 @@ def _d03p_oracle() -> str:
     hash's seed — a constant per i, folded at SQL-build time; the
     band signature ``xxhash64(mh0, mh1, mh2)`` is the hashLong chain
     (long_chain_stages). Docs whose shingle set is EMPTY are excluded
-    from the band CTE: on the Spark side their minhashes are NULL, so
-    every such doc lands in the constant seed-42 bucket, and any
-    candidate pair it forms has NULL/0 Jaccard — never >= 0.7, so the
-    VERIFIED output is identical with or without them."""
+    from the band CTE (they produce no ``ex`` rows, so the ``mh`` join
+    drops them). Exclusion is parity-safe because no such doc exists on
+    EITHER side: ``shingles(short_empty=False)`` always yields at least
+    one shingle (a sub-n-token doc gets its whole token string, '' for
+    zero tokens — functions/text.py), and the oracle's shingle CTE
+    mirrors that with its COALESCE-to-'' branch. The Spark verify is
+    additionally guarded with try_divide so a hypothetical
+    empty-vs-empty pair would score NULL, never NaN >= 0.7."""
     from quacfka_spark.operators.xxh64_sql import (
         hash_int,
         long_chain_stages,

@@ -262,7 +262,19 @@ def choose_band_bits_measured(
         min_bits=min_bits,
         max_salt=max_salt,
     )
-    occ = max_bucket_occupancy(bands_builder(b), keys)
+    # Memoize measured occupancy per width: after a multi-bit jump
+    # under-delivers and the single-bit fallback commits, the next
+    # iteration re-derives essentially the same jump — without the
+    # cache that re-runs an identical max-occupancy aggregation per
+    # committed bit on a partly-splittable bucket (advisor r10).
+    measured: dict[int, int] = {}
+
+    def _occ(bits: int) -> int:
+        if bits not in measured:
+            measured[bits] = max_bucket_occupancy(bands_builder(bits), keys)
+        return measured[bits]
+
+    occ = _occ(b)
     while occ > budget and b < max_bits:
         # smallest s with occ / 2^s <= budget — the benign model's
         # prediction of how many extra bits this bucket needs
@@ -271,7 +283,7 @@ def choose_band_bits_measured(
             step += 1
         nb = min(max_bits, b + step)
         step = nb - b
-        nocc = max_bucket_occupancy(bands_builder(nb), keys)
+        nocc = _occ(nb)
         if nocc * (1 << (step - 1)) > 0.75 * occ:
             # the jump under-delivered against the step-scaled bound
             # (every bit beyond the first must halve the bucket; the
@@ -281,7 +293,7 @@ def choose_band_bits_measured(
             # bits even when the full jump doesn't.
             if step > 1:
                 nb = b + 1
-                nocc = max_bucket_occupancy(bands_builder(nb), keys)
+                nocc = _occ(nb)
             if nocc > 0.75 * occ:
                 # width stopped helping -> the hot mass is near-
                 # identical vectors; stay at the NARROWER width and

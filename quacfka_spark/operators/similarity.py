@@ -1008,12 +1008,22 @@ _SIM10_K = 5
 _SIM10_CHUNK = 1024
 
 
-def _sim10_oracle(bits: int = _SIM10_BITS, bands: int = _SIM10_BANDS) -> str:
+def _sim10_oracle(
+    bits: int = _SIM10_BITS,
+    bands: int = _SIM10_BANDS,
+    order_by: bool = True,
+) -> str:
+    # order_by=False is for embedding as a subquery (sim10wx, sim12,
+    # sim13): the driver compare needs the top-level ORDER BY, a nested
+    # use doesn't — an explicit parameter, not text replacement, so a
+    # future change to the trailing clause can't silently no-op the
+    # stripping (advisor r10).
     from quacfka_spark.operators.lsh_tuning import sign_band_sql
 
     bands_sql = sign_band_sql(
         bits, bands, where=" WHERE embedding IS NOT NULL"
     )
+    tail = "ORDER BY i, rnk" if order_by else ""
     return f"""
     WITH bands AS ({bands_sql}),
     cand AS (
@@ -1032,7 +1042,7 @@ def _sim10_oracle(bits: int = _SIM10_BITS, bands: int = _SIM10_BANDS) -> str:
              ROW_NUMBER() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rnk
       FROM v)
     SELECT i, j, rnk, cos FROM r WHERE rnk <= {_SIM10_K}
-    ORDER BY i, rnk
+    {tail}
     """
 
 
@@ -1120,11 +1130,9 @@ _SIM10WX_REC_BANDS = 8
 
 
 def _sim10wx_oracle() -> str:
-    base = _sim10_oracle().replace("ORDER BY i, rnk", "")
-    wide = _sim10_oracle(bits=6).replace("ORDER BY i, rnk", "")
-    rec = _sim10_oracle(bits=6, bands=_SIM10WX_REC_BANDS).replace(
-        "ORDER BY i, rnk", ""
-    )
+    base = _sim10_oracle(order_by=False)
+    wide = _sim10_oracle(bits=6, order_by=False)
+    rec = _sim10_oracle(bits=6, bands=_SIM10WX_REC_BANDS, order_by=False)
     return f"""
     WITH base_e AS (SELECT i, j FROM ({base}) t),
     wide_e AS (SELECT i, j FROM ({wide}) t),
@@ -1579,7 +1587,7 @@ _SIM11_ITERS = 3
 
 
 def _sim11_oracle() -> str:
-    knn = _sim10_oracle().replace("ORDER BY i, rnk", "")
+    knn = _sim10_oracle(order_by=False)
     S = _SIM11_SCALE
     chain = [f"r0 AS (SELECT id, {S} // nn AS pr FROM nodes, nt)"]
     prev = "r0"
@@ -1865,7 +1873,7 @@ def sim12_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sim13_oracle() -> str:
-    knn = _sim10_oracle().replace("ORDER BY i, rnk", "")
+    knn = _sim10_oracle(order_by=False)
     return f"""
     WITH RECURSIVE
     pairs AS (SELECT i, j FROM ({knn})),
