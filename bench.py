@@ -87,6 +87,10 @@ HEADLINE = [
     "d07x_lsh_recall",
     "d07w_lsh_wideband_pairs",
     "d07wx_recovered_recall",
+    # the int8 verify payload (r11): d07q's baseline d07 is a headline
+    # member, and the pair should show int8's verify-wall win inline
+    "d07q_int8_verify_pairs",
+    "d07qx_int8_agreement",
     "sim10w_knn_graph_wideband",
     "sim10wx_wideband_agreement",
     # d03r_minhash_recall is registered + mirror-checked but NOT in the
@@ -167,6 +171,26 @@ def _compact_ingest(rep: dict, wide: bool = False) -> dict:
     if wide:
         out["mb_per_second"] = round(rep.get("mb_per_second", 0.0), 1)
         out["bytes_per_record"] = round(rep.get("bytes_per_record", 0.0))
+    # Stall evidence (r10 verdict #1): when a block's best pass exceeded
+    # 2x its rate-derived expectation — or its samples scattered — the
+    # per-pass walls ride the line so the artifact itself shows whether
+    # the published number is engine capability or a host-stall floor.
+    # Full per-pass busy/steal detail stays in BENCH_STATS.json.
+    ps = rep.get("pass_seconds") or []
+    scattered = len(ps) > 1 and max(ps) - min(ps) > max(1.0, 0.5 * min(ps))
+    if rep.get("stalled"):
+        out["stalled"] = 1
+    if rep.get("stalled") or scattered:
+        out["ps"] = [round(t, 1) for t in ps[:8]]
+        if "expected_pass_s" in rep:
+            out["exp_s"] = round(rep["expected_pass_s"], 1)
+        steals = [s for s in rep.get("pass_steal") or [] if s is not None]
+        if steals and max(steals) >= 0.05:
+            out["steal"] = round(100 * max(steals))
+    if rep.get("resized"):
+        # the stalled-calibration guard fired and re-sized the run —
+        # the number is from the re-generated full-size passes
+        out["resized"] = 1
     return out
 
 

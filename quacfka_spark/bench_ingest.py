@@ -312,6 +312,117 @@ BUDGET_S = float(os.environ.get("SPARK_GRAFT_INGEST_BUDGET_S", "300"))
 _CALIB_ROWS = 500_000
 
 
+# ---------------------------------------------------------------------------
+# Stall evidence + rerun policy (r10 verdict #1).
+#
+# BENCH_r10 published two host-stall casualties as official numbers: the
+# narrow batch block at 309k total rows/s (r9: 6.46M — while the STREAMING
+# block in the same window did 2.56M on the same decode+write path) and
+# wide streaming at 35.0 MB/s (same-day driver-style rerun: 330.3). The
+# query side already had spread + targeted-rerun + stall markers
+# (bench.py); the ingest blocks had best-of-N but published whatever the
+# window gave with no way to tell a stalled artifact from a regression.
+# Three mechanisms close that, all decidable FROM THE ARTIFACT:
+#   1. per-pass evidence: every pass records wall seconds plus the host's
+#      /proc/stat busy fraction and hypervisor steal fraction over the
+#      pass — a stalled pass shows long wall with low busy or high steal,
+#      a regression shows long wall at full busy.
+#   2. rate-derived expectation: calibration (batch) or the sibling batch
+#      block's measured rate (streaming) predicts the pass wall; a block
+#      whose BEST pass exceeds 2x its expectation keeps sampling (up to a
+#      cap, inside the deadline) instead of publishing the stall —
+#      the exact policy bench.py's query rerun loop applies.
+#   3. calibration guards (batch): calibration is best-of-2 with a third
+#      sample on >2x scatter, and if the measured passes then run >2x
+#      FASTER than the calibrated rate (a stalled calibration undersized
+#      the run — the r10 narrow-batch failure mode: 500k-row floor,
+#      fixed costs dominate), the run is re-sized and re-generated once.
+# ---------------------------------------------------------------------------
+
+
+def _cpu_jiffies() -> tuple[int, int, int] | None:
+    """(busy, steal, total) jiffies from /proc/stat's aggregate cpu line.
+    busy = user+nice+system+irq+softirq; steal is the hypervisor-runnable-
+    but-not-scheduled time — direct evidence of a noisy-neighbor stall.
+    None where /proc/stat is unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        if parts[0] != "cpu":
+            return None
+        vals = [int(x) for x in parts[1:9]]  # user..steal
+        busy = vals[0] + vals[1] + vals[2] + vals[5] + vals[6]
+        steal = vals[7] if len(vals) > 7 else 0
+        return busy, steal, sum(vals)
+    except Exception:  # pragma: no cover — non-Linux fallback
+        return None
+
+
+def _timed(fn):
+    """Run fn() recording wall seconds and the host CPU picture over the
+    interval. Returns (wall, busy_frac, steal_frac, fn_result); the two
+    fractions are None when /proc/stat is unavailable."""
+    c0 = _cpu_jiffies()
+    t0 = time.perf_counter()
+    ret = fn()
+    wall = time.perf_counter() - t0
+    c1 = _cpu_jiffies()
+    busy = steal = None
+    if c0 is not None and c1 is not None and c1[2] > c0[2]:
+        dt = c1[2] - c0[2]
+        busy = (c1[0] - c0[0]) / dt
+        steal = (c1[1] - c0[1]) / dt
+    return wall, busy, steal, ret
+
+
+def stall_evidence(
+    walls: list[float],
+    expected_s: float | None,
+    busys: list[float | None],
+    steals: list[float | None],
+) -> dict:
+    """The per-pass evidence block every ingest report carries (r10
+    verdict #1): all pass walls (not just the best), the rate-derived
+    expectation, host busy/steal fractions per pass, and a ``stalled``
+    verdict — true when even the best pass exceeded 2x expectation, i.e.
+    the published number is a floor the window never let the engine
+    reach. Pure function (unit-tested without Spark)."""
+    ev: dict = {
+        "pass_seconds": [round(w, 2) for w in walls],
+    }
+    if expected_s is not None:
+        ev["expected_pass_s"] = round(expected_s, 2)
+        ev["stalled"] = min(walls) > 2.0 * expected_s
+    if any(b is not None for b in busys):
+        ev["pass_busy"] = [
+            round(b, 2) if b is not None else None for b in busys
+        ]
+    if any(s is not None and s >= 0.005 for s in steals):
+        # steal is zero on a healthy window — only worth bytes when seen
+        ev["pass_steal"] = [
+            round(s, 2) if s is not None else None for s in steals
+        ]
+    return ev
+
+
+def should_rerun_stalled(
+    walls: list[float],
+    expected_s: float | None,
+    cap: int,
+    deadline: float | None,
+) -> bool:
+    """Rerun gate: best pass > 2x the rate-derived expectation, room
+    under the pass cap, and the next pass (estimated at the CURRENT best
+    wall, capped) still fits the deadline. Mirrors bench.py's query
+    rerun loop; the estimate uses the best pass so a stalled sample
+    can't lock itself in by inflating the estimate (the r6 lesson)."""
+    if expected_s is None or len(walls) >= cap or deadline is None:
+        return False
+    if min(walls) <= 2.0 * expected_s:
+        return False
+    return time.monotonic() + min(min(walls), 60.0) < deadline
+
+
 def _gen_bytes(
     spark: SparkSession,
     rows: int,
@@ -391,6 +502,10 @@ def run_ingest_bench(
     for _ in range(5):
         warm.write.format("noop").mode("overwrite").save()
 
+    calib_list: list[float] = []
+    rate: float | None = None
+    target_pass_s: float | None = None
+    grain = 100_000 if shape == "small" else 10_000
     if rows is None:
         # calibration: full raw+norm passes over the warm slice, best of
         # 2 — the host VM shows intermittent multi-10s stalls (measured:
@@ -404,8 +519,14 @@ def run_ingest_bench(
             ).write.mode("overwrite").parquet(out_norm)
             return time.perf_counter() - t0
 
-        calib_s = min(calib_pass() for _ in range(2))
-        rate = warm_rows / max(calib_s, 0.1)
+        # a third sample when the two scatter >2x: a stalled calibration
+        # both undersizes the run (fixed costs then dominate the rate —
+        # BENCH_r10's 309k rows/s narrow-batch casualty) and inflates
+        # the expectation the stall detector compares passes against
+        calib_list = [calib_pass(), calib_pass()]
+        if max(calib_list) > 2.0 * min(calib_list):
+            calib_list.append(calib_pass())
+        rate = warm_rows / max(min(calib_list), 0.1)
         # size so gen + pass1 + optional pass2 (~3 pass-equivalents) fit
         # what's left of the budget
         if shape == "wide":
@@ -429,7 +550,6 @@ def run_ingest_bench(
             target_pass_s = min(45.0, max(15.0, (deadline - time.monotonic()) / 3))
         else:
             target_pass_s = 45.0
-        grain = 100_000 if shape == "small" else 10_000
         rows = max(
             calib_rows,
             min(DEFAULT_ROWS, int(rate * target_pass_s) // grain * grain),
@@ -437,8 +557,7 @@ def run_ingest_bench(
 
     mb = _gen_bytes(spark, rows, src, cores, encode, sh.payload)
 
-    def one_pass() -> float:
-        t0 = time.perf_counter()
+    def one_pass() -> None:
         bytes_df = spark.read.parquet(src)
         decoded = decode(bytes_df).select("r.*")
         decoded.write.mode("overwrite").parquet(out_raw)
@@ -455,7 +574,6 @@ def run_ingest_bench(
         # flat columns, one row per repeated element, scalars
         # duplicated, null columns when the list is empty.
         norm_spec.apply(raw_back).write.mode("overwrite").parquet(out_norm)
-        return time.perf_counter() - t0
 
     # Best-of-N with a deadline: this VM shows large run-to-run variance
     # (noisy neighbors / JIT); the reference's number is likewise its
@@ -467,14 +585,68 @@ def run_ingest_bench(
     # without a deadline (direct/test callers) cap at 2 — the 6-sample
     # wide budget exists for the driver's deadline-bounded window only
     max_passes = (6 if shape == "wide" else 2) if deadline is not None else 2
-    pass_times = [one_pass()]
-    while len(pass_times) < max_passes and (
+    walls: list[float] = []
+    busys: list[float | None] = []
+    steals: list[float | None] = []
+
+    def add_pass() -> None:
+        w, b, s, _ = _timed(one_pass)
+        walls.append(w)
+        busys.append(b)
+        steals.append(s)
+
+    add_pass()
+    while len(walls) < max_passes and (
         deadline is None
-        or time.monotonic() + min(min(pass_times) * 1.2, 60.0) < deadline
+        or time.monotonic() + min(min(walls) * 1.2, 60.0) < deadline
     ):
-        pass_times.append(one_pass())
-    elapsed = min(pass_times)
-    passes = len(pass_times)
+        add_pass()
+
+    resized = False
+    expected_pass_s: float | None = None
+    if rate is not None:
+        # Stalled-calibration guard (the r10 narrow-batch failure mode):
+        # when the measured passes run >2x FASTER than the calibrated
+        # rate, calibration caught a host stall and undersized the run —
+        # the published rate then measures parquet-commit fixed costs,
+        # not the pipeline (309k rows/s on a 500k-row floor vs the same
+        # window's 2.56M through the streaming block). Re-size to the
+        # measured rate and re-generate once, budget permitting.
+        measured_rate = rows / min(walls)
+        if (
+            deadline is not None
+            and measured_rate > 2.0 * rate
+            and rows < DEFAULT_ROWS
+        ):
+            new_rows = max(
+                rows,
+                min(
+                    DEFAULT_ROWS,
+                    int(measured_rate * target_pass_s) // grain * grain,
+                ),
+            )
+            est = new_rows / measured_rate
+            # gen ~ 1 pass-equivalent + 2 passes + slack
+            if new_rows > rows and time.monotonic() + est * 4 < deadline:
+                rate, rows = measured_rate, new_rows
+                mb = _gen_bytes(spark, rows, src, cores, encode, sh.payload)
+                walls, busys, steals = [], [], []
+                resized = True
+                add_pass()
+                while len(walls) < 2 and (
+                    time.monotonic() + min(min(walls) * 1.2, 60.0) < deadline
+                ):
+                    add_pass()
+        expected_pass_s = rows / rate
+    # rerun-on-stall (r10 verdict #1): when even the best pass is >2x
+    # the rate-derived expectation the window stalled every sample —
+    # keep sampling up to a cap instead of publishing the stall
+    while should_rerun_stalled(
+        walls, expected_pass_s, max_passes + 4, deadline
+    ):
+        add_pass()
+    elapsed = min(walls)
+    passes = len(walls)
 
     raw_n = spark.read.parquet(out_raw).count()
     norm_n = spark.read.parquet(out_norm).count()
@@ -494,7 +666,13 @@ def run_ingest_bench(
         "bytes_per_record": round(mb * 1024 * 1024 / rows, 1),
         "cores": cores,
         "passes": passes,
-        "pass_seconds": [round(t, 2) for t in pass_times],
+        **stall_evidence(walls, expected_pass_s, busys, steals),
+        **(
+            {"calib_seconds": [round(c, 2) for c in calib_list]}
+            if calib_list
+            else {}
+        ),
+        **({"resized": True} if resized else {}),
         "decode": fmt,
     }
 
@@ -507,6 +685,7 @@ def run_streaming_ingest_bench(
     deadline: float | None = None,
     shape: str = "small",
     file_grain: int = 1,
+    expect_rate: float | None = None,
 ) -> dict:
     """Same measurement through the actual StreamingPipeline orchestrator
     (foreachBatch, rotation epochs, post-publish, metrics) — the full
@@ -532,7 +711,15 @@ def run_streaming_ingest_bench(
     idles 31 cores until the batch commits, and finer tasks shrink the
     straggler tail the way a 4x-cores shuffle-partition count does for
     joins. Grain 1 stays the default for the small-shape continuity
-    series (its ~2 s passes are commit-bound, not straggler-bound)."""
+    series (its ~2 s passes are commit-bound, not straggler-bound).
+
+    ``expect_rate`` (raw records/s) is the sibling BATCH block's
+    measured best rate: the orchestrator passes it so this block has a
+    rate-derived pass expectation for the stall detector (streaming has
+    no calibration of its own). Expected pass wall = rows/expect_rate +
+    2 s fixed setup; a best pass >2x that triggers extra samples, and
+    the report carries per-pass wall/busy/steal evidence either way
+    (r10 verdict #1 — the 35.0 MB/s wide-streaming casualty)."""
     from quacfka_spark.plans.normalizer import NormalizerSpec
     from quacfka_spark.streaming import PipelineConfig, StreamingPipeline
 
@@ -547,7 +734,7 @@ def run_streaming_ingest_bench(
         spark, rows, src, cores * epochs * grain, encode, sh.payload
     )
 
-    def one_pass(i: int) -> tuple[float, dict]:
+    def one_pass(i: int) -> dict:
         source = (
             spark.readStream.schema("value binary")
             .option("maxFilesPerTrigger", str(cores * grain))
@@ -565,10 +752,9 @@ def run_streaming_ingest_bench(
                 aliases=list(sh.norm_aliases),
             ),
         )
-        t0 = time.perf_counter()
         q = pipe.start()
         q.awaitTermination()
-        return time.perf_counter() - t0, pipe.metrics.report()
+        return pipe.metrics.report()
 
     # best-of-N when the deadline allows (see run_ingest_bench). The
     # retry estimate is CAPPED: when pass 1 hits a multi-10s host stall
@@ -583,16 +769,37 @@ def run_streaming_ingest_bench(
     # plain call pays best-of-2, not 4x wall + 4 output dirs (advisor
     # r8); the bench driver always passes its phase deadline.
     max_passes = 4 if deadline is not None else 2
-    elapsed, rep = one_pass(0)
-    n_passes = 1
-    while n_passes < max_passes and (
+    walls: list[float] = []
+    busys: list[float | None] = []
+    steals: list[float | None] = []
+    best: tuple[float, dict] | None = None
+
+    def add_pass() -> None:
+        nonlocal best
+        w, b, s, r = _timed(lambda: one_pass(len(walls)))
+        walls.append(w)
+        busys.append(b)
+        steals.append(s)
+        if best is None or w < best[0]:
+            best = (w, r)
+
+    add_pass()
+    while len(walls) < max_passes and (
         deadline is None
-        or time.monotonic() + min(elapsed * 1.2, 60.0) < deadline
+        or time.monotonic() + min(min(walls) * 1.2, 60.0) < deadline
     ):
-        elapsed, rep = min(
-            (elapsed, rep), one_pass(n_passes), key=lambda t: t[0]
-        )
-        n_passes += 1
+        add_pass()
+    # rate-derived expectation from the sibling batch block + ~2 s of
+    # per-pass fixed setup (stream start, checkpoint init, commits);
+    # rerun-on-stall with the same policy as run_ingest_bench
+    expected_pass_s = (
+        rows / expect_rate + 2.0 if expect_rate and expect_rate > 0 else None
+    )
+    while should_rerun_stalled(
+        walls, expected_pass_s, max_passes + 4, deadline
+    ):
+        add_pass()
+    elapsed, rep = best
     shutil.rmtree(work_dir, ignore_errors=True)
     total = rep["records_inserted"] + rep["norm_records_inserted"]
     return {
@@ -608,6 +815,8 @@ def run_streaming_ingest_bench(
         "mb_per_second": round(mb / elapsed, 2),
         "bytes_per_record": round(mb * 1024 * 1024 / max(rep["records_consumed"], 1), 1),
         "cores": cores,
+        "passes": len(walls),
+        **stall_evidence(walls, expected_pass_s, busys, steals),
         "decode": fmt,
     }
 
@@ -1045,6 +1254,10 @@ def main() -> None:
             shape="wide",
             file_grain=4,
             work_dir="/tmp/quacfka_spark_ingest_stream_wide",
+            # the batch block's measured rate is this block's stall
+            # expectation (streaming's micro-batch setup adds ~2 s,
+            # folded into expected_pass_s inside)
+            expect_rate=wide_rate or None,
         ),
     )
     phase(
@@ -1052,10 +1265,14 @@ def main() -> None:
         lambda end: run_ingest_bench(spark, deadline=end),
     )
     batch_rows = out["ingest"].get("records_consumed", DEFAULT_ROWS)
+    batch_rate = out["ingest"].get("records_per_second", 0)
     phase(
         "ingest_streaming", 0.22, 60,
         lambda end: run_streaming_ingest_bench(
-            spark, rows=max(_CALIB_ROWS, batch_rows), deadline=end
+            spark,
+            rows=max(_CALIB_ROWS, batch_rows),
+            deadline=end,
+            expect_rate=batch_rate or None,
         ),
     )
     spark.stop()

@@ -80,3 +80,51 @@ def pairs_table(i=None, j=None, cos=None) -> "pa.Table":
             "cos": pa.array(np.ascontiguousarray(cos, dtype="float64")),
         }
     )
+
+
+def cosine_prep(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray | None]:
+    """Prepare a (possibly int8-quantized) embedding matrix for chunked
+    cosine blocks. Two regimes:
+
+    - float input (the default float32 exchange): returns the row-
+      normalized FLOAT64 matrix and ``None`` — callers matmul normalized
+      rows directly, the historical arithmetic, so every existing
+      oracle-hashed cosine is unchanged.
+    - int8 input (the quantized verify payload, d07q): returns the raw
+      ints as FLOAT32 plus float64 row norms — callers compute
+      ``(M[lo:hi] @ M.T).astype(f64) / outer(norms)``. This is
+      BIT-IDENTICAL to running the whole thing in float64: every int8
+      dot product and partial sum is an integer bounded by
+      dim * 127^2 (~1M at dim 64, far under 2^24), exactly
+      representable in float32 whatever the SGEMM summation order, and
+      the float64 normalize-after matches DuckDB's
+      list_cosine_similarity formula (dot / (norm_a * norm_b)) op for
+      op — which is what makes the quantized key exact-oracle-checkable
+      while the matmul runs on the ~2x faster SGEMM path.
+    """
+    if mat.dtype == np.int8:
+        norms = np.sqrt((mat.astype(np.float64) ** 2).sum(axis=1))
+        return mat.astype(np.float32), norms
+    m = mat.astype(np.float64, copy=False)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    return m, None
+
+
+def cosine_block(
+    ma: np.ndarray,
+    na: np.ndarray | None,
+    mb: np.ndarray,
+    nb: np.ndarray | None,
+    lo: int,
+    hi: int,
+) -> np.ndarray:
+    """Cosine of ``ma[lo:hi]`` against all of ``mb``, for matrices
+    prepared by :func:`cosine_prep` (na/nb are the paired norms —
+    ``None`` means pre-normalized float rows). Zero-norm rows yield
+    NaN (suppressed), which every caller's threshold mask drops."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if na is None:
+            return ma[lo:hi] @ mb.T
+        dot = (ma[lo:hi] @ mb.T).astype(np.float64)
+        return dot / (na[lo:hi, None] * nb[None, :])

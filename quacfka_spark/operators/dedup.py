@@ -755,6 +755,172 @@ def d07w_lsh_wideband_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cosine_lsh_pairs(spark, sf_dir, bits=6).orderBy("i", "j")
 
 
+def _d07q_oracle() -> str:
+    """d07's band family with the int8-quantized verify payload
+    replicated in DuckDB: same deterministic sign bands (identical
+    candidate set), vectors re-quantized to round(127 * x / ||v||) as
+    DOUBLE lists (integer-valued, so every dot product and partial sum
+    is exact in float64 — the same exactness argument that lets the
+    Spark kernel run float32 SGEMM, arrowkit.cosine_prep), cosine and
+    threshold on the quantized values."""
+    from quacfka_spark.operators.lsh_tuning import sign_band_sql
+
+    bands_sql = sign_band_sql(
+        _D07_BITS, _D07_BANDS, where=" WHERE embedding IS NOT NULL"
+    )
+    return f"""
+    WITH bands AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+    nrm AS (
+      SELECT vec_id,
+             sqrt(list_sum([CAST(x AS DOUBLE) * x for x in embedding]))
+               AS nv
+      FROM embeddings WHERE embedding IS NOT NULL),
+    q AS (
+      SELECT e.vec_id,
+             [round(CAST(x AS DOUBLE) * 127.0 /
+                    (CASE WHEN n.nv > 0 THEN n.nv ELSE 1.0 END))
+              for x in e.embedding] AS qe
+      FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id
+      WHERE e.embedding IS NOT NULL),
+    v AS (
+      SELECT c.i, c.j, list_cosine_similarity(x.qe, y.qe) AS c
+      FROM cand c JOIN q x ON x.vec_id = c.i
+                  JOIN q y ON y.vec_id = c.j)
+    SELECT i, j, ROUND(c, 4) AS cos FROM v WHERE c >= {_D05_THRESHOLD}
+    ORDER BY i, j
+    """
+
+
+@query(
+    "d07q_int8_verify_pairs",
+    oracle=_d07q_oracle(),
+    doc="d07 with the int8-quantized verify payload (r10 verdict #2): "
+    "the band exchange ships round(127 * x / ||v||) as array<tinyint> "
+    "— 4x fewer payload bytes per banded replica, which is what turns "
+    "the 4.5M-vector S=16 salted engagement exchange from ~115 GB of "
+    "shuffle scratch (the float32 row that died on disk, "
+    "SCALE_PROBE_D07_AUTO_5M.json) into a single-VM-feasible run. "
+    "Band signatures still hash the ORIGINAL float32 signs, so the "
+    "candidate set is identical to d07's; the verify cosine moves by "
+    "O(1/127) per component, and the oracle replicates the exact same "
+    "quantization in SQL — full engine-vs-oracle hash parity, not an "
+    "accuracy gate. In-kernel the int8 path is FASTER than float: "
+    "integer dots < 2^24 are exact in float32 SGEMM "
+    "(arrowkit.cosine_prep), so halving the exchange also halves the "
+    "matmul width with zero additional error.",
+)
+def d07q_int8_verify_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cosine_lsh_pairs(spark, sf_dir, verify_payload="int8").orderBy(
+        "i", "j"
+    )
+
+
+# a flip farther than this from the verify threshold is NOT explainable
+# by quantization error (|delta cos| <= ~2*sqrt(dim)/127 ~ 0.008 at the
+# fixture dim 64; measured max flip distance 0.0073 across all three SFs)
+_D07QX_BOUNDARY = 0.01
+
+
+@query(
+    "d07qx_int8_agreement",
+    oracle=f"""
+    WITH f32 AS (
+      {_d07_oracle().replace("ORDER BY i, j", "")}),
+    q8 AS (
+      {_d07q_oracle().replace("ORDER BY i, j", "")}),
+    u AS (
+      SELECT i, j, cos, 1 AS in_f, 0 AS in_q FROM f32
+      UNION ALL
+      SELECT i, j, cos, 0 AS in_f, 1 AS in_q FROM q8),
+    per AS (
+      SELECT i, j, MAX(in_f) AS in_f, MAX(in_q) AS in_q,
+             MAX(cos) AS cosm
+      FROM u GROUP BY i, j),
+    agg AS (
+      SELECT CAST(COALESCE(SUM(in_f), 0) AS BIGINT) AS n_f32,
+             CAST(COALESCE(SUM(in_q), 0) AS BIGINT) AS n_int8,
+             CAST(COALESCE(SUM(in_f * in_q), 0) AS BIGINT) AS n_common,
+             CAST(COUNT(*) AS BIGINT) AS n_union,
+             CAST(COALESCE(SUM(CASE WHEN in_f + in_q = 1
+                  AND cosm >= {_D05_THRESHOLD} + {_D07QX_BOUNDARY}
+                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS far_flips
+      FROM per)
+    SELECT n_f32, n_int8, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / NULLIF(n_union, 0), 4)
+             AS agreement,
+           far_flips,
+           CAST(CASE WHEN far_flips = 0 THEN 1 ELSE 0 END AS INTEGER)
+             AS ok
+    FROM agg
+    """,
+    doc="Certification gate for the int8 verify payload: the float32 "
+    "and int8 pair sets share one candidate set (identical bands), so "
+    "every disagreement must be a verify-BOUNDARY pair — one whose "
+    "surviving side's cosine sits within the quantization error "
+    "(|delta| <= ~2*sqrt(dim)/127, ~0.008 at dim 64) of the 0.35 "
+    "threshold. The gate is far_flips == 0: no pair in exactly one "
+    "set may carry a cosine beyond threshold + 0.01 (measured max "
+    "flip distance 0.0073 at all three SFs). Set agreement rides as "
+    "context (0.94-0.96 on fixtures — a corpus-density property, how "
+    "many true cosines crowd the threshold, NOT a quantizer property, "
+    "so it is reported, not gated). Both sides are driver-hashed "
+    "against their own exact oracles (d07, d07q); this key pins their "
+    "RELATIONSHIP so a quantizer regression that moves cosines beyond "
+    "the theory bound flips a hash even if each side stays internally "
+    "consistent.",
+)
+def d07qx_int8_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f32 = _cosine_lsh_pairs(spark, sf_dir).select(
+        "i", "j", "cos", F.lit(1).alias("in_f"), F.lit(0).alias("in_q")
+    )
+    q8 = _cosine_lsh_pairs(spark, sf_dir, verify_payload="int8").select(
+        "i", "j", "cos", F.lit(0).alias("in_f"), F.lit(1).alias("in_q")
+    )
+    per = (
+        f32.unionByName(q8)
+        .groupBy("i", "j")
+        .agg(
+            F.max("in_f").alias("in_f"),
+            F.max("in_q").alias("in_q"),
+            F.max("cos").alias("cosm"),
+        )
+    )
+    far = F.when(
+        (F.col("in_f") + F.col("in_q") == 1)
+        & (F.col("cosm") >= F.lit(_D05_THRESHOLD + _D07QX_BOUNDARY)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    agg = per.agg(
+        F.coalesce(F.sum("in_f"), F.lit(0)).cast("long").alias("n_f32"),
+        F.coalesce(F.sum("in_q"), F.lit(0)).cast("long").alias("n_int8"),
+        F.coalesce(F.sum(F.col("in_f") * F.col("in_q")), F.lit(0))
+        .cast("long")
+        .alias("n_common"),
+        F.count(F.lit(1)).cast("long").alias("n_union"),
+        F.coalesce(F.sum(far), F.lit(0)).cast("long").alias("far_flips"),
+    )
+    agreement = F.round(
+        F.try_divide(
+            F.col("n_common").cast("double"),
+            F.nullif(F.col("n_union"), F.lit(0)).cast("double"),
+        ),
+        4,
+    )
+    ok = (
+        F.when(F.col("far_flips") == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    return agg.select(
+        "n_f32", "n_int8", "n_common",
+        agreement.alias("agreement"), "far_flips", ok.alias("ok"),
+    )
+
+
 def _cosine_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -765,6 +931,7 @@ def _cosine_lsh_pairs(
     bands: int = _D07_BANDS,
     auto_bits: bool = False,
     auto_bands: bool = False,
+    verify_payload: str = "float32",
 ) -> DataFrame:
     """Unordered verified near-dup pairs (i, j, cos) — shared by d07
     (reported pairs) and d08 (keep-list clustering).
@@ -857,10 +1024,27 @@ def _cosine_lsh_pairs(
     365.3 s with MORE verified pairs than the fixed plan, 703.2M vs
     675.6M; emitted-pair ratios reproduce the stratum recall ratios
     to 3 decimals). The same artifacts record why the true-notch
-    salted full row cannot run on one VM: the S=16 band exchange
-    carries the embedding on every replica (~115 GB of shuffle
-    scratch at 4.5M) — a per-executor disk provision at cluster
-    scale, not a memory bound.
+    salted full row could not run on one VM with the float payload:
+    the S=16 band exchange carries the embedding on every replica
+    (~115 GB of shuffle scratch at 4.5M) — a per-executor disk
+    provision at cluster scale, not a memory bound.
+
+    ``verify_payload="int8"`` is the footprint answer (r10 verdict
+    #2): the band exchange ships an int8 quantization of the
+    NORMALIZED vector (q = round(127 * x / ||v||), array<tinyint> —
+    4x fewer payload bytes per banded replica) while the band
+    signatures stay sign-of-float32, so the CANDIDATE SET is
+    identical to the float plan; only the verify cosine moves, by
+    O(1/127) per component at the threshold boundary. The verify
+    itself gets FASTER, not approximate-er, in-kernel: int8 dots are
+    integers < 2^24, exact in float32 SGEMM whatever the summation
+    order (arrowkit.cosine_prep), and the normalize-after matches
+    DuckDB's list_cosine_similarity op for op — so the quantized key
+    (d07q) hash-matches an exact DuckDB oracle replicating the same
+    quantization, and d07qx gates its pair-set agreement against the
+    float family. Keep float32 (default) when the 4dp cosine values
+    must match d05/d07's; ship int8 when the salted exchange is the
+    binding constraint (the 4.5M S=16 engagement row).
     """
     from quacfka_spark.operators.lsh_tuning import (
         D07_TARGET_ROWS,
@@ -878,12 +1062,39 @@ def _cosine_lsh_pairs(
     # the bytes); the kernel widens AFTER the shuffle — bit-exact.
     e = t["embeddings"].filter(F.col("embedding").isNotNull())
 
+    if verify_payload == "int8":
+        # quantize JVM-side in the same pre-shuffle projection that
+        # computes the band signatures: ||v|| as an aggregate fold,
+        # each component rounded to round(127 * x / ||v||) tinyint
+        # (zero-norm vectors quantize to zeros and can never verify,
+        # exactly like their float NaN-cosine behavior)
+        nrm = F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+        safe = F.when(nrm > 0, nrm).otherwise(F.lit(1.0))
+        ship = F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 127.0 / safe).cast(
+                "tinyint"
+            ),
+        )
+    else:
+        ship = F.col("embedding")
+
     def _banded(b_: int) -> DataFrame:
+        # sigs come from the ORIGINAL float32 vector (identical
+        # candidate set at any payload); the shipped column keeps the
+        # name "embedding" so both verify kernels and the salted
+        # replication below are payload-agnostic
         return e.select(
             "vec_id",
-            "embedding",
+            ship.alias("__emb"),
             F.array(*sign_band_cols(b_, bands)).alias("sigs"),
-        ).select(
+        ).withColumnRenamed("__emb", "embedding").select(
             "vec_id", "embedding", "sigs",
             F.posexplode_outer(F.col("sigs")).alias("band", "sig"),
         )
@@ -945,7 +1156,8 @@ def _cosine_lsh_pairs(
         import numpy as np
 
         from quacfka_spark.operators.arrowkit import (
-            list_matrix, np_col, pairs_table, str_matrix,
+            cosine_block, cosine_prep, list_matrix, np_col, pairs_table,
+            str_matrix,
         )
 
         band = key[0].as_py()  # applyInArrow keys are pyarrow scalars
@@ -953,9 +1165,10 @@ def _cosine_lsh_pairs(
         if m < 2:
             return pairs_table()
         ids = np_col(tbl, "vec_id")
-        mat = list_matrix(tbl, "embedding")
-        with np.errstate(divide="ignore", invalid="ignore"):
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        # dtype=None keeps the stored payload (float32 default, int8
+        # quantized); cosine_prep normalizes floats up front / keeps
+        # int8 for the exact-SGEMM path — see arrowkit
+        mat, nrms = cosine_prep(list_matrix(tbl, "embedding", dtype=None))
         # m x BANDS of '0101' strings; band-0 buckets never consult it
         # (every band-0 collision is by definition the first), so skip
         # the bucket-sized string conversion there
@@ -964,7 +1177,7 @@ def _cosine_lsh_pairs(
         for lo in range(0, m, _D07_CHUNK):
             hi = min(lo + _D07_CHUNK, m)
             with np.errstate(invalid="ignore"):
-                cos = mat[lo:hi] @ mat.T  # chunk x m
+                cos = cosine_block(mat, nrms, mat, nrms, lo, hi)
                 keep = cos >= _D05_THRESHOLD  # NaN (zero-norm) -> False
             keep &= ids[lo:hi, None] < ids[None, :]
             ii, jj = np.nonzero(keep)
@@ -1034,24 +1247,24 @@ def _cosine_lsh_pairs(
         import numpy as np
 
         from quacfka_spark.operators.arrowkit import (
-            list_matrix, np_col, pairs_table, str_matrix,
+            cosine_block, cosine_prep, list_matrix, np_col, pairs_table,
+            str_matrix,
         )
 
         # applyInArrow keys are pyarrow scalars -> unwrap to Python
         band, _sig, sa, sb = (x.as_py() for x in key)
 
         ids_all = np_col(tbl, "vec_id")
-        mat_all = list_matrix(tbl, "embedding")
-        with np.errstate(divide="ignore", invalid="ignore"):
-            mat_all = mat_all / np.linalg.norm(
-                mat_all, axis=1, keepdims=True
-            )
+        mat_all, nrm_all = cosine_prep(
+            list_matrix(tbl, "embedding", dtype=None)
+        )
         sigm_all = str_matrix(tbl, "sigs") if band > 0 else None
 
         def sel(mask):
             return (
                 ids_all[mask],
                 mat_all[mask],
+                nrm_all[mask] if nrm_all is not None else None,
                 sigm_all[mask] if band > 0 else None,
             )
 
@@ -1061,11 +1274,11 @@ def _cosine_lsh_pairs(
             # sa-salt members (they carry exactly one (sa, sa) struct)
             if len(tbl) < 2:
                 return pairs_table()
-            ids, mat, sigm = ids_all, mat_all, sigm_all
+            ids, mat, nrm, sigm = ids_all, mat_all, nrm_all, sigm_all
             for lo in range(0, len(ids), _D07_CHUNK):
                 hi = min(lo + _D07_CHUNK, len(ids))
                 with np.errstate(invalid="ignore"):
-                    cos = mat[lo:hi] @ mat.T
+                    cos = cosine_block(mat, nrm, mat, nrm, lo, hi)
                     keep = cos >= _D05_THRESHOLD
                 keep &= ids[lo:hi, None] < ids[None, :]
                 ii, jj = np.nonzero(keep)
@@ -1081,14 +1294,14 @@ def _cosine_lsh_pairs(
             # off-diagonal: cross pairs between the two salt groups
             # (disjoint by construction, so no i<j mask — orient by id)
             slt = np_col(tbl, "slt")
-            ids_x, mx, sgx = sel(slt == sa)
-            ids_y, my, sgy = sel(slt == sb)
+            ids_x, mx, nx, sgx = sel(slt == sa)
+            ids_y, my, ny, sgy = sel(slt == sb)
             if len(ids_x) == 0 or len(ids_y) == 0:
                 return pairs_table()
             for lo in range(0, len(ids_x), _D07_CHUNK):
                 hi = min(lo + _D07_CHUNK, len(ids_x))
                 with np.errstate(invalid="ignore"):
-                    cos = mx[lo:hi] @ my.T
+                    cos = cosine_block(mx, nx, my, ny, lo, hi)
                     keep = cos >= _D05_THRESHOLD
                 ii, jj = np.nonzero(keep)
                 if band > 0 and len(ii):

@@ -196,3 +196,124 @@ def test_subprocess_failure_path_fits_budget():
     assert len(d["ingest_wide"]["error"]) <= 80
     assert all(len(v) <= 80 for v in d["errors"].values())
     assert d["value"] == round(sum(timings.values()), 4)
+
+
+# ---------------------------------------------------------------------------
+# Ingest stall machinery (r10 verdict #1) — pure helpers, no Spark.
+# ---------------------------------------------------------------------------
+
+from quacfka_spark.bench_ingest import (  # noqa: E402
+    _cpu_jiffies,
+    should_rerun_stalled,
+    stall_evidence,
+)
+
+
+def test_stall_evidence_marks_all_passes_and_verdict():
+    ev = stall_evidence(
+        [38.2, 37.1, 36.9], 9.5, [0.31, 0.29, None], [0.41, 0.38, None]
+    )
+    assert ev["pass_seconds"] == [38.2, 37.1, 36.9]
+    assert ev["expected_pass_s"] == 9.5
+    assert ev["stalled"] is True  # best 36.9 > 2 * 9.5
+    assert ev["pass_busy"] == [0.31, 0.29, None]
+    assert ev["pass_steal"] == [0.41, 0.38, None]
+
+
+def test_stall_evidence_clean_window():
+    ev = stall_evidence([9.8, 9.6], 9.5, [0.97, 0.95], [0.0, 0.0])
+    assert ev["stalled"] is False
+    # zero steal is the healthy case — not worth line bytes
+    assert "pass_steal" not in ev
+    assert ev["pass_busy"] == [0.97, 0.95]
+
+
+def test_stall_evidence_without_expectation_still_records_passes():
+    # direct callers (rows= explicit, no calibration): no expectation,
+    # no verdict — but the per-pass record still lands in the report
+    ev = stall_evidence([2.1, 38.0], None, [None, None], [None, None])
+    assert ev["pass_seconds"] == [2.1, 38.0]
+    assert "stalled" not in ev and "expected_pass_s" not in ev
+    assert "pass_busy" not in ev
+
+
+def test_should_rerun_stalled_policy():
+    import time as _t
+
+    far = _t.monotonic() + 10_000
+    # best pass 3x expectation, room under cap, deadline far -> rerun
+    assert should_rerun_stalled([30.0, 31.0], 10.0, 6, far)
+    # one clean sample defends the block -> stop
+    assert not should_rerun_stalled([30.0, 9.9], 10.0, 6, far)
+    # cap reached -> stop even though still stalled
+    assert not should_rerun_stalled([30.0] * 6, 10.0, 6, far)
+    # no expectation (uncalibrated) or no deadline -> never rerun
+    assert not should_rerun_stalled([30.0], None, 6, far)
+    assert not should_rerun_stalled([30.0], 10.0, 6, None)
+    # deadline too close for another best-length pass -> stop
+    near = _t.monotonic() + 5.0
+    assert not should_rerun_stalled([30.0], 10.0, 6, near)
+
+
+def test_cpu_jiffies_shape():
+    # Linux CI/dev hosts: monotone non-negative triple, busy <= total
+    j = _cpu_jiffies()
+    if j is None:  # non-Linux fallback is allowed
+        return
+    busy, steal, total = j
+    assert 0 <= busy <= total and 0 <= steal <= total
+
+
+def test_stall_markers_ride_ingest_blocks_under_budget():
+    """Worst case: all four blocks stalled with full pass lists, steal
+    evidence, and a resize marker — the line must still parse under
+    budget with the full headline set (query map folds into _others)."""
+    stalled_small = dict(
+        _INGEST,
+        stalled=True,
+        expected_pass_s=9.53,
+        pass_seconds=[38.2, 37.1, 36.9, 39.4, 38.8, 37.7, 36.2, 40.1],
+        pass_busy=[0.31] * 8,
+        pass_steal=[0.41] * 8,
+        calib_seconds=[1.2, 9.8, 1.3],
+        resized=True,
+    )
+    stalled_wide = dict(_INGEST_WIDE, **{
+        k: stalled_small[k]
+        for k in ("stalled", "expected_pass_s", "pass_seconds",
+                  "pass_busy", "pass_steal", "resized")
+    })
+    timings = {name: 1.23 for name in HEADLINE}
+    line = build_headline_line(
+        timings, 0.1, stalled_small, stalled_small,
+        ingest_wide=stalled_wide, ingest_streaming_wide=stalled_wide,
+    )
+    assert len(line) <= LINE_BUDGET, len(line)
+    d = json.loads(line)
+    for blk in ("ingest", "ingest_streaming", "ingest_wide",
+                "ingest_streaming_wide"):
+        assert d[blk]["stalled"] == 1
+        assert d[blk]["exp_s"] == 9.5
+        assert len(d[blk]["ps"]) == 8
+        assert d[blk]["steal"] == 41
+    assert d["ingest"]["resized"] == 1
+
+
+def test_scattered_but_defended_block_carries_passes_only():
+    """A block whose best pass is clean but whose other samples stalled
+    is NOT marked stalled — the pass list rides so the artifact can
+    defend the best-of-N number."""
+    rep = dict(
+        _INGEST,
+        stalled=False,
+        expected_pass_s=9.53,
+        pass_seconds=[9.8, 38.2],
+        pass_busy=[0.97, 0.31],
+        pass_steal=[0.0, 0.44],
+    )
+    d = json.loads(build_headline_line({"q01": 1.0}, 0.1, rep, _INGEST))
+    assert "stalled" not in d["ingest"]
+    assert d["ingest"]["ps"] == [9.8, 38.2]
+    assert d["ingest"]["steal"] == 44
+    # the clean sibling block carries no stall bytes at all
+    assert "ps" not in d["ingest_streaming"]

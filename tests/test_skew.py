@@ -287,3 +287,57 @@ def test_trained_cells_tiny_corpus_smaller_than_k(spark, tmp_path):
     # query is vec 0; its 2 probed cells cover the orthogonal others
     assert 0 < len(top) <= 2
     assert all(abs(r["cos"]) < 1e-9 for r in top), top
+
+
+def test_d07_int8_payload_salt_invariant_and_boundary_only_flips(
+    spark, tmp_path
+):
+    """The int8 verify payload (r10 verdict #2 — the band-exchange
+    footprint fix): (1) salted and unsalted int8 plans emit IDENTICAL
+    pair sets (the salting invariant is payload-agnostic); (2) every
+    disagreement vs the float32 plan is a threshold-boundary pair —
+    the surviving side's cosine within quantization error (0.01 at
+    dim 64) of the 0.35 verify threshold — because both plans share
+    one candidate set (identical float-sign bands)."""
+    import os
+
+    import numpy as np
+
+    from quacfka_spark.operators.dedup import _cosine_lsh_pairs
+
+    rng = np.random.default_rng(11)
+    n, dim = 500, 64
+    vecs = rng.normal(size=(n, dim))
+    vecs[40:80] = vecs[:40] + 0.05 * rng.normal(size=(40, dim))
+    d = str(tmp_path / "int8lsh")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+    import tests.conftest as cf
+
+    for name in ["region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents"]:
+        os.symlink(f"{cf.SMOKE_DIR}/{name}.parquet", f"{d}/{name}.parquet")
+
+    q_plain = {(r["i"], r["j"], r["cos"])
+               for r in _cosine_lsh_pairs(
+                   spark, d, verify_payload="int8").collect()}
+    q_salted = {(r["i"], r["j"], r["cos"])
+                for r in _cosine_lsh_pairs(
+                    spark, d, salt_buckets=3, verify_payload="int8"
+                ).collect()}
+    assert q_plain, "fixture produced no int8 pairs — test is vacuous"
+    assert q_salted == q_plain
+
+    f32 = {(r["i"], r["j"]): r["cos"]
+           for r in _cosine_lsh_pairs(spark, d).collect()}
+    q8 = {(i, j): c for (i, j, c) in q_plain}
+    for k in set(f32) - set(q8):
+        assert f32[k] < 0.35 + 0.011, (k, f32[k])
+    for k in set(q8) - set(f32):
+        assert q8[k] < 0.35 + 0.011, (k, q8[k])
+    # common pairs: quantized cosine within the error bound of float
+    for k in set(q8) & set(f32):
+        assert abs(q8[k] - f32[k]) < 0.02, (k, q8[k], f32[k])

@@ -113,3 +113,50 @@ def test_quantize_q4_three_faces_agree(spark):
     # and the retired convention REALLY disagrees on a negative half
     # boundary (guards against someone 'simplifying' back to it)
     assert int(np.floor(-0.00005 * 1e4 + 0.5)) != npq[2]
+
+
+def test_cosine_prep_int8_sgemm_is_exact():
+    """The int8 verify path's exactness claim (arrowkit.cosine_prep):
+    int8 dot products are integers < 2^24, so the float32 SGEMM result
+    cast to float64 equals the all-float64 computation BIT FOR BIT —
+    the property that makes d07q exact-oracle-checkable while running
+    the cheaper matmul."""
+    import numpy as np
+
+    from quacfka_spark.operators.arrowkit import cosine_block, cosine_prep
+
+    rng = np.random.default_rng(3)
+    q = rng.integers(-127, 128, size=(300, 64)).astype(np.int8)
+    m32, norms = cosine_prep(q)
+    assert m32.dtype == np.float32 and norms.dtype == np.float64
+    got = cosine_block(m32, norms, m32, norms, 0, 300)
+    q64 = q.astype(np.float64)
+    n64 = np.sqrt((q64 ** 2).sum(axis=1))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        want = (q64 @ q64.T) / (n64[:, None] * n64[None, :])
+    assert got.dtype == np.float64
+    assert np.array_equal(got, want)  # bit-exact, not allclose
+
+
+def test_cosine_prep_float_path_unchanged():
+    """The float path must reproduce the historical normalize-then-
+    matmul arithmetic exactly (existing d05/d07 oracle hashes depend
+    on it), including NaN rows for zero-norm vectors."""
+    import numpy as np
+
+    from quacfka_spark.operators.arrowkit import cosine_block, cosine_prep
+
+    rng = np.random.default_rng(4)
+    m = rng.normal(size=(64, 16)).astype(np.float32)
+    m[7] = 0.0  # zero-norm row -> NaN cosine, callers' masks drop it
+    prep, norms = cosine_prep(m)
+    assert norms is None
+    got = cosine_block(prep, None, prep, None, 0, 64)
+    m64 = m.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        legacy = m64 / np.linalg.norm(m64, axis=1, keepdims=True)
+    want = legacy[0:64] @ legacy.T
+    assert np.array_equal(
+        np.nan_to_num(got, nan=-9.0), np.nan_to_num(want, nan=-9.0)
+    )
+    assert np.isnan(got[7]).all()
