@@ -294,14 +294,13 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_pairs(
+def _minhash_bands(
     spark: SparkSession, sf_dir: str, family: str = "md5"
 ) -> DataFrame:
-    """Jaccard-verified LSH candidate pairs (i, j, _j) — the shared core
-    of d03 (reported pairs), d06 (duplicate clusters) and d03x (the
-    xxhash64 production variant). Public API: composed pipelines (see
-    examples/training_data_pipeline.py) consume the pair stream directly
-    and feed it to ``label_propagate``."""
+    """The exploded (doc_id, shs, band, sig) band frame — minhash_pairs'
+    shuffle input, shared with d03g (the ingest near-dup gate
+    certification, which applies the gate's >=min_bands pair policy
+    over the same bands instead of any-band + Jaccard verify)."""
     sh = _doc_shingles(spark, sf_dir)
     if family == "md5":
         sh = _minhash_base(sh)
@@ -339,10 +338,21 @@ def minhash_pairs(
     # repartition with the ENTIRE tokenize->shingle->minhash->band tree
     # inlined — the whole pipeline then runs twice, once on the single
     # pre-shuffle scan task (measured 10s of the 14s total at sf0.001).
-    bands = (
+    return (
         sigs.select("doc_id", "shs", F.array(*band_sigs).alias("bs"))
         .select("doc_id", "shs", F.posexplode_outer("bs").alias("band", "sig"))
     )
+
+
+def minhash_pairs(
+    spark: SparkSession, sf_dir: str, family: str = "md5"
+) -> DataFrame:
+    """Jaccard-verified LSH candidate pairs (i, j, _j) — the shared core
+    of d03 (reported pairs), d06 (duplicate clusters) and d03x (the
+    xxhash64 production variant). Public API: composed pipelines (see
+    examples/training_data_pipeline.py) consume the pair stream directly
+    and feed it to ``label_propagate``."""
+    bands = _minhash_bands(spark, sf_dir, family)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -387,6 +397,25 @@ def _d03p_oracle() -> str:
     mirrors that with its COALESCE-to-'' branch. The Spark verify is
     additionally guarded with try_divide so a hypothetical
     empty-vs-empty pair would score NULL, never NaN >= 0.7."""
+    return f"""
+    WITH {_d03p_band_ctes()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    {_D03P_VERIFY_CTES}
+    SELECT c.i, c.j, ROUND(c.c * 1.0 / (na.n + nb.n - c.c), 4) AS jaccard
+    FROM common c JOIN n na ON na.doc_id = c.i JOIN n nb ON nb.doc_id = c.j
+    WHERE c.c * 1.0 / (na.n + nb.n - c.c) >= 0.7
+    ORDER BY i, j
+    """
+
+
+def _d03p_band_ctes() -> str:
+    """The shared xxHash64 CTE chain up through the banded
+    (doc_id, band, sig) relation — d03p's oracle prefix, reused by
+    d03g (the ingest near-dup gate certification, which applies a
+    different PAIR POLICY over the same bands)."""
     from quacfka_spark.operators.xxh64_sql import (
         hash_int,
         long_chain_stages,
@@ -398,8 +427,7 @@ def _d03p_oracle() -> str:
     long_ctes, long_out = long_chain_stages(
         "mhp", ["m0", "m1", "m2"], "sig", "xl"
     )
-    return f"""
-    WITH toks AS ({_ORACLE_TOKS}),
+    return f"""toks AS ({_ORACLE_TOKS}),
     sh AS ({_ORACLE_SHINGLES}),
     ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
     xd AS (SELECT DISTINCT s FROM ex),
@@ -414,22 +442,17 @@ def _d03p_oracle() -> str:
         MAX(CASE WHEN i % {_BAND_SIZE} = 1 THEN m END) AS m1,
         MAX(CASE WHEN i % {_BAND_SIZE} = 2 THEN m END) AS m2
       FROM mh GROUP BY doc_id, i // {_BAND_SIZE}){long_ctes},
-    bands AS (SELECT doc_id, band, sig FROM {long_out}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-    n AS (SELECT doc_id, len(shs) AS n FROM sh),
+    bands AS (SELECT doc_id, band, sig FROM {long_out})"""
+
+
+# Jaccard verify over ``cand`` (i, j) — the tail both d03p and d03g's
+# truth side share. Expects the ``_d03p_band_ctes`` prefix in scope.
+_D03P_VERIFY_CTES = """n AS (SELECT doc_id, len(shs) AS n FROM sh),
     common AS (
       SELECT c.i, c.j, COUNT(*) AS c
       FROM cand c JOIN ex a ON a.doc_id = c.i
                   JOIN ex b ON b.doc_id = c.j AND b.s = a.s
-      GROUP BY c.i, c.j)
-    SELECT c.i, c.j, ROUND(c.c * 1.0 / (na.n + nb.n - c.c), 4) AS jaccard
-    FROM common c JOIN n na ON na.doc_id = c.i JOIN n nb ON nb.doc_id = c.j
-    WHERE c.c * 1.0 / (na.n + nb.n - c.c) >= 0.7
-    ORDER BY i, j
-    """
+      GROUP BY c.i, c.j)"""
 
 
 @query(
@@ -502,6 +525,152 @@ def d03x_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "int"
     )
     return agg.select(ok.alias("ok"))
+
+
+# --------------------------------------------------------------------------
+# The ingest near-dup gate's pair policy (streaming/pipeline.py
+# neardup_min_bands default): drop on >= 2 shared band keys, no verify.
+_D03G_MIN_BANDS = 2
+_D03G_PRECISION_GATE = 0.95
+_D03G_RECALL_GATE = 0.85
+
+
+def _d03g_oracle() -> str:
+    return f"""
+    WITH {_d03p_band_ctes()},
+    gate AS (
+      SELECT a.doc_id AS i, b.doc_id AS j
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(DISTINCT a.band) >= {_D03G_MIN_BANDS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    {_D03P_VERIFY_CTES},
+    ver AS (
+      SELECT c.i, c.j FROM common c
+      JOIN n na ON na.doc_id = c.i JOIN n nb ON nb.doc_id = c.j
+      WHERE c.c * 1.0 / (na.n + nb.n - c.c) >= 0.7),
+    u AS (
+      SELECT i, j, 1 AS in_g, 0 AS in_v FROM gate
+      UNION ALL
+      SELECT i, j, 0 AS in_g, 1 AS in_v FROM ver),
+    per AS (
+      SELECT i, j, MAX(in_g) AS in_g, MAX(in_v) AS in_v
+      FROM u GROUP BY i, j),
+    agg AS (
+      SELECT CAST(COALESCE(SUM(in_g), 0) AS BIGINT) AS n_gate,
+             CAST(COALESCE(SUM(in_v), 0) AS BIGINT) AS n_verified,
+             CAST(COALESCE(SUM(in_g * in_v), 0) AS BIGINT) AS n_common
+      FROM per)
+    SELECT n_gate, n_verified, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / NULLIF(n_gate, 0), 4)
+             AS precision,
+           ROUND(CAST(n_common AS DOUBLE) / NULLIF(n_verified, 0), 4)
+             AS recall,
+           CAST(CASE WHEN (n_gate = 0
+                           OR n_common >= {_D03G_PRECISION_GATE} * n_gate)
+                      AND (n_verified = 0
+                           OR n_common >= {_D03G_RECALL_GATE} * n_verified)
+                     THEN 1 ELSE 0 END AS INTEGER) AS ok
+    FROM agg
+    """
+
+
+@query(
+    "d03g_neardup_gate_quality",
+    oracle=_d03g_oracle(),
+    doc="Certification for the INGEST-TIME near-dup gate (r10 verdict "
+    "#3): the sink-level neardup_col policy (streaming/pipeline.py — "
+    "d03p's 12-minhash/4-band xxhash64 family, drop on >= 2 shared "
+    "band keys, NO Jaccard verify because the ledger never stores "
+    "historical text) replayed in batch over the documents corpus and "
+    "scored against d03p's VERIFIED pairs as truth. Gates: precision "
+    ">= 0.95 (a dropped row must near-certainly be a true near-dup — "
+    "false drops destroy data) and recall >= 0.85 (the min_bands=2 "
+    "trade's cost: a verified pair colliding in only one band passes "
+    "the gate). Measured: precision 1.0 at ALL three SFs, recall "
+    "0.9286/0.96/1.0 at sf0.001/0.01/0.1 — consistent with the bench "
+    "note this key replaces as evidence (INGEST_NEARDUP.json: 97.7% "
+    "variant-drop at the sink). Value-hashed counts + 4dp metrics + "
+    "gate flag, the d07x certification shape; pair policy and band "
+    "family are the PRODUCTION constants, so a gate or family "
+    "regression flips the driver hash.",
+)
+def d03g_neardup_gate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _minhash_bands(spark, sf_dir, family="xxhash64").select(
+        "doc_id", "band", "sig"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    gate = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.count_distinct(F.col("a.band")).alias("nb"))
+        .filter(F.col("nb") >= _D03G_MIN_BANDS)
+        .select("i", "j", F.lit(1).alias("in_g"), F.lit(0).alias("in_v"))
+    )
+    ver = minhash_pairs(spark, sf_dir, family="xxhash64").select(
+        "i", "j", F.lit(0).alias("in_g"), F.lit(1).alias("in_v")
+    )
+    per = (
+        gate.unionByName(ver)
+        .groupBy("i", "j")
+        .agg(F.max("in_g").alias("in_g"), F.max("in_v").alias("in_v"))
+    )
+    agg = per.agg(
+        F.coalesce(F.sum("in_g"), F.lit(0)).cast("long").alias("n_gate"),
+        F.coalesce(F.sum("in_v"), F.lit(0)).cast("long").alias("n_verified"),
+        F.coalesce(F.sum(F.col("in_g") * F.col("in_v")), F.lit(0))
+        .cast("long")
+        .alias("n_common"),
+    )
+    precision = F.round(
+        F.try_divide(
+            F.col("n_common").cast("double"),
+            F.nullif(F.col("n_gate"), F.lit(0)).cast("double"),
+        ),
+        4,
+    )
+    recall = F.round(
+        F.try_divide(
+            F.col("n_common").cast("double"),
+            F.nullif(F.col("n_verified"), F.lit(0)).cast("double"),
+        ),
+        4,
+    )
+    ok = (
+        F.when(
+            (
+                (F.col("n_gate") == 0)
+                | (
+                    F.col("n_common")
+                    >= F.lit(_D03G_PRECISION_GATE) * F.col("n_gate")
+                )
+            )
+            & (
+                (F.col("n_verified") == 0)
+                | (
+                    F.col("n_common")
+                    >= F.lit(_D03G_RECALL_GATE) * F.col("n_verified")
+                )
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    return agg.select(
+        "n_gate", "n_verified", "n_common",
+        precision.alias("precision"), recall.alias("recall"),
+        ok.alias("ok"),
+    )
 
 
 # --------------------------------------------------------------------------

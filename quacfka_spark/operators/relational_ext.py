@@ -217,12 +217,28 @@ def q30_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q30p_approx_percentile_only",
     oracle=None,
-    doc="q30's production configuration: approx_percentile only (t-digest "
-    "sketch, constant memory per group, bounded-size shuffle rows) — the "
-    "plan you run at 100 TB where exact percentile_cont's per-group "
-    "value buffering is a straight OOM. No SQL oracle (sketch results "
-    "are engine-specific; rows-only driver check): its accuracy is "
-    "oracle-checked by q30x_approx_percentile's within-1% flag.",
+    doc="q30's production configuration: approx_percentile only (sketch "
+    "aggregate, constant memory per group, bounded-size shuffle rows) — "
+    "the plan you run at 100 TB where exact percentile_cont's per-group "
+    "value buffering is a straight OOM. PERMANENTLY rows-only (r10 "
+    "verdict #4, the d03p-treatment analysis): d03p became exact-oracle-"
+    "checkable because xxHash64 is a pure PER-ROW function — replicating "
+    "the published spec in DuckDB SQL reproduces Spark's values no "
+    "matter how either engine schedules the scan. approx_percentile is "
+    "a Greenwald-Khanna quantile summary (Spark QuantileSummaries; "
+    "Greenwald & Khanna, SIGMOD 2001): its emitted value depends on the "
+    "ORDER rows are inserted and on WHERE partition boundaries fall "
+    "(each task builds a summary; merge order and per-summary "
+    "compression thresholds decide which samples survive). A SQL oracle "
+    "would have to simulate the executing session's task partitioning — "
+    "but the driver runs this key under ITS OWN session (different "
+    "parallelism than any session the oracle string could be written "
+    "against), so no fixed DuckDB SQL can reproduce the value even in "
+    "principle; the same engine at a different core count already "
+    "disagrees with itself within the sketch's rank-error bound. That "
+    "bound IS checkable, and is: q30x_approx_percentile gates every "
+    "group's approx p50/p90 within 1% of the exact interpolated "
+    "percentile, both engines agreeing on the folded boolean.",
 )
 def q30p_approx_percentile_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_views(spark, sf_dir)

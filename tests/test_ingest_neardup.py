@@ -151,3 +151,63 @@ def test_neardup_ledger_horizon_prunes_and_readmits(spark, tmp_path):
     assert kept == {0, 1, 2}
     dirs = sorted(os.listdir(os.path.join(out, "_neardup_ledger")))
     assert dirs == ["epoch=1", "epoch=2"]
+
+
+def test_gate_band_family_matches_batch_d03p_family(spark, tmp_path):
+    """The d03g certification key scores a BATCH replica of the gate's
+    pair policy — which certifies the production gate only if the
+    pipeline's band keys (_nd_band_sigs) and the batch family
+    (_minhash_bands, xxhash64) are the SAME function of the text. Pin
+    byte-equality of the (band, sig) sets per doc so a drift in either
+    implementation (seeds, band size, shingle convention) breaks here
+    rather than silently de-certifying d03g."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from quacfka_spark.operators.dedup import _minhash_bands
+    from quacfka_spark.streaming.pipeline import (
+        PipelineConfig, StreamingPipeline,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again & again!",
+        "completely different content about spark shuffle partitions",
+        "ts",  # sub-shingle doc: whole-token-string convention
+        "",
+    ]
+    d = str(tmp_path / "fam")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)],
+        "doc_id bigint, text string, source string",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    import tests.conftest as cf
+
+    for name in ["region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "embeddings"]:
+        os.symlink(f"{cf.SMOKE_DIR}/{name}.parquet", f"{d}/{name}.parquet")
+
+    batch = {
+        (r["doc_id"], r["band"], r["sig"])
+        for r in _minhash_bands(spark, d, family="xxhash64")
+        .select("doc_id", "band", "sig")
+        .collect()
+    }
+
+    # the pipeline's band derivation, driven directly (no stream needed)
+    pipe = StreamingPipeline.__new__(StreamingPipeline)
+    narrow = (
+        spark.read.parquet(os.path.join(d, "documents.parquet"))
+        .select("doc_id", F.col("text").alias("__nd_txt"))
+    )
+    gate = {
+        (r["doc_id"], r["band"], r["sig"])
+        for r in pipe._nd_band_sigs(narrow)
+        .select(
+            "doc_id", F.posexplode_outer("__nd_sigs").alias("band", "sig")
+        )
+        .collect()
+    }
+    assert gate == batch

@@ -119,6 +119,19 @@ def main() -> None:
         "(each config joins the --agreement comparison vs the 4x4 "
         "default when that flag is set)",
     )
+    ap.add_argument(
+        "--payload",
+        default="float32",
+        choices=["float32", "int8"],
+        help="d07 verify payload on the band exchange (dedup.py "
+        "verify_payload). int8 ships round(127*x/||v||) tinyints — "
+        "4x fewer payload bytes per banded replica — which is what "
+        "makes the production-constant S=16 engagement row fit a "
+        "single VM's shuffle scratch (the float32 row died at ~115 GB, "
+        "SCALE_PROBE_D07_AUTO_5M.json). Candidate sets are identical "
+        "(bands hash float signs); verify cosines shift by <= 0.01 at "
+        "dim 64, certified boundary-only by the d07qx key.",
+    )
     args = ap.parse_args()
     scale_probe.FIXTURE = args.fixture
 
@@ -143,7 +156,32 @@ def main() -> None:
     from quacfka_spark.operators.similarity import knn_edges
     from quacfka_spark.session import get_spark
 
-    spark = get_spark("bits-probe")
+    # UI on: the probe reads completed-stage shuffleWriteBytes from the
+    # REST API to record the band exchange's MEASURED footprint per row
+    # (the r10 death note's ~115 GB was inferred; this measures it)
+    spark = get_spark("bits-probe", extra_conf={"spark.ui.enabled": "true"})
+
+    def shuffle_stages() -> dict | None:
+        """{(stageId, attemptId): shuffleWriteBytes} for completed
+        stages — diffed around each row to attribute exchange bytes."""
+        try:
+            import urllib.request
+
+            base = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+            with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app}/stages?status=complete",
+                timeout=10,
+            ) as r:
+                stages = json.load(r)
+            return {
+                (s["stageId"], s.get("attemptId", 0)): int(
+                    s.get("shuffleWriteBytes", 0)
+                )
+                for s in stages
+            }
+        except Exception:
+            return None
     t0 = time.perf_counter()
     # n_docs minimal: this probe only reads embeddings
     scale_probe.synthesize(spark, args.dir, args.n_vecs, 2000)
@@ -200,6 +238,7 @@ def main() -> None:
 
     def time_one(name: str, fn) -> None:
         try:
+            before = shuffle_stages()
             t0 = time.perf_counter()
             df = fn(spark, args.dir)
             from pyspark.sql import Observation
@@ -212,6 +251,16 @@ def main() -> None:
                 "sec": round(time.perf_counter() - t0, 2),
                 "rows": int(obs.get["n"]),
             }
+            after = shuffle_stages()
+            if before is not None and after is not None:
+                new = {k: v for k, v in after.items() if k not in before}
+                gb = 1024.0 ** 3
+                results[name]["shuffle_write_gb"] = round(
+                    sum(new.values()) / gb, 2
+                )
+                results[name]["max_stage_shuffle_gb"] = round(
+                    max(new.values(), default=0) / gb, 2
+                )
         except Exception as e:
             results[name] = {"error": str(e)[:200]}
         print(f"# {name}: {results[name]}", file=sys.stderr)
@@ -331,7 +380,8 @@ def main() -> None:
         )
         for b, nb in configs_cert:
             cfg = _cosine_lsh_pairs(
-                spark, sdir, auto=True, bits=b, bands=nb
+                spark, sdir, auto=True, bits=b, bands=nb,
+                verify_payload=args.payload,
             ).select(
                 "i", "j", F.lit(0).alias("in_exact"), F.lit(1).alias("in_cfg")
             )
@@ -375,7 +425,8 @@ def main() -> None:
                 time_one(
                     f"d07_bits{b}",
                     lambda s, d, b=b: _cosine_lsh_pairs(
-                        s, d, auto=True, bits=b
+                        s, d, auto=True, bits=b,
+                        verify_payload=args.payload,
                     ),
                 )
             else:
@@ -388,7 +439,8 @@ def main() -> None:
                 time_one(
                     f"d07_b{b}x{nb}",
                     lambda s, d, b=b, nb=nb: _cosine_lsh_pairs(
-                        s, d, auto=True, bits=b, bands=nb
+                        s, d, auto=True, bits=b, bands=nb,
+                        verify_payload=args.payload,
                     ),
                 )
             else:
@@ -403,7 +455,8 @@ def main() -> None:
                 time_one(
                     "d07_autobits",
                     lambda s, d: _cosine_lsh_pairs(
-                        s, d, auto=True, auto_bits=True
+                        s, d, auto=True, auto_bits=True,
+                        verify_payload=args.payload,
                     ),
                 )
             else:
@@ -415,7 +468,8 @@ def main() -> None:
             time_one(
                 "d07_autobits_autobands",
                 lambda s, d: _cosine_lsh_pairs(
-                    s, d, auto=True, auto_bits=True, auto_bands=True
+                    s, d, auto=True, auto_bits=True, auto_bands=True,
+                    verify_payload=args.payload,
                 ),
             )
 
@@ -423,7 +477,7 @@ def main() -> None:
     if args.agreement:
         for fam in fams:
             base_fn = (
-                (lambda s, d: _cosine_lsh_pairs(s, d, auto=True))
+                (lambda s, d: _cosine_lsh_pairs(s, d, auto=True, verify_payload=args.payload))
                 if fam == "d07"
                 else (lambda s, d: knn_edges(s, d, auto=True))
             )
@@ -435,7 +489,8 @@ def main() -> None:
             for b, nb in combos:
                 wide_fn = (
                     (lambda s, d, b=b, nb=nb: _cosine_lsh_pairs(
-                        s, d, auto=True, bits=b, bands=nb))
+                        s, d, auto=True, bits=b, bands=nb,
+                        verify_payload=args.payload))
                     if fam == "d07"
                     else (lambda s, d, b=b, nb=nb: knn_edges(
                         s, d, auto=True, bits=b, bands=nb))
