@@ -82,6 +82,9 @@ HEADLINE = [
     "sim13_knn_communities",
     "d07w_lsh_wideband_pairs",
     "d07wx_recovered_recall",
+    "d07q_int8_verify_pairs",
+    "d07qx_int8_agreement",
+    "d03g_neardup_gate_quality",
     "sim10w_knn_graph_wideband",
     "sim10wx_wideband_agreement",
 ]
