@@ -969,10 +969,12 @@ def _d07q_oracle() -> str:
     oracle=_d07q_oracle(),
     doc="d07 with the int8-quantized verify payload (r10 verdict #2): "
     "the band exchange ships round(127 * x / ||v||) as array<tinyint> "
-    "— 4x fewer payload bytes per banded replica, which is what turns "
+    "— 4x fewer payload bytes per banded replica, which is what turned "
     "the 4.5M-vector S=16 salted engagement exchange from ~115 GB of "
     "shuffle scratch (the float32 row that died on disk, "
-    "SCALE_PROBE_D07_AUTO_5M.json) into a single-VM-feasible run. "
+    "SCALE_PROBE_D07_AUTO_5M.json) into a COMPLETED single-VM run: "
+    "8361 s, 10.63B verified pairs, 20.3 GB measured exchange "
+    "(SCALE_PROBE_D07_INT8_5M.json, r11). "
     "Band signatures still hash the ORIGINAL float32 signs, so the "
     "candidate set is identical to d07's; the verify cosine moves by "
     "O(1/127) per component, and the oracle replicates the exact same "
@@ -1213,7 +1215,13 @@ def _cosine_lsh_pairs(
     quantization, and d07qx gates its pair-set agreement against the
     float family. Keep float32 (default) when the 4dp cosine values
     must match d05/d07's; ship int8 when the salted exchange is the
-    binding constraint (the 4.5M S=16 engagement row).
+    binding constraint. MEASURED at the true notch (r11,
+    SCALE_PROBE_D07_INT8_5M.json): the 4.5M S=16 salt-capped row that
+    died on float completes with int8 — 8361 s wall, 10.63B verified
+    pairs, band-exchange shuffle write 20.3 GB (REST-API-measured; a
+    5x+ reduction vs the >100 GB float death) — i.e. the production-
+    constant engagement mechanism now has full-kernel walls at its
+    own scale, not only at the T-scaled replica.
     """
     from quacfka_spark.operators.lsh_tuning import (
         D07_TARGET_ROWS,
