@@ -789,11 +789,16 @@ def run_streaming_ingest_bench(
         or time.monotonic() + min(min(walls) * 1.2, 60.0) < deadline
     ):
         add_pass()
-    # rate-derived expectation from the sibling batch block + ~2 s of
-    # per-pass fixed setup (stream start, checkpoint init, commits);
-    # rerun-on-stall with the same policy as run_ingest_bench
+    # rate-derived expectation from the sibling batch block + a fixed
+    # term that SCALES with micro-batch count (r11 advisor): ~2 s of
+    # stream start/checkpoint init plus ~2 s commit barrier per epoch —
+    # a flat 2 s marks a healthy many-epoch run "stalled" forever and
+    # burns rerun passes that can never converge. Rerun-on-stall with
+    # the same policy as run_ingest_bench.
     expected_pass_s = (
-        rows / expect_rate + 2.0 if expect_rate and expect_rate > 0 else None
+        rows / expect_rate + 2.0 + 2.0 * epochs
+        if expect_rate and expect_rate > 0
+        else None
     )
     while should_rerun_stalled(
         walls, expected_pass_s, max_passes + 4, deadline

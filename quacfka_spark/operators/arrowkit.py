@@ -101,10 +101,22 @@ def cosine_prep(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray | None]:
       list_cosine_similarity formula (dot / (norm_a * norm_b)) op for
       op — which is what makes the quantized key exact-oracle-checkable
       while the matmul runs on the ~2x faster SGEMM path.
+
+      The float32-SGEMM shortcut's precondition is ENFORCED, not just
+      documented (r11 advisor): it requires dim * 127^2 < 2^24, i.e.
+      dim <= 1040 — fine for the dim-64 fixtures but NOT for production
+      embedding dims (1536, 3072), where float32 partial sums would
+      round and silently break the bit-exact oracle parity. Past the
+      bound the ints are widened to float64 instead: int64 dots are
+      still integers far below 2^53, so the DGEMM path stays exact at
+      every realistic dim (< ~5.6e8), only ~2x slower — exactness is
+      never traded for the speed win.
     """
     if mat.dtype == np.int8:
         norms = np.sqrt((mat.astype(np.float64) ** 2).sum(axis=1))
-        return mat.astype(np.float32), norms
+        if mat.shape[1] * 127**2 < 2**24:
+            return mat.astype(np.float32), norms
+        return mat.astype(np.float64), norms
     m = mat.astype(np.float64, copy=False)
     with np.errstate(divide="ignore", invalid="ignore"):
         m = m / np.linalg.norm(m, axis=1, keepdims=True)

@@ -138,6 +138,35 @@ def test_cosine_prep_int8_sgemm_is_exact():
     assert np.array_equal(got, want)  # bit-exact, not allclose
 
 
+def test_cosine_prep_int8_wide_dim_falls_back_to_float64():
+    """The float32-SGEMM shortcut's precondition (dim * 127^2 < 2^24,
+    dim <= 1040) is ENFORCED (r11 advisor): at production embedding
+    dims (1536) float32 partial sums would round and silently break
+    d07q's bit-exact oracle parity, so cosine_prep must widen to
+    float64 there — and the DGEMM result must still be bit-exact
+    (int dots < 2^53)."""
+    import numpy as np
+
+    from quacfka_spark.operators.arrowkit import cosine_block, cosine_prep
+
+    rng = np.random.default_rng(5)
+    dim = 1536
+    assert dim * 127**2 >= 2**24  # the dim the advisor named
+    q = rng.integers(-127, 128, size=(50, dim)).astype(np.int8)
+    prep, norms = cosine_prep(q)
+    assert prep.dtype == np.float64  # fallback engaged
+    got = cosine_block(prep, norms, prep, norms, 0, 50)
+    q64 = q.astype(np.float64)
+    n64 = np.sqrt((q64 ** 2).sum(axis=1))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        want = (q64 @ q64.T) / (n64[:, None] * n64[None, :])
+    assert np.array_equal(got, want)
+    # and the boundary itself: dim 1040 is the last float32-eligible dim
+    assert 1040 * 127**2 < 2**24 and 1041 * 127**2 >= 2**24
+    small = rng.integers(-127, 128, size=(4, 1040)).astype(np.int8)
+    assert cosine_prep(small)[0].dtype == np.float32
+
+
 def test_cosine_prep_float_path_unchanged():
     """The float path must reproduce the historical normalize-then-
     matmul arithmetic exactly (existing d05/d07 oracle hashes depend

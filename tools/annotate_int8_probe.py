@@ -66,6 +66,26 @@ else:
         "remains the recovery-wall evidence"
     )
 rep["walls"] = walls
+if "d07_autobits_autobands" in ops and "sec" in ops["d07_autobits_autobands"]:
+    ab = ops["d07_autobits_autobands"]
+    au = ops["d07_autobits"]
+    rep["wall_inversion"] = (
+        f"the recovery row's wall ({ab['sec']:.0f} s) UNDERCUTS unrecovered "
+        f"autobits ({au['sec']:.0f} s) despite {ab['rows'] / au['rows']:.2f}x "
+        "the emitted pairs — reasoned, not measured: both rows run the same "
+        "5-bit buckets (autobands only adds 3 more band families at linear "
+        "cost, expected ~1.75x the matmul work), and the per-emitted-pair "
+        f"rate ({ab['rows'] / ab['sec'] / 1e6:.2f}M/s vs "
+        f"{au['rows'] / au['sec'] / 1e6:.2f}M/s) differs by MORE than that "
+        "work ratio, which no plan-side knob explains. The rows ran "
+        "sequentially across ~5 h windows each on the host with documented "
+        "random multi-10s stalls (see BENCH_STATS.json steal evidence); the "
+        "probe records no per-row busy/steal, so the inversion is attributed "
+        "to host-window contention in the autobits run. The cross-row "
+        "RECALL ratios (0.679 / 1.039, both reproducing the stratum "
+        "certification to 3 decimals) are window-independent and remain the "
+        "comparable statistic."
+    )
 fp = {
     "s16_exchange_measured_gb": ops.get("d07_bits4", {}).get(
         "max_stage_shuffle_gb"

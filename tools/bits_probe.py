@@ -159,7 +159,18 @@ def main() -> None:
     # UI on: the probe reads completed-stage shuffleWriteBytes from the
     # REST API to record the band exchange's MEASURED footprint per row
     # (the r10 death note's ~115 GB was inferred; this measures it)
-    spark = get_spark("bits-probe", extra_conf={"spark.ui.enabled": "true"})
+    # retainedStages raised (r11 advisor): the UI evicts completed
+    # stages past the default 1000, so multi-row probe runs would lose
+    # 'before' stages from 'after' and silently undercount the diffed
+    # footprint. Hour-long rows run thousands of stages; 100k keeps the
+    # full run's stage list resident (a few hundred bytes each).
+    spark = get_spark(
+        "bits-probe",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "100000",
+        },
+    )
 
     def shuffle_stages() -> dict | None:
         """{(stageId, attemptId): shuffleWriteBytes} for completed
@@ -260,6 +271,16 @@ def main() -> None:
                 )
                 results[name]["max_stage_shuffle_gb"] = round(
                     max(new.values(), default=0) / gb, 2
+                )
+            else:
+                # an UNMEASURED footprint must be distinguishable from a
+                # measured-zero one (r11 advisor): a transient REST
+                # failure previously just omitted the fields.
+                results[name]["shuffle_write_gb"] = None
+                results[name]["footprint_unmeasured_reason"] = (
+                    "REST stage fetch failed "
+                    f"(before={'ok' if before is not None else 'fail'}, "
+                    f"after={'ok' if after is not None else 'fail'})"
                 )
         except Exception as e:
             results[name] = {"error": str(e)[:200]}
