@@ -1250,7 +1250,7 @@ def sim10wx_wideband_agreement(
     )
 
 
-def _sim10_topk_block(ids_x, mx, ids_y, my, self_pairs: bool):
+def _sim10_topk_block(ids_x, mx, ids_y, my, self_pairs: bool, nx=None, ny=None):
     """Per-row top-k of x members over y candidates — the shared
     selection core of the unsalted bucket kernel (x == y, self pairs
     masked) and the salted triangle sub-buckets (disjoint x/y, both
@@ -1258,8 +1258,14 @@ def _sim10_topk_block(ids_x, mx, ids_y, my, self_pairs: bool):
     skey (4dp-quantized cosine << 40 | bit-flipped j) makes every
     selection decision exact-integer with smaller-j tie preference —
     identical to the merge window's ORDER BY, so a salted run's
-    per-sub-bucket selections union to the unsalted bucket's picks."""
+    per-sub-bucket selections union to the unsalted bucket's picks.
+    ``nx``/``ny`` are the paired norms from arrowkit.cosine_prep —
+    None for the pre-normalized float path (the historical matmul),
+    float64 norms for the int8 verify payload (exact-integer dots,
+    normalize-after; see cosine_block)."""
     import numpy as np
+
+    from quacfka_spark.operators.arrowkit import cosine_block
 
     jkey = (1 << 40) - 1 - ids_y
     n_y = len(ids_y)
@@ -1270,7 +1276,7 @@ def _sim10_topk_block(ids_x, mx, ids_y, my, self_pairs: bool):
     for lo in range(0, len(ids_x), _SIM10_CHUNK):
         hi = min(lo + _SIM10_CHUNK, len(ids_x))
         with np.errstate(invalid="ignore"):
-            cos = mx[lo:hi] @ my.T  # chunk x |y|
+            cos = cosine_block(mx, nx, my, ny, lo, hi)  # chunk x |y|
         # cosq: quantization-ready copy (NaN -> -2, diagonal -> -3);
         # emission always indexes the ORIGINAL cos. NaN cosines
         # (zero-norm embeddings) are never emitted by EITHER branch —
@@ -1338,6 +1344,7 @@ def knn_edges(
     bits: int = _SIM10_BITS,
     bands: int = _SIM10_BANDS,
     auto_bits: bool = False,
+    verify_payload: str = "float32",
 ) -> DataFrame:
     """Unordered top-k neighbor edges (i, j, rnk, cos) — sim10's core,
     public so graph consumers (sim11 PageRank, composed pipelines) can
@@ -1389,7 +1396,24 @@ def knn_edges(
     manual knob for callers who value agreement over wall. Width changes the CANDIDATE set, so sim10's
     graph at a non-default width is checked by its own width-matched
     oracle (the sim10w registered key at bits=6); edge-agreement vs
-    the 4-bit graph is measured in SCALE_PROBE_BITS_*.json."""
+    the 4-bit graph is measured in SCALE_PROBE_BITS_*.json.
+
+    ``verify_payload="int8"`` is d07's band-exchange footprint fix
+    (dedup._cosine_lsh_pairs) applied to the top-k kernel: the banded
+    replica ships round(127 * x / ||v||) as array<tinyint> (4x fewer
+    payload bytes per replica, the term salting multiplies by S) while
+    band signatures keep hashing the ORIGINAL float32 signs — the
+    CANDIDATE set is identical at any payload. Unlike d07's
+    thresholded pairs, top-k selection depends on cosine ORDER inside
+    each bucket, so quantization can swap adjacently-ranked neighbors
+    (|delta cos| <= ~2*sqrt(dim)/127 per edge) — the sim10q key
+    hash-matches an exact DuckDB oracle replicating the quantization,
+    and sim10qx certifies RANK STABILITY against the float graph
+    (every membership flip and rank swap must sit within the
+    quantization bound). The in-kernel matmul stays exact: integer
+    dots run on the float32 SGEMM fast path below dim 1041 and an
+    exact float64 DGEMM above (arrowkit.cosine_prep), and the
+    exact-integer skey selection logic is payload-agnostic."""
     import numpy as np
 
     from pyspark.sql.window import Window
@@ -1404,13 +1428,44 @@ def knn_edges(
     # kernel widens after the shuffle — bit-exact, see arrowkit.
     e = t["embeddings"].filter(F.col("embedding").isNotNull())
 
+    if verify_payload == "int8":
+        # quantize JVM-side in the same pre-shuffle projection that
+        # computes the band signatures (the d07q mechanism,
+        # dedup._cosine_lsh_pairs): ||v|| as an aggregate fold, each
+        # component rounded to round(127 * x / ||v||) tinyint.
+        # Zero-norm vectors quantize to zeros -> 0/0 = NaN cosine in
+        # the kernel, the same never-ranked sentinel as their float
+        # NaN behavior.
+        nrm = F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+        safe = F.when(nrm > 0, nrm).otherwise(F.lit(1.0))
+        ship = F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 127.0 / safe).cast(
+                "tinyint"
+            ),
+        )
+    else:
+        ship = F.col("embedding")
+
     def _banded(b_: int) -> DataFrame:
+        # sigs from the ORIGINAL float column (identical candidate set
+        # at any payload); the shipped column keeps the name
+        # "embedding" so the kernels and salted replication are
+        # payload-agnostic
         return e.select(
             "vec_id",
-            "embedding",
+            ship.alias("__emb"),
             F.posexplode_outer(
                 F.array(*sign_band_cols(b_, bands))
             ).alias("band", "sig"),
+        ).withColumnRenamed("__emb", "embedding").select(
+            "vec_id", "embedding", "band", "sig"
         )
 
     if auto_bits:
@@ -1445,6 +1500,7 @@ def knn_edges(
 
     def bucket_topk(key, tbl):
         from quacfka_spark.operators.arrowkit import (
+            cosine_prep,
             list_matrix,
             np_col,
             pairs_table,
@@ -1454,15 +1510,19 @@ def knn_edges(
         if m < 2:
             return pairs_table()
         ids = np_col(tbl, "vec_id")
-        mat = list_matrix(tbl, "embedding")
-        with np.errstate(divide="ignore", invalid="ignore"):
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        # dtype=None keeps the stored payload (float32 default, int8
+        # quantized); cosine_prep normalizes floats up front (the
+        # historical arithmetic, bit-exact) / keeps int8 ints for the
+        # exact-SGEMM normalize-after path — see arrowkit
+        mat, nrms = cosine_prep(list_matrix(tbl, "embedding", dtype=None))
         # injective descending sort key: 4dp-quantized cosine in the
         # high bits, bit-flipped neighbor id below (prefer smaller j on
         # quantized ties). |q| <= 20001 so q << 40 stays far inside
         # int64; requires vec_id < 2^40 (true by fixture/probe
         # construction — ids are dense row numbers).
-        oi, oj, oc = _sim10_topk_block(ids, mat, ids, mat, True)
+        oi, oj, oc = _sim10_topk_block(
+            ids, mat, ids, mat, True, nx=nrms, ny=nrms
+        )
         if not oi:
             return pairs_table()
         return pairs_table(
@@ -1471,6 +1531,7 @@ def knn_edges(
 
     def bucket_topk_salted(key, tbl):
         from quacfka_spark.operators.arrowkit import (
+            cosine_prep,
             list_matrix,
             np_col,
             pairs_table,
@@ -1478,16 +1539,15 @@ def knn_edges(
 
         _band, _sig, sa, sb = (x.as_py() for x in key)
         ids_all = np_col(tbl, "vec_id")
-        mat_all = list_matrix(tbl, "embedding")
-        with np.errstate(divide="ignore", invalid="ignore"):
-            mat_all = mat_all / np.linalg.norm(
-                mat_all, axis=1, keepdims=True
-            )
+        mat_all, nrms_all = cosine_prep(
+            list_matrix(tbl, "embedding", dtype=None)
+        )
         if sa == sb:
             if len(tbl) < 2:
                 return pairs_table()
             oi, oj, oc = _sim10_topk_block(
-                ids_all, mat_all, ids_all, mat_all, True
+                ids_all, mat_all, ids_all, mat_all, True,
+                nx=nrms_all, ny=nrms_all,
             )
         else:
             slt = np_col(tbl, "slt")
@@ -1496,11 +1556,15 @@ def knn_edges(
                 return pairs_table()
             ix, mx = ids_all[xm], mat_all[xm]
             iy, my = ids_all[ym], mat_all[ym]
+            nx = nrms_all[xm] if nrms_all is not None else None
+            ny = nrms_all[ym] if nrms_all is not None else None
             # BOTH directions: candidates for an x member among the y
             # group AND vice versa — each unordered (i, j) meets in
             # exactly this one sub-bucket
-            oi, oj, oc = _sim10_topk_block(ix, mx, iy, my, False)
-            oi2, oj2, oc2 = _sim10_topk_block(iy, my, ix, mx, False)
+            oi, oj, oc = _sim10_topk_block(ix, mx, iy, my, False, nx=nx, ny=ny)
+            oi2, oj2, oc2 = _sim10_topk_block(
+                iy, my, ix, mx, False, nx=ny, ny=nx
+            )
             oi, oj, oc = oi + oi2, oj + oj2, oc + oc2
         if not oi:
             return pairs_table()
@@ -1563,6 +1627,260 @@ def knn_edges(
     )
     return ranked.filter(F.col("rnk") <= _SIM10_K).select(
         "i", "j", "rnk", "cos"
+    )
+
+
+def _sim10q_oracle(order_by: bool = True) -> str:
+    """sim10's band family with the int8-quantized verify payload
+    replicated in DuckDB (the d07q oracle's top-k sibling): same
+    deterministic sign bands (identical candidate set), vectors
+    re-quantized to round(127 * x / ||v||) as DOUBLE lists (integer-
+    valued -> every dot and partial sum exact in float64, the same
+    exactness argument as arrowkit.cosine_prep), rank window over the
+    quantized cosines with the repo-wide 4dp-then-smaller-j order."""
+    from quacfka_spark.operators.lsh_tuning import sign_band_sql
+
+    bands_sql = sign_band_sql(
+        _SIM10_BITS, _SIM10_BANDS, where=" WHERE embedding IS NOT NULL"
+    )
+    tail = "ORDER BY i, rnk" if order_by else ""
+    return f"""
+    WITH bands AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+    nrm AS (
+      SELECT vec_id,
+             sqrt(list_sum([CAST(x AS DOUBLE) * x for x in embedding]))
+               AS nv
+      FROM embeddings WHERE embedding IS NOT NULL),
+    q AS (
+      SELECT e.vec_id,
+             [round(CAST(x AS DOUBLE) * 127.0 /
+                    (CASE WHEN n.nv > 0 THEN n.nv ELSE 1.0 END))
+              for x in e.embedding] AS qe
+      FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id
+      WHERE e.embedding IS NOT NULL),
+    v AS (
+      SELECT c.i, c.j,
+             ROUND(list_cosine_similarity(x.qe, y.qe), 4) AS cos
+      FROM cand c JOIN q x ON x.vec_id = c.i
+                  JOIN q y ON y.vec_id = c.j),
+    r AS (
+      SELECT i, j, cos,
+             ROW_NUMBER() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rnk
+      FROM v)
+    SELECT i, j, rnk, cos FROM r WHERE rnk <= {_SIM10_K}
+    {tail}
+    """
+
+
+@query(
+    "sim10q_int8_knn_graph",
+    oracle=_sim10q_oracle(),
+    doc="sim10's k-NN graph with the int8-quantized band-exchange "
+    "payload (r11 verdict #3 — d07q's top-k sibling): the banded "
+    "replica ships round(127 * x / ||v||) as array<tinyint>, 4x fewer "
+    "payload bytes per replica — the term salting multiplies by S, "
+    "i.e. the same footprint fix that turned d07's 4.5M S=16 "
+    "engagement exchange from a >100 GB float death into a completed "
+    "20.3 GB run (SCALE_PROBE_D07_INT8_5M.json). Band signatures "
+    "still hash the ORIGINAL float32 signs, so the candidate set is "
+    "identical to sim10's; only the verify cosines (and hence the "
+    "per-bucket top-k ORDER) move, by O(1/127) per component. The "
+    "oracle replicates the exact quantization in SQL — full "
+    "engine-vs-oracle hash parity on (i, j, rnk, cos), not an "
+    "accuracy gate; rank stability vs the float graph is certified "
+    "separately by sim10qx. In-kernel the integer dots run exact "
+    "float32 SGEMM below dim 1041 and exact float64 DGEMM above "
+    "(arrowkit.cosine_prep), and the exact-integer skey selection is "
+    "payload-agnostic.",
+)
+def sim10q_int8_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_edges(spark, sf_dir, verify_payload="int8").orderBy(
+        "i", "rnk"
+    )
+
+
+# Two measured-anchored boundaries (the gate-below-measured rule).
+# FLIP: a membership flip farther than this past the displacing
+# family's k-th cosine is NOT quantization-explainable — same 0.01 as
+# d07qx's threshold-flip bound; measured far_flips = 0 at all three
+# SFs. DELTA: the per-edge |cos_f32 - cos_int8| bound is LOOSER than
+# the flip-distance bound (worst case ~2*sqrt(dim)*0.5/127 ~ 0.06 at
+# dim 64 — two full per-vector direction errors, not one boundary
+# crossing); measured max_delta 0.0104-0.0117 across the three SFs,
+# gated at 0.02.
+_SIM10QX_FLIP_BOUNDARY = 0.01
+_SIM10QX_DELTA_BOUNDARY = 0.02
+
+
+def _sim10qx_oracle() -> str:
+    B = _SIM10QX_FLIP_BOUNDARY
+    D = _SIM10QX_DELTA_BOUNDARY
+    return f"""
+    WITH ff AS ({_sim10_oracle(order_by=False)}),
+    qq AS ({_sim10q_oracle(order_by=False)}),
+    kf AS (
+      SELECT i, CASE WHEN COUNT(*) = {_SIM10_K} THEN MIN(cos) END AS kth
+      FROM ff GROUP BY i),
+    kq AS (
+      SELECT i, CASE WHEN COUNT(*) = {_SIM10_K} THEN MIN(cos) END AS kth
+      FROM qq GROUP BY i),
+    ed AS (
+      SELECT COALESCE(f.i, q.i) AS i, COALESCE(f.j, q.j) AS j,
+             f.rnk AS rnk_f, f.cos AS cos_f,
+             q.rnk AS rnk_q, q.cos AS cos_q
+      FROM ff f FULL OUTER JOIN qq q ON f.i = q.i AND f.j = q.j),
+    e2 AS (
+      SELECT ed.*, kf.kth AS kth_f, kq.kth AS kth_q
+      FROM ed LEFT JOIN kf ON kf.i = ed.i LEFT JOIN kq ON kq.i = ed.i),
+    agg AS (
+      SELECT
+        CAST(COALESCE(SUM(CASE WHEN cos_f IS NOT NULL THEN 1 ELSE 0 END),
+                      0) AS BIGINT) AS n_f32,
+        CAST(COALESCE(SUM(CASE WHEN cos_q IS NOT NULL THEN 1 ELSE 0 END),
+                      0) AS BIGINT) AS n_int8,
+        CAST(COALESCE(SUM(CASE WHEN cos_f IS NOT NULL
+                               AND cos_q IS NOT NULL
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_common,
+        CAST(COALESCE(SUM(CASE WHEN cos_f IS NOT NULL
+                               AND cos_q IS NOT NULL
+                               AND rnk_f <> rnk_q
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS rank_flips,
+        ROUND(COALESCE(MAX(CASE WHEN cos_f IS NOT NULL
+                                AND cos_q IS NOT NULL
+                           THEN ABS(cos_f - cos_q) END), 0.0), 4)
+          AS max_delta,
+        CAST(COALESCE(SUM(CASE
+              WHEN cos_q IS NULL
+                   AND (kth_q IS NULL OR cos_f > kth_q + {B})
+              THEN 1
+              WHEN cos_f IS NULL
+                   AND (kth_f IS NULL OR cos_q > kth_f + {B})
+              THEN 1
+              ELSE 0 END), 0) AS BIGINT) AS far_flips
+      FROM e2)
+    SELECT n_f32, n_int8, n_common, rank_flips, max_delta, far_flips,
+           CAST(CASE WHEN far_flips = 0 AND max_delta <= {D}
+                     THEN 1 ELSE 0 END AS INTEGER) AS ok
+    FROM agg
+    """
+
+
+@query(
+    "sim10qx_int8_rank_stability",
+    oracle=_sim10qx_oracle(),
+    doc="Certification gate for the int8 top-k payload (r11 verdict "
+    "#3): unlike d07's thresholded pairs, top-k output depends on "
+    "cosine ORDER, so the certificate is rank stability, not just "
+    "pair membership. Both graphs share one candidate set (identical "
+    "float-sign bands), so every divergence must be quantization-"
+    "boundary-local, gated two ways. (1) max_delta: the largest "
+    "|cos_f32 - cos_int8| over COMMON edges <= 0.02 (worst case "
+    "~2*sqrt(dim)*0.5/127 ~ 0.06 at dim 64; measured 0.0104-0.0117 "
+    "at the three SFs) — this makes every rank swap sound "
+    "automatically: flipped neighbors must have float cosines within "
+    "2*max_delta of each other. (2) far_flips == 0 at the TIGHTER "
+    "0.01 flip boundary (d07qx's): a MEMBERSHIP flip (edge in "
+    "exactly one family's top-k) must sit within 0.01 of the other "
+    "family's k-th cosine for that i — the displaced edge's "
+    "own-family cosine may not exceed the displacing family's cutoff "
+    "by more than the bound (and an i with fewer than K edges can "
+    "never flip at all: identical candidate sets fill both families "
+    "identically, encoded as the NULL-kth violation arm); measured 0 "
+    "at all three SFs. rank_flips rides as context (a corpus-density "
+    "property — how many cosines crowd each other — not a quantizer "
+    "property; 267-1458 on fixtures). Both sides are driver-hashed against their "
+    "own exact oracles (sim10, sim10q); this key pins their "
+    "RELATIONSHIP so a quantizer regression flips a hash even if "
+    "each side stays internally consistent.",
+)
+def sim10qx_int8_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = _SIM10QX_FLIP_BOUNDARY
+    D = _SIM10QX_DELTA_BOUNDARY
+    f = knn_edges(spark, sf_dir).select(
+        "i", "j",
+        F.col("rnk").alias("rnk_f"), F.col("cos").alias("cos_f"),
+    )
+    q = knn_edges(spark, sf_dir, verify_payload="int8").select(
+        "i", "j",
+        F.col("rnk").alias("rnk_q"), F.col("cos").alias("cos_q"),
+    )
+    kf = f.groupBy("i").agg(
+        F.when(F.count(F.lit(1)) == _SIM10_K, F.min("cos_f")).alias("kth_f")
+    )
+    kq = q.groupBy("i").agg(
+        F.when(F.count(F.lit(1)) == _SIM10_K, F.min("cos_q")).alias("kth_q")
+    )
+    ed = (
+        f.join(q, ["i", "j"], "full_outer")
+        .join(kf, "i", "left")
+        .join(kq, "i", "left")
+    )
+    in_f = F.col("cos_f").isNotNull()
+    in_q = F.col("cos_q").isNotNull()
+    far = F.when(
+        ~in_q
+        & (
+            F.col("kth_q").isNull()
+            | (F.col("cos_f") > F.col("kth_q") + F.lit(B))
+        ),
+        F.lit(1),
+    ).when(
+        ~in_f
+        & (
+            F.col("kth_f").isNull()
+            | (F.col("cos_q") > F.col("kth_f") + F.lit(B))
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    agg = ed.agg(
+        F.coalesce(F.sum(in_f.cast("int")), F.lit(0))
+        .cast("long")
+        .alias("n_f32"),
+        F.coalesce(F.sum(in_q.cast("int")), F.lit(0))
+        .cast("long")
+        .alias("n_int8"),
+        F.coalesce(F.sum((in_f & in_q).cast("int")), F.lit(0))
+        .cast("long")
+        .alias("n_common"),
+        F.coalesce(
+            F.sum(
+                (in_f & in_q & (F.col("rnk_f") != F.col("rnk_q"))).cast(
+                    "int"
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("rank_flips"),
+        F.round(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        in_f & in_q,
+                        F.abs(F.col("cos_f") - F.col("cos_q")),
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("max_delta"),
+        F.coalesce(F.sum(far), F.lit(0)).cast("long").alias("far_flips"),
+    )
+    ok = (
+        F.when(
+            (F.col("far_flips") == 0) & (F.col("max_delta") <= F.lit(D)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    return agg.select(
+        "n_f32", "n_int8", "n_common", "rank_flips", "max_delta",
+        "far_flips", ok.alias("ok"),
     )
 
 

@@ -987,3 +987,39 @@ def test_m06_m07_no_candidate_pair_exchange(plans):
         ]
         assert pair_ex == [], (key, pair_ex)
         assert "bit_count" in p, key  # hamming verify stays codegen
+
+
+def test_int8_band_exchange_ships_tinyint(plans):
+    """The int8 verify payload's footprint win (r11: 20.3 GB measured
+    band exchange vs the >100 GB float death at the 4.5M S=16 notch)
+    lives in hours-long probe runs no CI can repeat — this pins the
+    exchange SHAPE so a silent re-widening (an accidental double cast
+    landing before the band shuffle) is caught at plan time, not at
+    the next true-notch run (r11 verdict #4). For both int8 keys
+    (d07q pairs, sim10q top-k): the pre-shuffle projection must carry
+    the round(127*x/||v||) -> tinyint transform, the band exchange
+    must be the single (band, sig) hashpartitioning, and no
+    array<double> may appear anywhere in the plan (the only array the
+    kernel ever sees is the tinyint payload; the scan's float32
+    embedding feeds sigs and the quantizer only)."""
+    import re as _re
+
+    for key in ("d07q_int8_verify_pairs", "sim10q_int8_knn_graph"):
+        p = plans(key)
+        # the quantization projection is planned (transform -> tinyint)
+        assert "as tinyint)" in p, key
+        # exactly one band exchange feeds the grouped-map kernel
+        exchanges = _re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
+        band_exchanges = [
+            e for e in exchanges if "band#" in e and "sig#" in e
+        ]
+        assert len(band_exchanges) == 1, (key, exchanges)
+        assert _re.search(r"\(\d+\) FlatMapGroupsIn(?:Arrow|Pandas)", p), key
+        # no re-widening: a double-array cast anywhere would ship 8x
+        # the bytes through the salted exchange
+        assert "array<double>" not in p, key
+        # the scan itself stays float32 (sigs + quantizer input);
+        # read_schemas truncates at the nested '>' so match the open
+        assert any(
+            "embedding:array<float" in s for s in read_schemas(p)
+        ), (key, read_schemas(p))
