@@ -187,6 +187,15 @@ def _compact_ingest(rep: dict, wide: bool = False) -> dict:
         steals = [s for s in rep.get("pass_steal") or [] if s is not None]
         if steals and max(steals) >= 0.05:
             out["steal"] = round(100 * max(steals))
+    # co-tenant attribution (r11 #5): host CPU the bench tree did not
+    # consume. A block can be unstalled-and-unscattered yet rate-
+    # compressed by a co-tenant (BENCH_r11's wide batch: busy 0.99,
+    # 173.6 MB/s vs 427.7 for the identical workload in a busy-0.65
+    # window) — surface the max per-pass other-load % whenever the
+    # engine ran against a materially shared host.
+    others = [o for o in rep.get("pass_other") or [] if o is not None]
+    if others and max(others) >= 0.10:
+        out["other"] = round(100 * max(others))
     if rep.get("resized"):
         # the stalled-calibration guard fired and re-sized the run —
         # the number is from the re-generated full-size passes

@@ -48,6 +48,14 @@ from quacfka_spark.sources.mock import NESTED_SCHEMA, nested_payload
 from quacfka_spark.sources.proto_wire import Field, MessageSpec
 
 DEFAULT_ROWS = int(os.environ.get("SPARK_GRAFT_INGEST_ROWS", "4000000"))
+# The wide shape's row cap is higher (r11 #1, INGEST_WIDE_PASSCURVE.json):
+# the rate-vs-pass-length curve is still rising at the 4M-row cap
+# (427.7 -> 692.4 -> 764.0 MB/s at 0.75M/2.2M/4M rows in one clean
+# window; two-point fit asymptote ~930 MB/s with ~1.2 s fixed pass
+# cost), so a fast window sized to rate*12s was being CLIPPED by the
+# cap to ~6 s passes. 8M rows (~9.8 GB payload) only engages when the
+# measured rate supports it — slow windows still auto-size small.
+WIDE_MAX_ROWS = int(os.environ.get("SPARK_GRAFT_INGEST_WIDE_MAX", "8000000"))
 
 # protobuf twin of NESTED_SCHEMA (field order == struct field order, as
 # the encoder requires)
@@ -358,21 +366,68 @@ def _cpu_jiffies() -> tuple[int, int, int] | None:
         return None
 
 
+def _tree_jiffies() -> int | None:
+    """utime+stime jiffies consumed by THIS process tree (the bench
+    driver plus its live JVM / daemon children) — one /proc walk.
+    Paired with _cpu_jiffies it ATTRIBUTES host busy time: busy the
+    tree did not consume is co-tenant load, the r11 failure mode the
+    stall detector's rate expectation cannot see (a co-tenant slows
+    the calibration and the measured passes equally, so the block
+    reads `stalled:false, busy 0.99` while publishing a fraction of
+    the engine's healthy-window rate — BENCH_r11's wide batch 173.6
+    vs the same workload's 427.7 in a busy-0.65 window,
+    INGEST_WIDE_PASSCURVE.json). None where /proc is unavailable."""
+    try:
+        stats: dict[int, tuple[int, int]] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as fh:
+                    raw = fh.read()
+            except OSError:  # raced a process exit
+                continue
+            # comm may contain spaces/parens: fields resume after the
+            # LAST ')'; rest[1]=ppid, rest[11]=utime, rest[12]=stime
+            rest = raw[raw.rfind(")") + 2 :].split()
+            stats[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+        kids: dict[int, list[int]] = {}
+        for pid, (ppid, _) in stats.items():
+            kids.setdefault(ppid, []).append(pid)
+        total, stack, seen = 0, [os.getpid()], set()
+        while stack:
+            p = stack.pop()
+            if p in seen or p not in stats:
+                continue
+            seen.add(p)
+            total += stats[p][1]
+            stack.extend(kids.get(p, []))
+        return total
+    except Exception:  # pragma: no cover — non-Linux fallback
+        return None
+
+
 def _timed(fn):
     """Run fn() recording wall seconds and the host CPU picture over the
-    interval. Returns (wall, busy_frac, steal_frac, fn_result); the two
-    fractions are None when /proc/stat is unavailable."""
+    interval. Returns (wall, busy_frac, steal_frac, own_frac,
+    fn_result); fractions are None when /proc is unavailable. own_frac
+    is the share of total host CPU capacity consumed by THIS process
+    tree — busy minus own is co-tenant load (see _tree_jiffies)."""
     c0 = _cpu_jiffies()
+    o0 = _tree_jiffies()
     t0 = time.perf_counter()
     ret = fn()
     wall = time.perf_counter() - t0
     c1 = _cpu_jiffies()
-    busy = steal = None
+    o1 = _tree_jiffies()
+    busy = steal = own = None
     if c0 is not None and c1 is not None and c1[2] > c0[2]:
         dt = c1[2] - c0[2]
         busy = (c1[0] - c0[0]) / dt
         steal = (c1[1] - c0[1]) / dt
-    return wall, busy, steal, ret
+        if o0 is not None and o1 is not None:
+            own = (o1 - o0) / dt
+    return wall, busy, steal, own, ret
 
 
 def stall_evidence(
@@ -380,13 +435,17 @@ def stall_evidence(
     expected_s: float | None,
     busys: list[float | None],
     steals: list[float | None],
+    owns: list[float | None] | None = None,
 ) -> dict:
     """The per-pass evidence block every ingest report carries (r10
     verdict #1): all pass walls (not just the best), the rate-derived
     expectation, host busy/steal fractions per pass, and a ``stalled``
     verdict — true when even the best pass exceeded 2x expectation, i.e.
     the published number is a floor the window never let the engine
-    reach. Pure function (unit-tested without Spark)."""
+    reach. ``owns`` (r11 #5) is the bench tree's own share of host CPU
+    per pass; when host busy materially exceeds it, a ``pass_other``
+    co-tenant attribution rides along. Pure function (unit-tested
+    without Spark)."""
     ev: dict = {
         "pass_seconds": [round(w, 2) for w in walls],
     }
@@ -401,6 +460,23 @@ def stall_evidence(
         # steal is zero on a healthy window — only worth bytes when seen
         ev["pass_steal"] = [
             round(s, 2) if s is not None else None for s in steals
+        ]
+    if owns is not None and any(
+        b is not None and o is not None and (b - o) >= 0.10
+        for b, o in zip(busys, owns)
+    ):
+        # co-tenant attribution (r11's wide decline): host busy the
+        # bench tree did NOT consume. Emitted only when material —
+        # a pass_other of e.g. 0.4 says the published rate was
+        # measured against a host nearly half-consumed by someone
+        # else, which no rate expectation can flag (calibration slows
+        # equally) and busy alone cannot distinguish from healthy
+        # saturation.
+        ev["pass_other"] = [
+            round(max(b - o, 0.0), 2)
+            if b is not None and o is not None
+            else None
+            for b, o in zip(busys, owns)
         ]
     return ev
 
@@ -550,9 +626,10 @@ def run_ingest_bench(
             target_pass_s = min(45.0, max(15.0, (deadline - time.monotonic()) / 3))
         else:
             target_pass_s = 45.0
+        row_cap = WIDE_MAX_ROWS if shape == "wide" else DEFAULT_ROWS
         rows = max(
             calib_rows,
-            min(DEFAULT_ROWS, int(rate * target_pass_s) // grain * grain),
+            min(row_cap, int(rate * target_pass_s) // grain * grain),
         )
 
     mb = _gen_bytes(spark, rows, src, cores, encode, sh.payload)
@@ -588,12 +665,14 @@ def run_ingest_bench(
     walls: list[float] = []
     busys: list[float | None] = []
     steals: list[float | None] = []
+    owns: list[float | None] = []
 
     def add_pass() -> None:
-        w, b, s, _ = _timed(one_pass)
+        w, b, s, o, _ = _timed(one_pass)
         walls.append(w)
         busys.append(b)
         steals.append(s)
+        owns.append(o)
 
     add_pass()
     while len(walls) < max_passes and (
@@ -613,15 +692,16 @@ def run_ingest_bench(
         # window's 2.56M through the streaming block). Re-size to the
         # measured rate and re-generate once, budget permitting.
         measured_rate = rows / min(walls)
+        resize_cap = WIDE_MAX_ROWS if shape == "wide" else DEFAULT_ROWS
         if (
             deadline is not None
             and measured_rate > 2.0 * rate
-            and rows < DEFAULT_ROWS
+            and rows < resize_cap
         ):
             new_rows = max(
                 rows,
                 min(
-                    DEFAULT_ROWS,
+                    resize_cap,
                     int(measured_rate * target_pass_s) // grain * grain,
                 ),
             )
@@ -630,7 +710,7 @@ def run_ingest_bench(
             if new_rows > rows and time.monotonic() + est * 4 < deadline:
                 rate, rows = measured_rate, new_rows
                 mb = _gen_bytes(spark, rows, src, cores, encode, sh.payload)
-                walls, busys, steals = [], [], []
+                walls, busys, steals, owns = [], [], [], []
                 resized = True
                 add_pass()
                 while len(walls) < 2 and (
@@ -666,7 +746,7 @@ def run_ingest_bench(
         "bytes_per_record": round(mb * 1024 * 1024 / rows, 1),
         "cores": cores,
         "passes": passes,
-        **stall_evidence(walls, expected_pass_s, busys, steals),
+        **stall_evidence(walls, expected_pass_s, busys, steals, owns),
         **(
             {"calib_seconds": [round(c, 2) for c in calib_list]}
             if calib_list
@@ -772,14 +852,16 @@ def run_streaming_ingest_bench(
     walls: list[float] = []
     busys: list[float | None] = []
     steals: list[float | None] = []
+    owns: list[float | None] = []
     best: tuple[float, dict] | None = None
 
     def add_pass() -> None:
         nonlocal best
-        w, b, s, r = _timed(lambda: one_pass(len(walls)))
+        w, b, s, o, r = _timed(lambda: one_pass(len(walls)))
         walls.append(w)
         busys.append(b)
         steals.append(s)
+        owns.append(o)
         if best is None or w < best[0]:
             best = (w, r)
 
@@ -821,7 +903,7 @@ def run_streaming_ingest_bench(
         "bytes_per_record": round(mb * 1024 * 1024 / max(rep["records_consumed"], 1), 1),
         "cores": cores,
         "passes": len(walls),
-        **stall_evidence(walls, expected_pass_s, busys, steals),
+        **stall_evidence(walls, expected_pass_s, busys, steals, owns),
         "decode": fmt,
     }
 
@@ -1248,7 +1330,7 @@ def main() -> None:
     stream_wide_rows = max(
         _CALIB_ROWS // 8,
         wide_rows,
-        min(DEFAULT_ROWS, int(wide_rate * 8) // 10_000 * 10_000),
+        min(WIDE_MAX_ROWS, int(wide_rate * 8) // 10_000 * 10_000),
     )
     phase(
         "ingest_streaming_wide", 0.24, 60,

@@ -317,3 +317,67 @@ def test_scattered_but_defended_block_carries_passes_only():
     assert d["ingest"]["steal"] == 44
     # the clean sibling block carries no stall bytes at all
     assert "ps" not in d["ingest_streaming"]
+
+
+def test_stall_evidence_cotenant_attribution():
+    """owns (r11 #5): pass_other = host busy the bench tree did not
+    consume, emitted only when material (>= 0.10 on some pass) — the
+    co-tenant failure mode the stall verdict cannot see because a
+    shared host slows calibration and passes equally."""
+    # saturated host, bench tree only ~half of it -> attribution rides
+    ev = stall_evidence(
+        [10.2, 10.5], 9.5, [0.99, 0.98], [0.0, 0.0], owns=[0.55, 0.52]
+    )
+    assert ev["pass_other"] == [0.44, 0.46]
+    # healthy window: busy ~= own -> no bytes spent
+    ev = stall_evidence(
+        [9.8, 9.6], 9.5, [0.7, 0.65], [0.0, 0.0], owns=[0.68, 0.61]
+    )
+    assert "pass_other" not in ev
+    # missing own samples stay None inside an otherwise-material list
+    ev = stall_evidence(
+        [9.8, 9.6], 9.5, [0.99, 0.98], [0.0, 0.0], owns=[0.5, None]
+    )
+    assert ev["pass_other"] == [0.49, None]
+    # backward compatible: no owns arg -> no key
+    ev = stall_evidence([9.8], 9.5, [0.99], [0.0])
+    assert "pass_other" not in ev
+
+
+def test_tree_jiffies_measures_own_burn():
+    from quacfka_spark.bench_ingest import _tree_jiffies
+
+    j0 = _tree_jiffies()
+    if j0 is None:  # non-Linux fallback is allowed
+        return
+    # burn ~0.2 s of CPU in this process; the tree total must advance
+    t = 0
+    import time as _t
+
+    end = _t.process_time() + 0.2
+    while _t.process_time() < end:
+        t += 1
+    j1 = _tree_jiffies()
+    assert j1 is not None and j1 > j0
+
+
+def test_cotenant_marker_rides_compact_wide_block():
+    wide = dict(
+        _INGEST_WIDE,
+        pass_seconds=[5.3, 5.4],
+        pass_busy=[0.99, 0.98],
+        pass_other=[0.41, 0.38],
+    )
+    timings = {name: 1.23 for name in HEADLINE}
+    line = build_headline_line(
+        timings, 0.1, _INGEST, _INGEST, ingest_wide=wide
+    )
+    assert len(line) <= LINE_BUDGET, len(line)
+    d = json.loads(line)
+    assert d["ingest_wide"]["other"] == 41
+    # healthy window: no marker
+    wide2 = dict(wide, pass_other=[0.03, 0.02])
+    d2 = json.loads(
+        build_headline_line(timings, 0.1, _INGEST, _INGEST, ingest_wide=wide2)
+    )
+    assert "other" not in d2["ingest_wide"]
