@@ -87,6 +87,8 @@ HEADLINE = [
     "d03g_neardup_gate_quality",
     "sim10w_knn_graph_wideband",
     "sim10wx_wideband_agreement",
+    "sim10q_int8_knn_graph",
+    "sim10qx_int8_rank_stability",
 ]
 
 DETAIL_NODES = re.compile(
