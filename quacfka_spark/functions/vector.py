@@ -130,3 +130,83 @@ def quantize_q4_sql(expr: str) -> str:
         f"CAST(SIGN({expr}) * FLOOR(ABS({expr}) * {Q4_SCALE} + 0.5)"
         " AS BIGINT)"
     )
+
+
+def quantize_int8(mat):
+    """numpy face of the int8 verify-payload quantization: q =
+    round(127 * x / ||v||) with round = half AWAY FROM ZERO (the
+    Spark F.round / DuckDB round() tie rule — quantize_q4's repo-wide
+    convention at a different scale). Zero-norm rows quantize to all
+    zeros (their cosine is then 0/0 = NaN in the verify kernel, the
+    same never-emitted sentinel as their float NaN). ``mat`` is a 2-D
+    float matrix; arithmetic runs in float64 exactly like the Catalyst
+    and DuckDB faces, so all three are bit-identical."""
+    import numpy as np
+
+    m = mat.astype(np.float64, copy=False)
+    n = np.sqrt((m * m).sum(axis=1, keepdims=True))
+    n = np.where(n == 0.0, 1.0, n)
+    x = m * 127.0 / n
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int8)
+
+
+def quantize_int8_col(src: Column | str) -> Column:
+    """Catalyst face (reference semantics; NOT the production path —
+    see with_int8_embedding): round(127 * x / ||v||) as
+    array<tinyint>, norm fold inlined in the transform lambda."""
+    nrm = l2_norm(src)
+    safe = F.when(nrm > 0, nrm).otherwise(F.lit(1.0))
+    return F.transform(
+        src, lambda x: F.round(x.cast("double") * 127.0 / safe).cast("tinyint")
+    )
+
+
+def with_int8_embedding(df, src: str = "embedding", out: str = "q8"):
+    """Append the int8 verify payload in ONE vectorized Arrow pass.
+
+    Why not pure Catalyst: a transform whose lambda contains the
+    64-element norm fold re-evaluates that fold PER ELEMENT (higher-
+    order functions interpret the lambda body per element, no hoisting
+    — measured 22.6 s / 50k vectors, ~0.45 ms/row), and materializing
+    the norm as a column doesn't survive the optimizer: CollapseProject
+    re-inlines it into the lambda the moment the column stops being
+    otherwise referenced, and the quantization then re-fires per
+    BANDED/SALTED replica after the explode (measured 93 s after a
+    4x6 replication on the same corpus). This mapInArrow pass measures
+    1.76 s on that corpus, runs exactly once per row regardless of
+    downstream replication, and is bit-identical to the Catalyst and
+    DuckDB faces (quantize_int8's half-away-from-zero tie rule is
+    F.round's and DuckDB round()'s; engine-tested). Requires ``src``
+    rectangular and non-null — callers filter nulls pre-shuffle (the
+    list_matrix contract)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.types import ArrayType, ByteType, StructField, StructType
+
+    # StructType.add mutates in place — never touch df.schema itself
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out, ArrayType(ByteType()))]
+    )
+
+    def gen(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            arr = tbl.column(src).combine_chunks()
+            nrows = len(arr)
+            if nrows == 0:
+                width = 0
+                q = np.zeros((0, 0), dtype=np.int8)
+            else:
+                flat = np.asarray(arr.flatten())
+                q = quantize_int8(flat.reshape(nrows, -1))
+                width = q.shape[1]
+            offs = pa.array(
+                np.arange(0, nrows * width + 1, max(width, 1), dtype=np.int32)
+                if width
+                else np.zeros(nrows + 1, dtype=np.int32)
+            )
+            lst = pa.ListArray.from_arrays(offs, pa.array(q.ravel(), pa.int8()))
+            yield from tbl.append_column(out, lst).to_batches()
+
+    return df.mapInArrow(gen, schema)

@@ -1298,25 +1298,17 @@ def _cosine_lsh_pairs(
     e = t["embeddings"].filter(F.col("embedding").isNotNull())
 
     if verify_payload == "int8":
-        # quantize JVM-side in the same pre-shuffle projection that
-        # computes the band signatures: ||v|| as an aggregate fold,
-        # each component rounded to round(127 * x / ||v||) tinyint
-        # (zero-norm vectors quantize to zeros and can never verify,
-        # exactly like their float NaN-cosine behavior)
-        nrm = F.sqrt(
-            F.aggregate(
-                "embedding",
-                F.lit(0.0),
-                lambda acc, x: acc + x.cast("double") * x.cast("double"),
-            )
-        )
-        safe = F.when(nrm > 0, nrm).otherwise(F.lit(1.0))
-        ship = F.transform(
-            "embedding",
-            lambda x: F.round(x.cast("double") * 127.0 / safe).cast(
-                "tinyint"
-            ),
-        )
+        # one vectorized Arrow pass appends q8 = round(127*x/||v||)
+        # tinyints BEFORE banding (functions/vector.with_int8_embedding
+        # — the pure-Catalyst transform re-evaluated the norm fold per
+        # element and per banded replica, ~10-40x this wall; values
+        # bit-identical, r12). Zero-norm vectors quantize to zeros and
+        # can never verify, exactly like their float NaN-cosine
+        # behavior.
+        from quacfka_spark.functions.vector import with_int8_embedding
+
+        e = with_int8_embedding(e)
+        ship = F.col("q8")
     else:
         ship = F.col("embedding")
 

@@ -1429,27 +1429,18 @@ def knn_edges(
     e = t["embeddings"].filter(F.col("embedding").isNotNull())
 
     if verify_payload == "int8":
-        # quantize JVM-side in the same pre-shuffle projection that
-        # computes the band signatures (the d07q mechanism,
-        # dedup._cosine_lsh_pairs): ||v|| as an aggregate fold, each
-        # component rounded to round(127 * x / ||v||) tinyint.
+        # one vectorized Arrow pass appends q8 = round(127*x/||v||)
+        # tinyints BEFORE banding (the d07q mechanism; see
+        # functions/vector.with_int8_embedding for why this is not a
+        # Catalyst transform — the inlined norm fold re-evaluates per
+        # element and per banded/salted replica, ~10-40x this wall).
         # Zero-norm vectors quantize to zeros -> 0/0 = NaN cosine in
         # the kernel, the same never-ranked sentinel as their float
         # NaN behavior.
-        nrm = F.sqrt(
-            F.aggregate(
-                "embedding",
-                F.lit(0.0),
-                lambda acc, x: acc + x.cast("double") * x.cast("double"),
-            )
-        )
-        safe = F.when(nrm > 0, nrm).otherwise(F.lit(1.0))
-        ship = F.transform(
-            "embedding",
-            lambda x: F.round(x.cast("double") * 127.0 / safe).cast(
-                "tinyint"
-            ),
-        )
+        from quacfka_spark.functions.vector import with_int8_embedding
+
+        e = with_int8_embedding(e)
+        ship = F.col("q8")
     else:
         ship = F.col("embedding")
 

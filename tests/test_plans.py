@@ -1006,15 +1006,21 @@ def test_int8_band_exchange_ships_tinyint(plans):
 
     for key in ("d07q_int8_verify_pairs", "sim10q_int8_knn_graph"):
         p = plans(key)
-        # the quantization projection is planned (transform -> tinyint)
-        assert "as tinyint)" in p, key
+        # the quantization runs as ONE vectorized Arrow pass BELOW the
+        # band exchange (functions/vector.with_int8_embedding — the
+        # Catalyst transform re-evaluated the norm fold per element and
+        # per banded replica, r12): MapInArrow present, planned under
+        # the grouped-map kernel
+        quant = _re.search(r"\((\d+)\) MapInArrow", p)
+        kernel = _re.search(r"\((\d+)\) FlatMapGroupsIn(?:Arrow|Pandas)", p)
+        assert quant and kernel, (key, bool(quant), bool(kernel))
+        assert int(quant.group(1)) < int(kernel.group(1)), key
         # exactly one band exchange feeds the grouped-map kernel
         exchanges = _re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
         band_exchanges = [
             e for e in exchanges if "band#" in e and "sig#" in e
         ]
         assert len(band_exchanges) == 1, (key, exchanges)
-        assert _re.search(r"\(\d+\) FlatMapGroupsIn(?:Arrow|Pandas)", p), key
         # no re-widening: a double-array cast anywhere would ship 8x
         # the bytes through the salted exchange
         assert "array<double>" not in p, key

@@ -189,3 +189,64 @@ def test_cosine_prep_float_path_unchanged():
         np.nan_to_num(got, nan=-9.0), np.nan_to_num(want, nan=-9.0)
     )
     assert np.isnan(got[7]).all()
+
+
+def test_quantize_int8_three_faces_agree(spark):
+    """The int8 verify payload's three faces — numpy
+    (quantize_int8, the production mapInArrow path), Catalyst
+    (quantize_int8_col, the reference transform), DuckDB (the d07q /
+    sim10q oracle's list comprehension) — must be bit-identical on the
+    fixture embeddings: all three run the same float64 arithmetic and
+    the same half-away-from-zero tie rule (F.round's and DuckDB
+    round()'s), so a drift in any face flips oracle hashes."""
+    import duckdb
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from quacfka_spark.functions.vector import (
+        quantize_int8,
+        quantize_int8_col,
+        with_int8_embedding,
+    )
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    df = spark.read.parquet(src).filter(F.col("embedding").isNotNull())
+    # production face (mapInArrow)
+    prod = {
+        r["vec_id"]: r["q8"]
+        for r in with_int8_embedding(df).select("vec_id", "q8").collect()
+    }
+    # Catalyst reference face
+    cat = {
+        r["vec_id"]: r["q"]
+        for r in df.select(
+            "vec_id", quantize_int8_col("embedding").alias("q")
+        ).collect()
+    }
+    # oracle face (the d07q/sim10q SQL, verbatim semantics)
+    con = duckdb.connect()
+    duck = {
+        vid: q
+        for vid, q in con.sql(
+            f"""
+            WITH e AS (SELECT * FROM '{src}' WHERE embedding IS NOT NULL),
+            nrm AS (SELECT vec_id,
+                sqrt(list_sum([CAST(x AS DOUBLE) * x for x in embedding]))
+                  AS nv FROM e)
+            SELECT e.vec_id,
+                [CAST(round(CAST(x AS DOUBLE) * 127.0 /
+                    (CASE WHEN n.nv > 0 THEN n.nv ELSE 1.0 END)) AS TINYINT)
+                 for x in e.embedding]
+            FROM e JOIN nrm n ON n.vec_id = e.vec_id
+            """
+        ).fetchall()
+    }
+    assert prod and set(prod) == set(cat) == set(duck)
+    for vid in prod:
+        assert list(prod[vid]) == list(cat[vid]) == list(duck[vid]), vid
+    # numpy face directly, zero-norm row -> all zeros
+    z = quantize_int8(np.array([[0.0, 0.0], [3.0, 4.0]]))
+    assert z.dtype == np.int8
+    assert z[0].tolist() == [0, 0]
+    assert z[1].tolist() == [76, 102]  # round(127*3/5)=76.2->76, 101.6->102
