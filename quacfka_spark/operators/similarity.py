@@ -1413,7 +1413,14 @@ def knn_edges(
     quantization bound). The in-kernel matmul stays exact: integer
     dots run on the float32 SGEMM fast path below dim 1041 and an
     exact float64 DGEMM above (arrowkit.cosine_prep), and the
-    exact-integer skey selection logic is payload-agnostic."""
+    exact-integer skey selection logic is payload-agnostic.
+    MEASURED at 1M clustered vectors (r12,
+    SCALE_PROBE_SIM10_INT8_1M.json): banded exchange 2.01 GB vs
+    float's 4.98 (2.5x smaller — the term salting multiplies by S)
+    at +7.5% wall (807.9 vs 751.6 s; this kernel is selection-
+    dominated, so the smaller matmul does not pay for the
+    quantization pass) — ship int8 when the salted exchange is the
+    binding constraint, keep float32 otherwise."""
     import numpy as np
 
     from pyspark.sql.window import Window
