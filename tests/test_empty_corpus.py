@@ -31,6 +31,10 @@ SCREEN = [
     "x06_bucketed_join_agg",
     "d07_cosine_lsh_pairs",
     "sim10_knn_graph",
+    # int8 payload twins: the quantizer's mapInArrow pass must survive
+    # 0-row Arrow batches (empty reshape guard, functions/vector.py)
+    "d07q_int8_verify_pairs",
+    "sim10q_int8_knn_graph",
     "d10_semdedup",
     "sim12_mmr_rerank",
     "t16_bm25_topk",

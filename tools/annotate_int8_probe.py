@@ -104,6 +104,17 @@ if "d07_autobits_autobands" in ops:
         "d07_autobits_autobands"
     ].get("max_stage_shuffle_gb")
 rep["footprint"] = fp
+rep["quantizer_note"] = (
+    "these walls predate r12's quantizer rework (the Catalyst transform "
+    "was replaced by one vectorized Arrow pass, "
+    "functions/vector.with_int8_embedding, values bit-identical). In this "
+    "kernel's plan the old transform sat below the band Generate — "
+    "evaluated once per row, ~1.8 ms/row single-core measured at 50k — so "
+    "its share of these walls is ~250 s on 32 cores (3-5%), and the "
+    "cross-row RATIOS are unaffected. (The per-replica re-fire pathology "
+    "the rework fixed bit plans that quantized inside the explode "
+    "projection, sim10q's original shape, not this one.)"
+)
 rep["payload_source"] = (
     "d07q/d07qx registry keys (exact quantization oracle + boundary-flip "
     "gate); arrowkit.cosine_prep (int8 dots are integers < 2^24 — exact "
