@@ -140,11 +140,19 @@ def quantize_int8(mat):
     zeros (their cosine is then 0/0 = NaN in the verify kernel, the
     same never-emitted sentinel as their float NaN). ``mat`` is a 2-D
     float matrix; arithmetic runs in float64 exactly like the Catalyst
-    and DuckDB faces, so all three are bit-identical."""
+    and DuckDB faces, so all three are bit-identical — including the
+    SUMMATION ORDER: the norm accumulates left-to-right over elements
+    (a vectorized-over-rows sequential fold over columns), because
+    numpy's .sum() is pairwise and a last-ulp norm difference could
+    flip a round() tie against the sequential-folding oracles. Exact
+    by construction, not by fixture luck."""
     import numpy as np
 
     m = mat.astype(np.float64, copy=False)
-    n = np.sqrt((m * m).sum(axis=1, keepdims=True))
+    acc = np.zeros(m.shape[0], dtype=np.float64)
+    for j in range(m.shape[1]):
+        acc += m[:, j] * m[:, j]
+    n = np.sqrt(acc)[:, None]
     n = np.where(n == 0.0, 1.0, n)
     x = m * 127.0 / n
     return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int8)
