@@ -218,3 +218,68 @@ def with_int8_embedding(df, src: str = "embedding", out: str = "q8"):
             yield from tbl.append_column(out, lst).to_batches()
 
     return df.mapInArrow(gen, schema)
+
+
+def with_l2_normalized(df, src: str = "embedding", out: str = "v"):
+    """Append the L2-normalized float64 vector in ONE vectorized Arrow
+    pass — with_int8_embedding's rationale applied to the normalize:
+    a transform whose lambda references the norm fold re-evaluates
+    that fold PER ELEMENT (measured 15.3 s / 50k dim-64 vectors,
+    ~0.3 ms/row — sim07's PQ train/encode paid it on every corpus
+    row). Exactness discipline matches the quantizer: the norm
+    accumulates SEQUENTIALLY over elements (numpy .sum is pairwise;
+    the oracles fold left-to-right) and the per-element division is
+    the same IEEE float64 op, so values are bit-identical to the
+    F.aggregate/transform form. A zero-norm row raises ValueError —
+    the ANSI-division parity: the Catalyst form throws DIVIDE_BY_ZERO
+    there (spark.sql.ansi.enabled is the Spark 4 default), so the
+    helper must not silently produce inf/nan where the expression
+    form fails loudly. Requires ``src`` rectangular and non-null (the
+    list_matrix contract)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out, ArrayType(DoubleType()))]
+    )
+
+    def gen(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            arr = tbl.column(src).combine_chunks()
+            nrows = len(arr)
+            if nrows == 0:
+                width = 0
+                v = np.zeros((0, 0), dtype=np.float64)
+            else:
+                m = (
+                    np.asarray(arr.flatten())
+                    .reshape(nrows, -1)
+                    .astype(np.float64)
+                )
+                acc = np.zeros(m.shape[0], dtype=np.float64)
+                for j in range(m.shape[1]):
+                    acc += m[:, j] * m[:, j]
+                n = np.sqrt(acc)
+                if (n == 0.0).any():
+                    raise ValueError(
+                        "zero-norm embedding: ANSI division parity "
+                        "(the Catalyst normalize throws DIVIDE_BY_ZERO)"
+                    )
+                v = m / n[:, None]
+                width = v.shape[1]
+            offs = pa.array(
+                np.arange(
+                    0, nrows * width + 1, max(width, 1), dtype=np.int32
+                )
+                if width
+                else np.zeros(nrows + 1, dtype=np.int32)
+            )
+            lst = pa.ListArray.from_arrays(
+                offs, pa.array(v.ravel(), pa.float64())
+            )
+            yield from tbl.append_column(out, lst).to_batches()
+
+    return df.mapInArrow(gen, schema)
