@@ -367,16 +367,29 @@ def _cpu_jiffies() -> tuple[int, int, int] | None:
 
 
 def _tree_jiffies() -> int | None:
-    """utime+stime jiffies consumed by THIS process tree (the bench
-    driver plus its live JVM / daemon children) — one /proc walk.
-    Paired with _cpu_jiffies it ATTRIBUTES host busy time: busy the
-    tree did not consume is co-tenant load, the r11 failure mode the
-    stall detector's rate expectation cannot see (a co-tenant slows
-    the calibration and the measured passes equally, so the block
-    reads `stalled:false, busy 0.99` while publishing a fraction of
-    the engine's healthy-window rate — BENCH_r11's wide batch 173.6
-    vs the same workload's 427.7 in a busy-0.65 window,
-    INGEST_WIDE_PASSCURVE.json). None where /proc is unavailable."""
+    """CPU jiffies consumed by THIS process tree (the bench driver plus
+    its live JVM / daemon children) — one /proc walk. Paired with
+    _cpu_jiffies it ATTRIBUTES host busy time: busy the tree did not
+    consume is co-tenant load, the r11 failure mode the stall
+    detector's rate expectation cannot see (a co-tenant slows the
+    calibration and the measured passes equally, so the block reads
+    `stalled:false, busy 0.99` while publishing a fraction of the
+    engine's healthy-window rate — BENCH_r11's wide batch 173.6 vs the
+    same workload's 427.7 in a busy-0.65 window,
+    INGEST_WIDE_PASSCURVE.json). None where /proc is unavailable.
+
+    Each process contributes utime+stime (its own burn) PLUS
+    cutime+cstime (burn of its already-REAPED children, which have no
+    /proc entry of their own) — so a subprocess that exits between the
+    two samples is not mis-billed to the co-tenants (r12 advisor): at
+    the first sample its time sits in its own utime/stime, at the
+    second in the reaping parent's cutime/cstime, and the DELTA the
+    caller computes counts it exactly once. No double-count while a
+    child is live either: cutime accumulates only on wait(), never
+    concurrently with the child's own /proc entry. Remaining blind
+    spot, inherent to sampling: a mid-interval exit of a process whose
+    own parent is OUTSIDE the tree (orphan re-parented to init) — none
+    of the bench's processes are spawned that way."""
     try:
         stats: dict[int, tuple[int, int]] = {}
         for d in os.listdir("/proc"):
@@ -388,9 +401,14 @@ def _tree_jiffies() -> int | None:
             except OSError:  # raced a process exit
                 continue
             # comm may contain spaces/parens: fields resume after the
-            # LAST ')'; rest[1]=ppid, rest[11]=utime, rest[12]=stime
+            # LAST ')'; rest[1]=ppid, rest[11]=utime, rest[12]=stime,
+            # rest[13]=cutime, rest[14]=cstime (reaped-child time)
             rest = raw[raw.rfind(")") + 2 :].split()
-            stats[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+            stats[int(d)] = (
+                int(rest[1]),
+                int(rest[11]) + int(rest[12])
+                + int(rest[13]) + int(rest[14]),
+            )
         kids: dict[int, list[int]] = {}
         for pid, (ppid, _) in stats.items():
             kids.setdefault(ppid, []).append(pid)

@@ -144,8 +144,17 @@ def quantize_int8(mat):
     SUMMATION ORDER: the norm accumulates left-to-right over elements
     (a vectorized-over-rows sequential fold over columns), because
     numpy's .sum() is pairwise and a last-ulp norm difference could
-    flip a round() tie against the sequential-folding oracles. Exact
-    by construction, not by fixture luck."""
+    flip a round() tie against the sequential-folding oracles — AND
+    the TIE MECHANISM: all three faces build the rounding as
+    sign(x) * floor(abs(x) + 0.5) (quantize_q4's construction), not
+    a library round(). F.round (BigDecimal HALF_UP) and DuckDB
+    round() implement the same half-away-from-zero CONVENTION but via
+    decimal/libm paths that can disagree with the floor construction
+    for doubles one ulp below a .5 boundary (0.49999999999999994
+    rounds to 0 under floor(x+0.5)-after-float64-add but to 1 under
+    a decimal-exact HALF_UP) — sharing the construction removes that
+    edge instead of hoping fixtures avoid it (r12 advisor). Exact by
+    construction, not by fixture luck."""
     import numpy as np
 
     m = mat.astype(np.float64, copy=False)
@@ -161,12 +170,17 @@ def quantize_int8(mat):
 def quantize_int8_col(src: Column | str) -> Column:
     """Catalyst face (reference semantics; NOT the production path —
     see with_int8_embedding): round(127 * x / ||v||) as
-    array<tinyint>, norm fold inlined in the transform lambda."""
+    array<tinyint>, norm fold inlined in the transform lambda. The
+    rounding is the shared sign*floor(abs+0.5) construction, NOT
+    F.round — see quantize_int8 on the ulp-below-half tie edge."""
     nrm = l2_norm(src)
     safe = F.when(nrm > 0, nrm).otherwise(F.lit(1.0))
-    return F.transform(
-        src, lambda x: F.round(x.cast("double") * 127.0 / safe).cast("tinyint")
-    )
+
+    def _q(x):
+        y = x.cast("double") * 127.0 / safe
+        return (F.signum(y) * F.floor(F.abs(y) + F.lit(0.5))).cast("tinyint")
+
+    return F.transform(src, _q)
 
 
 def with_int8_embedding(df, src: str = "embedding", out: str = "q8"):
@@ -183,8 +197,8 @@ def with_int8_embedding(df, src: str = "embedding", out: str = "q8"):
     4x6 replication on the same corpus). This mapInArrow pass measures
     1.76 s on that corpus, runs exactly once per row regardless of
     downstream replication, and is bit-identical to the Catalyst and
-    DuckDB faces (quantize_int8's half-away-from-zero tie rule is
-    F.round's and DuckDB round()'s; engine-tested). Requires ``src``
+    DuckDB faces (all three share quantize_int8's sign*floor(abs+0.5)
+    tie construction; engine-tested). Requires ``src``
     rectangular and non-null — callers filter nulls pre-shuffle (the
     list_matrix contract)."""
     import numpy as np

@@ -998,9 +998,15 @@ def _d07q_oracle() -> str:
                AS nv
       FROM embeddings WHERE embedding IS NOT NULL),
     q AS (
+      -- sign*floor(abs+0.5), NOT round(): the shared tie construction
+      -- of all three int8 faces (functions/vector.quantize_int8 — a
+      -- library round can disagree one ulp below a .5 boundary)
       SELECT e.vec_id,
-             [round(CAST(x AS DOUBLE) * 127.0 /
-                    (CASE WHEN n.nv > 0 THEN n.nv ELSE 1.0 END))
+             [SIGN(CAST(x AS DOUBLE) * 127.0 /
+                   (CASE WHEN n.nv > 0 THEN n.nv ELSE 1.0 END))
+              * FLOOR(ABS(CAST(x AS DOUBLE) * 127.0 /
+                      (CASE WHEN n.nv > 0 THEN n.nv ELSE 1.0 END))
+                      + 0.5)
               for x in e.embedding] AS qe
       FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id
       WHERE e.embedding IS NOT NULL),
@@ -1297,27 +1303,12 @@ def _cosine_lsh_pairs(
     # the bytes); the kernel widens AFTER the shuffle — bit-exact.
     e = t["embeddings"].filter(F.col("embedding").isNotNull())
 
-    if verify_payload == "int8":
-        # one vectorized Arrow pass appends q8 = round(127*x/||v||)
-        # tinyints BEFORE banding (functions/vector.with_int8_embedding
-        # — the pure-Catalyst transform re-evaluated the norm fold per
-        # element and per banded replica, ~10-40x this wall; values
-        # bit-identical, r12). Zero-norm vectors quantize to zeros and
-        # can never verify, exactly like their float NaN-cosine
-        # behavior.
-        from quacfka_spark.functions.vector import with_int8_embedding
-
-        e = with_int8_embedding(e)
-        ship = F.col("q8")
-    else:
-        ship = F.col("embedding")
-
-    def _banded(b_: int) -> DataFrame:
+    def _banded_from(frame, ship, b_: int) -> DataFrame:
         # sigs come from the ORIGINAL float32 vector (identical
         # candidate set at any payload); the shipped column keeps the
         # name "embedding" so both verify kernels and the salted
         # replication below are payload-agnostic
-        return e.select(
+        return frame.select(
             "vec_id",
             ship.alias("__emb"),
             F.array(*sign_band_cols(b_, bands)).alias("sigs"),
@@ -1325,6 +1316,17 @@ def _cosine_lsh_pairs(
             "vec_id", "embedding", "sigs",
             F.posexplode_outer(F.col("sigs")).alias("band", "sig"),
         )
+
+    def _banded(b_: int) -> DataFrame:
+        # CHOOSER face: always the float payload. mapInArrow is a
+        # column-pruning barrier, so banding a quantized frame here
+        # would make every narrow chooser agg (occupancy counts, the
+        # n/dim agg) pay a full quantization pass it doesn't need
+        # (r12 advisor); the quantizer applies only to the final
+        # banded frame below. Chooser results are payload-invariant
+        # by construction — occupancy depends only on the sigs, which
+        # hash the float column under either payload.
+        return _banded_from(e, F.col("embedding"), b_)
 
     occ = None
     if auto_bits:
@@ -1377,7 +1379,24 @@ def _cosine_lsh_pairs(
                     # measurement and let the salt chooser re-measure
                     # the family that actually runs
                     occ = None
-    banded = _banded(bits)
+
+    if verify_payload == "int8":
+        # one vectorized Arrow pass appends q8 = round(127*x/||v||)
+        # tinyints BEFORE banding (functions/vector.with_int8_embedding
+        # — the pure-Catalyst transform re-evaluated the norm fold per
+        # element and per banded replica, ~10-40x this wall; values
+        # bit-identical, r12). Applied ONLY to the final banded frame,
+        # after the width chooser and invisible to the salt chooser
+        # below (r12 advisor: keep the choosers' cheap-narrow-agg
+        # contract — occupancy is payload-invariant since sigs hash
+        # the float column either way). Zero-norm vectors quantize to
+        # zeros and can never verify, exactly like their float
+        # NaN-cosine behavior.
+        from quacfka_spark.functions.vector import with_int8_embedding
+
+        banded = _banded_from(with_int8_embedding(e), F.col("q8"), bits)
+    else:
+        banded = _banded(bits)
 
     def bucket_verify(key, tbl):
         import numpy as np
@@ -1437,7 +1456,10 @@ def _cosine_lsh_pairs(
         else:
             from quacfka_spark.operators.lsh_tuning import choose_salt
 
-            salt_buckets = choose_salt(banded, D07_TARGET_ROWS)
+            # float banded face, not the (possibly quantized) final
+            # frame — the chooser's count agg must stay narrow (r12
+            # advisor); occupancy is identical under either payload
+            salt_buckets = choose_salt(_banded(bits), D07_TARGET_ROWS)
 
     if salt_buckets <= 1:
         return (

@@ -1427,28 +1427,12 @@ def knn_edges(
     # kernel widens after the shuffle — bit-exact, see arrowkit.
     e = t["embeddings"].filter(F.col("embedding").isNotNull())
 
-    if verify_payload == "int8":
-        # one vectorized Arrow pass appends q8 = round(127*x/||v||)
-        # tinyints BEFORE banding (the d07q mechanism; see
-        # functions/vector.with_int8_embedding for why this is not a
-        # Catalyst transform — the inlined norm fold re-evaluates per
-        # element and per banded/salted replica, ~10-40x this wall).
-        # Zero-norm vectors quantize to zeros -> 0/0 = NaN cosine in
-        # the kernel, the same never-ranked sentinel as their float
-        # NaN behavior.
-        from quacfka_spark.functions.vector import with_int8_embedding
-
-        e = with_int8_embedding(e)
-        ship = F.col("q8")
-    else:
-        ship = F.col("embedding")
-
-    def _banded(b_: int) -> DataFrame:
+    def _banded_from(frame, ship, b_: int) -> DataFrame:
         # sigs from the ORIGINAL float column (identical candidate set
         # at any payload); the shipped column keeps the name
         # "embedding" so the kernels and salted replication are
         # payload-agnostic
-        return e.select(
+        return frame.select(
             "vec_id",
             ship.alias("__emb"),
             F.posexplode_outer(
@@ -1457,6 +1441,17 @@ def knn_edges(
         ).withColumnRenamed("__emb", "embedding").select(
             "vec_id", "embedding", "band", "sig"
         )
+
+    def _banded(b_: int) -> DataFrame:
+        # CHOOSER face: always the float payload. mapInArrow is a
+        # column-pruning barrier, so banding the quantized frame here
+        # would make every narrow chooser agg (occupancy counts, the
+        # n/dim agg) pay a full quantization pass it doesn't need
+        # (r12 advisor); the quantizer applies only to the final
+        # banded frame below. Chooser results are payload-invariant
+        # by construction — occupancy depends only on the sigs, which
+        # hash the float column under either payload.
+        return _banded_from(e, F.col("embedding"), b_)
 
     if auto_bits:
         from quacfka_spark.operators.lsh_tuning import (
@@ -1486,7 +1481,24 @@ def knn_edges(
                 min_bits=bits,
                 max_salt=MAX_SALT if auto else max(1, int(salt_groups)),
             )
-    banded = _banded(bits)
+
+    if verify_payload == "int8":
+        # one vectorized Arrow pass appends q8 = round(127*x/||v||)
+        # tinyints BEFORE banding (the d07q mechanism; see
+        # functions/vector.with_int8_embedding for why this is not a
+        # Catalyst transform — the inlined norm fold re-evaluates per
+        # element and per banded/salted replica, ~10-40x this wall).
+        # Applied ONLY to the final banded frame, after the width
+        # chooser and never seen by the salt chooser (r12 advisor:
+        # keep the choosers' cheap-narrow-agg contract). Zero-norm
+        # vectors quantize to zeros -> 0/0 = NaN cosine in the
+        # kernel, the same never-ranked sentinel as their float NaN
+        # behavior.
+        from quacfka_spark.functions.vector import with_int8_embedding
+
+        banded = _banded_from(with_int8_embedding(e), F.col("q8"), bits)
+    else:
+        banded = _banded(bits)
 
     def bucket_topk(key, tbl):
         from quacfka_spark.operators.arrowkit import (
@@ -1568,8 +1580,11 @@ def knn_edges(
             choose_salt_topk,
         )
 
+        # chooser aggregates run on the FLOAT banded face, never the
+        # quantized frame (r12 advisor) — occupancy is payload-
+        # invariant (sigs hash the float column under either payload)
         salt_groups = choose_salt_topk(
-            banded,
+            _banded(bits),
             SIM10_TARGET_ROWS,
             spark.sparkContext.defaultParallelism,
         )
@@ -1646,9 +1661,15 @@ def _sim10q_oracle(order_by: bool = True) -> str:
                AS nv
       FROM embeddings WHERE embedding IS NOT NULL),
     q AS (
+      -- sign*floor(abs+0.5), NOT round(): the shared tie construction
+      -- of all three int8 faces (functions/vector.quantize_int8 — a
+      -- library round can disagree one ulp below a .5 boundary)
       SELECT e.vec_id,
-             [round(CAST(x AS DOUBLE) * 127.0 /
-                    (CASE WHEN n.nv > 0 THEN n.nv ELSE 1.0 END))
+             [SIGN(CAST(x AS DOUBLE) * 127.0 /
+                   (CASE WHEN n.nv > 0 THEN n.nv ELSE 1.0 END))
+              * FLOOR(ABS(CAST(x AS DOUBLE) * 127.0 /
+                      (CASE WHEN n.nv > 0 THEN n.nv ELSE 1.0 END))
+                      + 0.5)
               for x in e.embedding] AS qe
       FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id
       WHERE e.embedding IS NOT NULL),
@@ -1701,7 +1722,16 @@ def sim10q_int8_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the flip-distance bound (worst case ~2*sqrt(dim)*0.5/127 ~ 0.06 at
 # dim 64 — two full per-vector direction errors, not one boundary
 # crossing); measured max_delta 0.0104-0.0117 across the three SFs,
-# gated at 0.02.
+# gated at 0.02. The asymmetry is DELIBERATE strictness (r12 advisor):
+# a genuine quantization-induced membership flip whose cosine delta
+# lands in (FLIP, max_delta] would trip far_flips — a false-POSITIVE
+# certification failure, never a silent pass. Triage rule for a
+# far_flips > 0 red on a NEW corpus: a flip within 2*max_delta of the
+# displacing family's k-th cosine is still quantization-explainable
+# (both edges moved by at most max_delta), so check the artifact's
+# max_delta before suspecting the quantizer. The boundary stays at
+# d07qx's 0.01 rather than deriving from the delta gate because
+# measured flips are 0 at all SFs — strict until data forces looser.
 _SIM10QX_FLIP_BOUNDARY = 0.01
 _SIM10QX_DELTA_BOUNDARY = 0.02
 

@@ -197,8 +197,11 @@ def test_quantize_int8_three_faces_agree(spark):
     (quantize_int8_col, the reference transform), DuckDB (the d07q /
     sim10q oracle's list comprehension) — must be bit-identical on the
     fixture embeddings: all three run the same float64 arithmetic and
-    the same half-away-from-zero tie rule (F.round's and DuckDB
-    round()'s), so a drift in any face flips oracle hashes."""
+    the same sign*floor(abs+0.5) tie CONSTRUCTION (not merely the same
+    half-away-from-zero convention — library round()s implement that
+    convention via decimal/libm paths that can disagree with the floor
+    construction one ulp below a .5 boundary; r12 advisor), so a
+    drift in any face flips oracle hashes."""
     import duckdb
     import numpy as np
 
@@ -235,8 +238,11 @@ def test_quantize_int8_three_faces_agree(spark):
                 sqrt(list_sum([CAST(x AS DOUBLE) * x for x in embedding]))
                   AS nv FROM e)
             SELECT e.vec_id,
-                [CAST(round(CAST(x AS DOUBLE) * 127.0 /
-                    (CASE WHEN n.nv > 0 THEN n.nv ELSE 1.0 END)) AS TINYINT)
+                [CAST(SIGN(CAST(x AS DOUBLE) * 127.0 /
+                       (CASE WHEN n.nv > 0 THEN n.nv ELSE 1.0 END))
+                      * FLOOR(ABS(CAST(x AS DOUBLE) * 127.0 /
+                          (CASE WHEN n.nv > 0 THEN n.nv ELSE 1.0 END))
+                          + 0.5) AS TINYINT)
                  for x in e.embedding]
             FROM e JOIN nrm n ON n.vec_id = e.vec_id
             """
