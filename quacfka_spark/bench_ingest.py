@@ -448,6 +448,38 @@ def _timed(fn):
     return wall, busy, steal, own, ret
 
 
+def window_class(
+    busys: list[float | None],
+    steals: list[float | None],
+    owns: list[float | None] | None,
+) -> str | None:
+    """One-word host-window marker for a measured block (r12 verdict
+    #3): ``contended`` when any pass shows material co-tenant load
+    (pass_other = busy - own >= 0.15) or hypervisor steal (>= 0.05),
+    ``clean`` otherwise. None when the attribution evidence is absent
+    (no /proc, or own-tree jiffies unavailable) — an UNCLASSIFIED
+    window must not read as clean. Makes cross-round comparisons
+    legible at a glance (BENCH_r11 wide batch 173.6 vs BENCH_r12 825.9
+    was window class, not code — provable only by reading the per-pass
+    arrays before this field existed). Thresholds sit above the
+    attribution's own noise floor (pass_other emission gates at 0.10;
+    the r11 co-tenant signature measured 0.3-0.6) and below any level
+    that materially moves a rate. Pure function (unit-tested without
+    Spark)."""
+    others = [
+        b - o
+        for b, o in zip(busys, owns or [])
+        if b is not None and o is not None
+    ]
+    if not others:
+        return None
+    steals_known = [s for s in steals if s is not None]
+    contended = max(others) >= 0.15 or (
+        bool(steals_known) and max(steals_known) >= 0.05
+    )
+    return "contended" if contended else "clean"
+
+
 def stall_evidence(
     walls: list[float],
     expected_s: float | None,
@@ -496,6 +528,13 @@ def stall_evidence(
             else None
             for b, o in zip(busys, owns)
         ]
+    # the one-field cross-round marker (r12 verdict #3) — emitted
+    # whenever the attribution evidence exists, NOT just when
+    # pass_other crossed its 0.10 materiality gate: a clean window
+    # should say "clean", not stay silent
+    wc = window_class(busys, steals, owns)
+    if wc is not None:
+        ev["window"] = wc
     return ev
 
 

@@ -344,6 +344,39 @@ def test_stall_evidence_cotenant_attribution():
     assert "pass_other" not in ev
 
 
+def test_window_class_marker():
+    """r12 verdict #3: every ingest block with attribution evidence
+    carries a one-field window marker so cross-round comparisons
+    (173.6 vs 825.9 MB/s) are legible without reading the per-pass
+    arrays. contended = co-tenant load (busy - own >= 0.15 on any
+    pass) or hypervisor steal >= 0.05; clean otherwise; ABSENT (not
+    'clean') when the attribution evidence is missing."""
+    from quacfka_spark.bench_ingest import window_class
+
+    # r11's co-tenant signature: saturated busy, tree owns ~half
+    ev = stall_evidence(
+        [10.2, 10.5], 9.5, [0.99, 0.98], [0.0, 0.0], owns=[0.55, 0.52]
+    )
+    assert ev["window"] == "contended"
+    # r12's clean window: busy ~= own, sub-threshold residue
+    ev = stall_evidence(
+        [9.8, 9.6], 9.5, [0.74, 0.70], [0.0, 0.0], owns=[0.70, 0.66]
+    )
+    assert ev["window"] == "clean"
+    # clean says clean even though pass_other stayed un-emitted
+    assert "pass_other" not in ev
+    # steal alone marks contention (noisy hypervisor neighbor)
+    ev = stall_evidence([9.8], 9.5, [0.9], [0.08], owns=[0.88])
+    assert ev["window"] == "contended"
+    # no attribution evidence -> no marker (unclassified != clean)
+    ev = stall_evidence([9.8], 9.5, [0.99], [0.0])
+    assert "window" not in ev
+    assert window_class([None], [None], None) is None
+    # single-pass probe-row form (tools/bits_probe.py, r12 verdict #2)
+    assert window_class([0.95], [0.0], [0.93]) == "clean"
+    assert window_class([0.99], [0.0], [0.6]) == "contended"
+
+
 def test_tree_jiffies_measures_own_burn():
     from quacfka_spark.bench_ingest import _tree_jiffies
 

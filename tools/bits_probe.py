@@ -123,7 +123,8 @@ def main() -> None:
         "--payload",
         default="float32",
         choices=["float32", "int8"],
-        help="d07 verify payload on the band exchange (dedup.py "
+        help="verify payload on the band exchange, applied to BOTH "
+        "families' timed rows (dedup.py / similarity.knn_edges "
         "verify_payload). int8 ships round(127*x/||v||) tinyints — "
         "4x fewer payload bytes per banded replica — which is what "
         "makes the production-constant S=16 engagement row fit a "
@@ -194,8 +195,21 @@ def main() -> None:
         except Exception:
             return None
     t0 = time.perf_counter()
-    # n_docs minimal: this probe only reads embeddings
-    scale_probe.synthesize(spark, args.dir, args.n_vecs, 2000)
+    # n_docs minimal: this probe only reads embeddings. The generator
+    # is deterministic (seed 42), so an existing fixture with the
+    # right cardinality is byte-equivalent — skip the multi-minute
+    # regeneration when probing the same notch twice (e.g. a
+    # float-vs-int8 payload A/B, r12 verdict #1).
+    _ep = os.path.join(args.dir, "embeddings.parquet")
+    try:
+        _have = (
+            os.path.exists(_ep)
+            and spark.read.parquet(_ep).count() == args.n_vecs
+        )
+    except Exception:
+        _have = False
+    if not _have:
+        scale_probe.synthesize(spark, args.dir, args.n_vecs, 2000)
     synth_s = round(time.perf_counter() - t0, 2)
 
     widths = [int(w) for w in args.widths.split(",") if w]
@@ -237,6 +251,7 @@ def main() -> None:
                     {
                         "metric": "band_width_probe",
                         "n_vecs": args.n_vecs,
+                        "payload": args.payload,
                         "partial": True,
                         "ops": results,
                     },
@@ -248,20 +263,49 @@ def main() -> None:
             pass
 
     def time_one(name: str, fn) -> None:
+        # per-row host-window evidence (r12 verdict #2): hour-scale
+        # probe rows previously recorded only wall seconds, so a wall
+        # inversion between rows (SCALE_PROBE_D07_INT8_5M.json: the
+        # recovery row beat autobits despite 1.53x the pairs) had to
+        # be attributed by reasoning. Each row now carries the bench's
+        # busy/steal/own capture (bench_ingest._timed) plus the
+        # derived co-tenant share and window class, so the next
+        # inversion is attributed by data. Fields per row:
+        #   busy  — host /proc/stat busy fraction over the row's wall
+        #   steal — hypervisor steal fraction (noisy-neighbor stalls)
+        #   own   — this probe tree's share of host CPU (incl. reaped
+        #           children)
+        #   other — busy - own: co-tenant load the row competed with
+        #   window — clean|contended (bench_ingest.window_class rule)
+        from quacfka_spark.bench_ingest import _timed, window_class
+
         try:
             before = shuffle_stages()
-            t0 = time.perf_counter()
-            df = fn(spark, args.dir)
-            from pyspark.sql import Observation
 
-            obs = Observation()
-            df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
-                "noop"
-            ).mode("overwrite").save()
+            def run():
+                df = fn(spark, args.dir)
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                df.observe(
+                    obs, F.count(F.lit(1)).alias("n")
+                ).write.format("noop").mode("overwrite").save()
+                return obs
+
+            wall, busy, steal, own, obs = _timed(run)
             results[name] = {
-                "sec": round(time.perf_counter() - t0, 2),
+                "sec": round(wall, 2),
                 "rows": int(obs.get["n"]),
             }
+            if busy is not None:
+                results[name]["busy"] = round(busy, 2)
+                results[name]["steal"] = round(steal, 2)
+                if own is not None:
+                    results[name]["own"] = round(own, 2)
+                    results[name]["other"] = round(max(busy - own, 0.0), 2)
+                wc = window_class([busy], [steal], [own])
+                if wc is not None:
+                    results[name]["window"] = wc
             after = shuffle_stages()
             if before is not None and after is not None:
                 new = {k: v for k, v in after.items() if k not in before}
@@ -453,7 +497,10 @@ def main() -> None:
             else:
                 time_one(
                     f"sim10_bits{b}",
-                    lambda s, d, b=b: knn_edges(s, d, auto=True, bits=b),
+                    lambda s, d, b=b: knn_edges(
+                        s, d, auto=True, bits=b,
+                        verify_payload=args.payload,
+                    ),
                 )
         for b, nb in configs:
             if fam == "d07":
@@ -468,7 +515,8 @@ def main() -> None:
                 time_one(
                     f"sim10_b{b}x{nb}",
                     lambda s, d, b=b, nb=nb: knn_edges(
-                        s, d, auto=True, bits=b, bands=nb
+                        s, d, auto=True, bits=b, bands=nb,
+                        verify_payload=args.payload,
                     ),
                 )
         if args.autobits:
@@ -483,7 +531,10 @@ def main() -> None:
             else:
                 time_one(
                     "sim10_autobits",
-                    lambda s, d: knn_edges(s, d, auto=True, auto_bits=True),
+                    lambda s, d: knn_edges(
+                        s, d, auto=True, auto_bits=True,
+                        verify_payload=args.payload,
+                    ),
                 )
         if args.autobands and fam == "d07":
             time_one(
@@ -527,6 +578,18 @@ def main() -> None:
     report = {
         "metric": "band_width_probe",
         "n_vecs": args.n_vecs,
+        "payload": args.payload,
+        # per-row host-window evidence schema (r12 verdict #2); rows
+        # missing these fields ran where /proc was unavailable
+        "evidence_fields": {
+            "busy": "host /proc/stat busy fraction over the row wall",
+            "steal": "hypervisor steal fraction over the row wall",
+            "own": "probe tree's share of host CPU (incl. reaped "
+            "children)",
+            "other": "busy - own: co-tenant load the row competed with",
+            "window": "clean|contended per bench_ingest.window_class "
+            "(other >= 0.15 or steal >= 0.05 -> contended)",
+        },
         "synthesize_sec": synth_s,
         **(
             {"target_rows_override": args.target_rows}
