@@ -796,12 +796,17 @@ def pack_sequences(
     stream_col: str = "source",
     order_col: str = "doc_id",
     tokens_col: str = "n_tokens",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Concatenate-and-chop sequence packing (public API; t12 is the
     declared-fixture instance the oracle pins): assigns every doc its
     packed-sequence id / offset / boundary flag from a per-stream token
     cumsum. One exchange keyed on the stream id; only
-    (order, stream, n_tokens) rows shuffle, never text."""
+    (order, stream, n_tokens) rows shuffle, never text. ``carry`` names
+    extra narrow columns to ride through the pack (e.g. a quality score
+    the chained curation key reports) — they join the window exchange,
+    so keep them scalar-narrow; the doc body stays excluded by
+    contract."""
     from pyspark.sql.window import Window
 
     w = (
@@ -814,6 +819,7 @@ def pack_sequences(
         order_col,
         stream_col,
         tokens_col,
+        *carry,
         F.floor(start / capacity).cast("bigint").alias("seq_id"),
         (start % capacity).cast("bigint").alias("offset"),
         ((start % capacity) + F.col(tokens_col) > capacity).alias(

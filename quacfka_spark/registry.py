@@ -42,6 +42,7 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from quacfka_spark.operators import (  # noqa: F401
+        chains,
         dedup,
         extensions,
         multimodal,
