@@ -417,6 +417,15 @@ class StreamingPipeline:
         self._ledger_root = os.path.join(config.output_dir, "_dedup_ledger")
         self._neardup_root = os.path.join(config.output_dir, "_neardup_ledger")
         self.query = None
+        # Per-epoch phase trace (r12 verdict #4): monotonic stamps +
+        # in-batch phase splits, appended by _process_batch. Together
+        # with the engine's own StreamingQueryProgress durationMs
+        # (walCommit/commitOffsets/latestOffset/addBatch) this
+        # decomposes the per-micro-batch fixed cost: the gap between
+        # epoch N's exit and N+1's enter is engine-side (offset WAL,
+        # source planning, commit log); the in-batch split shows where
+        # addBatch's own time goes. Cost: one small dict per epoch.
+        self.epoch_trace: list[dict] = []
 
     # -- epoch processing (D13/D17/D18/D20/D24) ----------------------------
     def _epoch_dir(self, table: str, epoch_id: int) -> str:
@@ -681,7 +690,12 @@ class StreamingPipeline:
             fh.write(json.dumps({"epoch": epoch_id, "table": table, "path": path}) + "\n")
 
     def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        import time as _time
+
         from pyspark.sql import Observation
+
+        _t_enter = _time.monotonic()
+        _t_raw = _t_der = None
 
         # The consumed count (pre-decode input rows, D24) piggybacks on
         # the first sink job via an Observation BELOW the decode — a
@@ -733,6 +747,7 @@ class StreamingPipeline:
                 p = self._epoch_dir(self.config.dest_table, epoch_id)
                 raw_n = self._write(decoded, p, self.config.dest_table)
                 written.append((self.config.dest_table, p))
+            _t_raw = _time.monotonic()
 
             derived_src = (
                 self.spark.read.parquet(written[0][1]) if use_readback else decoded
@@ -749,6 +764,7 @@ class StreamingPipeline:
                     p = self._epoch_dir(table, epoch_id)
                     custom_n += self._write(df, p, table)
                     written.append((table, p))
+            _t_der = _time.monotonic()
 
             if self.config.dedup_keys:
                 # ledger AFTER the sinks: digests of what actually landed
@@ -783,6 +799,23 @@ class StreamingPipeline:
         finally:
             for df in to_unpersist:
                 df.unpersist()
+            _t_exit = _time.monotonic()
+            self.epoch_trace.append(
+                {
+                    "epoch": int(epoch_id),
+                    "enter": _t_enter,
+                    "exit": _t_exit,
+                    "raw_s": round((_t_raw or _t_exit) - _t_enter, 3),
+                    "derived_s": round(
+                        (_t_der or _t_raw or _t_exit)
+                        - (_t_raw or _t_exit),
+                        3,
+                    ),
+                    "epilogue_s": round(
+                        _t_exit - (_t_der or _t_raw or _t_exit), 3
+                    ),
+                }
+            )
 
     # -- lifecycle (D17/D19/D25) -------------------------------------------
     def start(self):
