@@ -171,6 +171,12 @@ def _compact_ingest(rep: dict, wide: bool = False) -> dict:
     if wide:
         out["mb_per_second"] = round(rep.get("mb_per_second", 0.0), 1)
         out["bytes_per_record"] = round(rep.get("bytes_per_record", 0.0))
+    # window class (r12 verdict #3): the one-word marker that makes
+    # cross-round ingest numbers comparable at a glance (BENCH_r11 wide
+    # 173.6 vs BENCH_r12 825.9 was window class, not code). ~12 bytes
+    # per block; per-pass detail stays in BENCH_STATS.json.
+    if rep.get("window"):
+        out["window"] = rep["window"]
     # Stall evidence (r10 verdict #1): when a block's best pass exceeded
     # 2x its rate-derived expectation — or its samples scattered — the
     # per-pass walls ride the line so the artifact itself shows whether

@@ -163,6 +163,31 @@ def test_spread_stall_markers_ride_then_shed():
     assert "stalls" not in d2["spread"]
 
 
+def test_window_marker_rides_compact_ingest_blocks():
+    """r12 verdict #3: the window class emitted by stall_evidence must
+    survive into the compact driver line's ingest blocks (all four),
+    within budget — the cross-round comparability marker."""
+    timings = {name: 1.23 for name in HEADLINE}
+    narrow = dict(_INGEST, window="clean")
+    wide = dict(_INGEST_WIDE, window="contended")
+    line = build_headline_line(
+        timings, 0.1, narrow, dict(narrow),
+        ingest_wide=wide, ingest_streaming_wide=dict(wide),
+    )
+    assert len(line) <= LINE_BUDGET, len(line)
+    d = json.loads(line)
+    assert d["ingest"]["window"] == "clean"
+    assert d["ingest_streaming"]["window"] == "clean"
+    assert d["ingest_wide"]["window"] == "contended"
+    assert d["ingest_streaming_wide"]["window"] == "contended"
+    # absent evidence -> absent field (unclassified != clean)
+    line2 = build_headline_line(
+        timings, 0.1, _INGEST, _INGEST,
+        ingest_wide=_INGEST_WIDE, ingest_streaming_wide=_INGEST_WIDE,
+    )
+    assert "window" not in json.loads(line2)["ingest"]
+
+
 def test_unconditional_guard_without_errors_map():
     """Advisor r8: long strings in the ingest blocks with NO errors map
     must still shrink to a parseable under-budget line (the old guard
