@@ -89,6 +89,7 @@ HEADLINE = [
     "sim10wx_wideband_agreement",
     "sim10q_int8_knn_graph",
     "sim10qx_int8_rank_stability",
+    "e01_ingest_to_training",
 ]
 
 DETAIL_NODES = re.compile(
