@@ -1964,7 +1964,7 @@ def d10_semdedup(
         .select(
             "vec_id",
             "embedding",
-            top_cells(F.col("embedding"), F.col("cbs"), probe).alias(
+            top_cells("embedding", "cbs", probe).alias(
                 "top"
             ),
         )

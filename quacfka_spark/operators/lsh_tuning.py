@@ -129,18 +129,18 @@ def sign_band_cols(
     embedding[k] yields NULL -> '0'; try_ gives the same degradation.
     Shared by dedup._cosine_lsh_pairs and similarity.knn_edges so the
     two kernels can never drift on band construction."""
-    return [
-        F.concat(
-            *[
-                F.when(
-                    F.try_element_at(F.col(col), F.lit(b * bits + k + 1)) > 0,
-                    F.lit("1"),
-                ).otherwise(F.lit("0"))
-                for k in range(bits)
-            ]
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
+    # one F.expr per band (vs ~6 py4j round trips per BIT for the
+    # composed-Column form — pure build-time, the parsed tree is
+    # identical; r13)
+    def _band(b: int) -> str:
+        bits_sql = ", ".join(
+            f"CASE WHEN try_element_at({col}, {b * bits + k + 1}) > 0"
+            " THEN '1' ELSE '0' END"
+            for k in range(bits)
+        )
+        return f"concat({bits_sql})"
+
+    return [F.expr(_band(b)).alias(f"band{b}") for b in range(bands)]
 
 
 def sign_band_sql(

@@ -468,10 +468,12 @@ def m06_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["documents"].filter(F.expr(f"char_length(text) >= {B}"))
     ).select(
         "doc_id",
-        F.expr(
-            "transform(sequence(1, char_length(text)),"
-            " i -> ascii(substring(text, i, 1)))"
-        ).alias("p"),
+        # split('') is the O(n) per-character array (one UTF8String
+        # walk); the earlier sequence+substring(text, i, 1) form was
+        # O(n^2) per doc — substring must re-scan to char i for every
+        # i (guide §1.2 per-task work; value-identical incl. multibyte,
+        # ascii() sees the same single-char strings)
+        F.expr("transform(split(text, ''), c -> ascii(c))").alias("p"),
     )
     h = px.select(
         "doc_id",
@@ -581,10 +583,12 @@ def m07_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["documents"].filter(F.expr(f"char_length(text) >= {C}"))
     ).select(
         "doc_id",
-        F.expr(
-            "transform(sequence(1, char_length(text)),"
-            " i -> ascii(substring(text, i, 1)))"
-        ).alias("p"),
+        # split('') is the O(n) per-character array (one UTF8String
+        # walk); the earlier sequence+substring(text, i, 1) form was
+        # O(n^2) per doc — substring must re-scan to char i for every
+        # i (guide §1.2 per-task work; value-identical incl. multibyte,
+        # ascii() sees the same single-char strings)
+        F.expr("transform(split(text, ''), c -> ascii(c))").alias("p"),
     )
     by = px.select(
         "doc_id", F.size("p").alias("n"), F.posexplode_outer("p").alias("pos", "v")

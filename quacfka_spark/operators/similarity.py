@@ -203,7 +203,20 @@ def top_cells(embedding, cbs, n: int):
     it is pinned to -2 (below any real cosine) so such rows rank every
     cell equal and deterministically take the lowest cids — the oracle
     CTEs carry the same COALESCE, keeping both engines' assignment
-    identical instead of leaning on engine-specific NULL ordering."""
+    identical instead of leaning on engine-specific NULL ordering.
+
+    String args (column names / SQL fragments) take the one-``F.expr``
+    path — the Column-composed form of this tree costs ~500 py4j round
+    trips (~0.25 s per call under load, r13 measurement); the parsed
+    plan is identical."""
+    from quacfka_spark.functions.vector import cosine_sql
+
+    if isinstance(embedding, str) and isinstance(cbs, str):
+        return F.expr(
+            f"slice(array_sort(transform({cbs}, c -> named_struct("
+            f"'ns', -coalesce(round({cosine_sql(embedding, 'c.ce')}, 6),"
+            f" -2.0D), 'cid', c.cid))), 1, {int(n)})"
+        )
     return F.slice(
         F.array_sort(
             F.transform(
@@ -269,23 +282,21 @@ def train_centroids(
     # explosion and no argmax exchange — the refine aggregate below is
     # the training round's ONLY shuffle
     assign0 = e.crossJoin(F.broadcast(pack_centroids(seeds))).select(
-        top_cells(F.col("embedding"), F.col("cbs"), 1)[0]["cid"].alias("cell"),
+        top_cells("embedding", "cbs", 1)[0]["cid"].alias("cell"),
         F.col("embedding").alias("emb"),
+    )
+    # ONE expr carrying all `dim` per-dimension aggregates (aggregates
+    # nest inside array() fine): the per-column listcomp form cost
+    # ~6 py4j round trips per dimension (~1 s at dim 64 under load,
+    # r13) for an identical aggregation
+    ce = ", ".join(
+        f"round(avg(CAST(try_element_at(emb, {i + 1}) AS DOUBLE)), 6)"
+        for i in range(dim)
     )
     return (
         assign0.groupBy("cell")
-        .agg(
-            *[
-                F.round(
-                    F.avg(F.try_element_at("emb", F.lit(i + 1)).cast("double")), 6
-                ).alias(f"c{i}")
-                for i in range(dim)
-            ]
-        )
-        .select(
-            F.col("cell").alias("cid"),
-            F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("ce"),
-        )
+        .agg(F.expr(f"array({ce})").alias("ce"))
+        .select(F.col("cell").alias("cid"), "ce")
     )
 
 
@@ -376,7 +387,7 @@ def sim04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole query's single hash exchange is that refine.
     assign = e.crossJoin(F.broadcast(packed)).select(
         "vec_id",
-        top_cells(F.col("embedding"), F.col("cbs"), 1)[0]["cid"].alias("cell"),
+        top_cells("embedding", "cbs", 1)[0]["cid"].alias("cell"),
         "embedding",
     )
     # the query's top-PROBE cells: same in-row sort on its single row
@@ -386,7 +397,7 @@ def sim04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.explode(
                 F.transform(
-                    top_cells(F.col("embedding"), F.col("cbs"), _IVF_PROBE),
+                    top_cells("embedding", "cbs", _IVF_PROBE),
                     lambda s: s["cid"],
                 )
             ).alias("cell")
@@ -650,7 +661,19 @@ def sim07_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sv = en.select("vec_id", F.posexplode(subs).alias("sub", "svec"))
 
+    def l2sq_sql(a: str, b: str) -> str:
+        # squared-L2 fold as SQL text (the cosine_sql rationale: one
+        # expr parse instead of ~80 py4j round trips; identical tree)
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) ->"
+            " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+            " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+            " 0.0D, (acc, z) -> acc + z)"
+        )
+
     def l2sq(a, b):
+        if isinstance(a, str) and isinstance(b, str):
+            return F.expr(l2sq_sql(a, b))
         return F.aggregate(
             F.zip_with(
                 a,
@@ -671,20 +694,16 @@ def sim07_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cbs")
         )
 
-    def argmin_code(cbs):
+    def argmin_code(cbs: str):
         # IN-ROW argmin over the packed codeword array: struct (d, code)
         # array_min orders by distance then code — the same tie-break as
         # the oracle's ROW_NUMBER ORDER BY d, code, but with no N x K
-        # row explosion and no argmin exchange at all.
-        return F.array_min(
-            F.transform(
-                cbs,
-                lambda c: F.struct(
-                    l2sq(F.col("svec"), c["cw"]).alias("d"),
-                    c["code"].alias("code"),
-                ),
-            )
-        )["code"]
+        # row explosion and no argmin exchange at all. One expr parse
+        # (the top_cells build-time rationale).
+        return F.expr(
+            f"array_min(transform({cbs}, c -> named_struct("
+            f"'d', {l2sq_sql('svec', 'c.cw')}, 'code', c.code))).code"
+        )
 
     cb0 = pack(
         sv.filter(F.col("vec_id") < _PQ_K).select(
@@ -694,7 +713,7 @@ def sim07_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     assign0 = sv.join(F.broadcast(cb0), "sub").select(
-        "vec_id", "sub", "svec", argmin_code(F.col("cbs")).alias("code")
+        "vec_id", "sub", "svec", argmin_code("cbs").alias("code")
     )
     # One Lloyd refinement round: codeword <- mean of its assigned
     # subvectors, as _PQ_DSUB parallel AVG aggregates (the sim05 shape —
@@ -702,21 +721,14 @@ def sim07_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection, so no join back to sv is needed). Coordinates round to
     # 6dp so the trained codebook is bit-identical across engines
     # despite order-nondeterministic partial summation.
+    cw = ", ".join(
+        f"round(avg(try_element_at(svec, {i + 1})), 6)"
+        for i in range(_PQ_DSUB)
+    )
     cb = (
         assign0.groupBy("sub", "code")
-        .agg(
-            *[
-                F.round(F.avg(F.try_element_at("svec", F.lit(i + 1))), 6).alias(
-                    f"c{i}"
-                )
-                for i in range(_PQ_DSUB)
-            ]
-        )
-        .select(
-            "sub",
-            "code",
-            F.array(*[F.col(f"c{i}") for i in range(_PQ_DSUB)]).alias("cw"),
-        )
+        .agg(F.expr(f"array({cw})").alias("cw"))
+        .select("sub", "code", "cw")
         # persist the TRAINED CODEBOOK (bounded: M x K = 128 rows, a
         # dimension table) — it feeds three downstream plans (encode,
         # lookup table, and their broadcasts), each of which would
@@ -729,7 +741,7 @@ def sim07_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _register_codebook(sf_dir, cb)
     codes = sv.join(F.broadcast(pack(cb)), "sub").select(
-        "vec_id", "sub", argmin_code(F.col("cbs")).alias("code")
+        "vec_id", "sub", argmin_code("cbs").alias("code")
     )
     # query lookup table: the query row's distances to every refined
     # codeword — 128 rows, computed on the tiny cb side
@@ -739,7 +751,7 @@ def sim07_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut = cb.join(F.broadcast(qsv), "sub").select(
         "sub",
         "code",
-        l2sq(F.col("qsv"), F.col("cw")).alias("qd"),
+        l2sq("qsv", "cw").alias("qd"),
     )
     adc = (
         codes.join(F.broadcast(lut), ["sub", "code"])

@@ -568,8 +568,12 @@ def t10_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     def n_matches(col, pat):
         return F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("bigint")
 
+    # conditional fan-out BEFORE the 6-regex chain: on a single-file
+    # fixture the whole scrub otherwise runs in ONE task (the t08
+    # trap; measured 1.34 s -> the spread runs it on every core). At
+    # scale the scan has thousands of splits and this is a no-op.
     return (
-        t["documents"]
+        spread_for_cpu(t["documents"])
         .select("doc_id", raw.alias("r"))
         .select("doc_id", "r", scrubbed.alias("s"))
         .select(
