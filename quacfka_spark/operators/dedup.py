@@ -202,20 +202,19 @@ def _minhash_cols(family: str = "md5") -> list[F.Column]:
     The caller must provide the ``hx`` base-hash array column for the
     md5 family (from :func:`_minhash_base`) so the digest computes once.
     """
-    # NB: the seed must be closed over via a factory function, never the
-    # `lambda s, i=i:` default-arg idiom — a two-parameter callable makes
-    # pyspark build transform's (element, index) form, silently binding
-    # the "seed" to the ARRAY INDEX lambda variable instead of the int.
+    # One F.expr per minhash (the vector.py build-time rationale: the
+    # composed transform-lambda form cost ~35 py4j round trips per
+    # minhash x 12; the parsed tree is identical). Seeds/constants are
+    # Python ints interpolated into the SQL text — the two-parameter
+    # lambda trap of the old Column form cannot arise here.
     def mh(i: int) -> F.Column:
         if family == "xxhash64":
-            return F.array_min(
-                F.transform(F.col("shs"), lambda s: F.xxhash64(F.lit(i), s))
+            return F.expr(
+                f"array_min(transform(shs, s -> xxhash64({i}, s)))"
             )
-        return F.array_min(
-            F.transform(
-                "hx",
-                lambda x: (F.lit(_MH_A[i]) * x + F.lit(_MH_B[i])) % _MH_PRIME,
-            )
+        return F.expr(
+            f"array_min(transform(hx, x -> ({_MH_A[i]} * x + {_MH_B[i]})"
+            f" % {_MH_PRIME}))"
         )
 
     return [mh(i).alias(f"mh{i}") for i in range(_MINHASH_N)]
@@ -226,9 +225,9 @@ def _minhash_base(sh: DataFrame) -> DataFrame:
     ONCE, first 8 hex digits as bigint), materialized in its own
     projection so CollapseProject cannot inline the digest into all 12
     minhash folds (md5 is non-cheap, so Catalyst keeps the boundary)."""
-    hx = F.transform(
-        "shs",
-        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+    hx = F.expr(
+        "transform(shs, s ->"
+        " CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"
     )
     return sh.select("doc_id", "shs", hx.alias("hx"))
 

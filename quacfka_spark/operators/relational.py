@@ -270,7 +270,16 @@ def q11_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = t["orders"].select("o_orderkey", "o_custkey")
     li = t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount")
-    joined = c.join(o, c.c_custkey == o.o_custkey).join(li, F.col("l_orderkey") == o.o_orderkey)
+    # lineitem is the STREAMED side (r13, guide §3.1): the old
+    # c.join(o).join(li) shape put tiny customer on the probe side and
+    # let AQE broadcast the biggest table — a single-threaded 600k-row
+    # hash-relation build on the driver at sf0.1, and exactly backwards
+    # at 100 TB. Joining li against the (orders x customer) dimension
+    # pipeline keeps the fact table streaming: AQE broadcasts the small
+    # side when it fits, and past the threshold the plan degrades to a
+    # shuffle on (l_orderkey) — the shuffle the docstring promises.
+    co = o.join(c, c.c_custkey == o.o_custkey).select("o_orderkey", "n_name")
+    joined = li.join(co, F.col("l_orderkey") == F.col("o_orderkey"))
     return (
         joined.groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))

@@ -996,21 +996,27 @@ def t14_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-sized, fine into the 1e8 range; past that, materialize V at
     ingest as a literal. Per-doc scoring is one agg keyed on doc_id.
 
-    Scan-multiplicity caveat: the lazy DAG tokenizes the corpus once per
-    consumer (uni, bigram-count, and scoring branches — ~3 scans; see
-    PLANS.md). That is the deliberate trade here: persisting
-    corpus-sized token arrays inside a lazily-returned operator leaks
-    cache lifetime, and the production answer is the same as for the
-    bucketed layouts (layout.py) — materialize the tokenized/n-gram
-    tables ONCE at ingest and train/score against those, which this
-    operator's two-agg + join shape maps onto directly. Docs shorter
+    Scan-multiplicity: the token frame is localCheckpointed once (r13 —
+    the sim11 edge-frame rule; blocks are freed when the RDD is GC'd,
+    so no unbounded cache-lifetime leak), so the three consumers (uni,
+    bigram-count, scoring) read the materialized tokens instead of
+    re-tokenizing per reference — the in-operator form of the
+    production answer (materialize the tokenized/n-gram tables ONCE at
+    ingest and train/score against those). Docs shorter
     than 2 tokens surface with n_bigrams=0, NULL score, keep=false —
     deterministic in both engines."""
     from pyspark.sql.window import Window
 
     t = load_views(spark, sf_dir)
-    toks = spread_for_cpu(t["documents"]).select(
-        "doc_id", norm_tokens("text").alias("tk")
+    # tokenized frame MATERIALIZED once (localCheckpoint, the sim11
+    # edge-frame rule): three consumers (unigram counts, bigram counts,
+    # scoring) otherwise re-tokenize the corpus per reference — the
+    # docstring's "materialize the tokenized tables once at ingest"
+    # posture applied inside the operator.
+    toks = (
+        spread_for_cpu(t["documents"])
+        .select("doc_id", norm_tokens("text").alias("tk"))
+        .localCheckpoint()
     )
     uni = (
         toks.select(F.explode("tk").alias("w"))
@@ -1391,18 +1397,30 @@ def t17_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _DSIR_BUCKETS
         ).alias("bucket"),
     )
-    # Two-phase fit/transform, the DSIR production shape: the FIT pass
-    # reduces the corpus to 64 (bucket, rc, tc) rows via one map-side-
-    # combined partial aggregate (each task emits <=64 rows no matter
-    # how many grams it saw), the TRANSFORM pass re-walks the grams for
-    # per-doc counts. At 100 TB the fit output (64 floats) is persisted
-    # once per target and only the transform pass runs per corpus
-    # sweep; fusing the two into one traversal would require
-    # materializing the |docs|x|buckets| count table, which is the
-    # same bytes the transform shuffle already pays.
-    cnt = b.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("rc"),
-        F.count_if(F.col("source") == _DSIR_TARGET).alias("tc"),
+    # ONE corpus traversal (r13; guide §1.2 — don't compute things
+    # twice): the per-(doc, bucket) count table is the shuffle the
+    # TRANSFORM pass already pays, and the FIT counts are a pure
+    # reduction of it — rc/tc per bucket = sums of the per-doc counts
+    # (source rides the group key; it is functionally dependent on
+    # doc_id, so the group count is unchanged). The old two-phase form
+    # re-ran tokenize+explode+md5 for the fit (2 full Generate
+    # pipelines in the plan, 18 Exchanges -> 12, measured 2.1s->1.2s).
+    # localCheckpoint = the sim11 edge-frame rule; the frame is bounded
+    # by |docs| x 64 buckets, NOT corpus text. At 100 TB the fit output
+    # stays a persisted 64-float table exactly as before — it is now
+    # derived from the same single sweep that scores docs.
+    dbc_src = (
+        b.groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    cnt = dbc_src.groupBy("bucket").agg(
+        F.sum("c").alias("rc"),
+        F.sum(
+            F.when(F.col("source") == _DSIR_TARGET, F.col("c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("tc"),
     )
     whole = Window.partitionBy()  # 64-row frame: the OVER () is free
     w = cnt.select(
@@ -1413,7 +1431,7 @@ def t17_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("w"),
     )
-    dbc = b.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    dbc = dbc_src.select("doc_id", "bucket", "c")
     score = (
         dbc.join(F.broadcast(w), "bucket")
         .groupBy("doc_id")
@@ -1676,8 +1694,15 @@ _T20_ORACLE = f"""
 
 
 def _t20_features(t: dict) -> DataFrame:
+    """The (doc_id, x1, x2, x3, y) feature frame, MATERIALIZED once via
+    localCheckpoint (the sim11 edge-frame rule): t20/t21 reference it
+    4-5 times (each GD step + scoring), and without truncation the
+    3-regex feature extraction re-executes per reference — exactly the
+    "persist the 8-byte-per-row feature frame once" posture the t20
+    docstring names for 100 TB. spread_for_cpu first: on a single-file
+    fixture the regex pass otherwise runs in ONE task (the t08 trap)."""
     stop_re = r"\b(" + "|".join(STOPWORDS) + r")\b"
-    m = t["documents"].select(
+    m = spread_for_cpu(t["documents"]).select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars"),
         F.size(tokens("text")).cast("bigint").alias("n_tokens"),
@@ -1699,7 +1724,7 @@ def _t20_features(t: dict) -> DataFrame:
         x2.alias("x2"),
         x3.alias("x3"),
         (x2 - x3 + x1 >= _T20_QUALITY_THRESH).cast("bigint").alias("y"),
-    )
+    ).localCheckpoint()
 
 
 def _t20_train(spark: SparkSession, feats: DataFrame) -> DataFrame:

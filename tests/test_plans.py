@@ -592,16 +592,23 @@ def test_t16_bm25_is_codegen_scan_plus_topk(plans):
 
 
 def test_t17_text_never_shuffles_weights_broadcast(plans):
-    """DSIR's scale shape: the corpus text stays in its scan stage
-    (every hash exchange carries only ids/buckets/counts), the 64-row
-    weight table joins by broadcast, and both gram aggregates combine
-    map-side before their exchange."""
+    """DSIR's scale shape (r13 single-traversal form): the corpus text
+    is tokenized/hashed ONCE into the checkpointed (doc_id, source,
+    bucket, c) count frame — the train/score plan reads that narrow
+    frame (Scan ExistingRDD), never re-runs the gram pipeline — every
+    hash exchange carries only ids/buckets/counts, the 64-row weight
+    table joins by broadcast, and the fit counts reduce map-side
+    (partial_sum of the per-doc counts)."""
     p = plans("t17_dsir_resample")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     for args in re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p):
         assert "text" not in args and " g#" not in args, args
     assert "BroadcastHashJoin" in p
-    assert "partial_count" in p
+    assert "partial_sum" in p
+    # fit + transform are the TWO consumers of the one materialized
+    # count frame; the only parquet scan left is the presentation join
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", p)) == 2
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
 
 
 def test_t18_one_shard_exchange_no_text(plans):
@@ -867,15 +874,12 @@ def test_t20_gd_chain_zero_hash_exchanges(plans):
     # formatted explain shows each node in tree + details: count the
     # "(n) Node" detail headers for the true node count
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 4
-    assert "partial_avg" in p
-    # column pruning reaches every scan: the 3 GD scans read ONLY text
-    # (the gradient never touches doc_id); scoring reads doc_id + text
-    seen = []
-    for schema in read_schemas(p):
-        cols = sorted(c.split(":")[0] for c in schema.split(","))
-        assert cols in (["text"], ["doc_id", "text"]), schema
-        seen.append(cols)
-    assert seen.count(["text"]) == 3 and seen.count(["doc_id", "text"]) == 1
+    # r13: the (doc_id, x1..x3, y) feature frame is checkpointed once —
+    # the 3 GD steps and the scoring pass each read the materialized
+    # narrow frame (Scan ExistingRDD), and the 3-regex feature
+    # extraction never re-executes: ZERO parquet scans in train+score
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", p)) == 4
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 0
 
 
 def test_t21_auc_single_histogram_exchange(plans):
