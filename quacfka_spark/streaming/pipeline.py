@@ -749,8 +749,15 @@ class StreamingPipeline:
                 written.append((self.config.dest_table, p))
             _t_raw = _time.monotonic()
 
+            # readback with the KNOWN schema (decoded's own) — schema
+            # inference re-reads every epoch file's footer on the
+            # driver before the first derived job can plan; with the
+            # schema pinned the read is pure metadata (r13, measured
+            # dominant per-epoch fixed term in STREAM_FIXED_COST).
             derived_src = (
-                self.spark.read.parquet(written[0][1]) if use_readback else decoded
+                self.spark.read.schema(decoded.schema).parquet(written[0][1])
+                if use_readback
+                else decoded
             )
 
             if self.normalizer is not None:
