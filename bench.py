@@ -237,9 +237,10 @@ def build_headline_line(
     near 1.0 means the samples agree (clean window); a large ratio
     means the non-best samples carry multi-second stalls, and
     spread.stalls names WHICH queries' samples scattered (per-sample
-    wall times, so the stalled sample is identifiable by eye). If the
-    line still overflows after query-map trimming, stalls is the
-    first evidence dropped (it also lives in BENCH_STATS.json)."""
+    wall times, so the stalled sample is identifiable by eye). When the
+    line overflows, stalls is the FIRST evidence dropped — before any
+    query-map folding — so window noise can never evict per-query
+    entries (stalls also lives in BENCH_STATS.json)."""
     headline = {
         "metric": "headline_query_wall_time",
         "value": round(sum(timings.values()), 4) if value is None else value,
@@ -270,6 +271,16 @@ def build_headline_line(
         ),
     }
     line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > LINE_BUDGET and spread and "stalls" in spread:
+        # stall detail is secondary evidence (full copy in
+        # BENCH_STATS.json) — shed it BEFORE folding the query map, so a
+        # noisy window (large stalls block) can never evict per-query
+        # entries that fit in a clean window: r13's driver PERF diff read
+        # 8 fold-evicted queries as "dropped_from_bench" (r13 verdict #4).
+        headline["spread"] = {
+            k: v for k, v in spread.items() if k != "stalls"
+        }
+        line = json.dumps(headline, separators=(",", ":"))
     keep_n = 40
     while len(line) > LINE_BUDGET and keep_n >= 0:
         keep = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:keep_n])
@@ -279,13 +290,6 @@ def build_headline_line(
         headline["n_queries"] = len(timings)
         line = json.dumps(headline, separators=(",", ":"))
         keep_n -= 8
-    if len(line) > LINE_BUDGET and spread and "stalls" in spread:
-        # stall detail is secondary evidence (full copy in
-        # BENCH_STATS.json) — shed it before error names
-        headline["spread"] = {
-            k: v for k, v in spread.items() if k != "stalls"
-        }
-        line = json.dumps(headline, separators=(",", ":"))
     if len(line) > LINE_BUDGET and errors:
         # last resort: error DETAIL is in stderr/BENCH_STATS.json — the
         # parseable line only needs the failing names.

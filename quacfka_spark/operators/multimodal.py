@@ -450,20 +450,21 @@ def m06_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer. Reference analog: none (opaque bytes, kafka.go:151)."""
     t = load_views(spark, sf_dir)
     B, NB = _M06_BITS, _M06_BANDS
-    # the pixel array is touched by exactly THREE expressions (size,
-    # total fold, posexplode) before the agg barrier — an earlier
-    # all-array-fold formulation (transform of 32 slice-aggregates,
-    # reused through the bit fold) inlined the whole tree per reuse
-    # via projection collapse and never finished planning. The
-    # explode+groupBy shape is also the better 100 TB plan: bucket
-    # sums partial-aggregate INSIDE each task, so the exchange carries
-    # 32 narrow rows per payload while the bytes themselves never move.
+    # r14 (guide §2.4 — remove the exchange outright): the whole 64-bit
+    # hash is computed IN-ROW. Bucket b covers positions
+    # [ceil(b*n/B), ceil((b+1)*n/B)) — exactly the (pos*B) DIV n == b
+    # set — so the 32 bucket sums are slice-aggregates inside ONE
+    # transform lambda (bounded expression: the lambda body is ONE tree
+    # evaluated per element, unlike the r12 failure that unrolled 32
+    # slice-aggregates and re-inlined them per reuse via projection
+    # collapse). The layered selects below keep every non-cheap alias
+    # (p, n, tot, bs) referenced >= 2x so CollapseProject cannot inline
+    # them — each is computed once per row, and the explode + two
+    # groupBy exchanges of the old shape disappear entirely: the only
+    # exchange left in the query is the band self-join's.
     # length gate on char_length BEFORE building the pixel array (equal
     # to size(p) by construction), so the pushed-down filter compares an
-    # int instead of re-evaluating the transform; posexplode_outer keeps
-    # InferFiltersFromGenerate from re-inlining the array into a second
-    # pre-exchange filter (the t08/d03 Generate lesson — no-op here
-    # because the gate guarantees non-empty arrays)
+    # int instead of re-evaluating the transform.
     px = _fanout(
         t["documents"].filter(F.expr(f"char_length(text) >= {B}"))
     ).select(
@@ -481,26 +482,41 @@ def m06_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("p").alias("n"),
         F.expr("aggregate(p, 0L, (a, x) -> a + x)").alias("tot"),
     )
-    by = h.select(
-        "doc_id", "n", "tot", F.posexplode_outer("p").alias("pos", "v")
-    ).select(
+    # 0-based bucket bounds: lo(b) = ceil(b*n/B), hi(b) = ceil((b+1)*n/B);
+    # slice() is 1-based, so start = lo(b)+1. Integer arithmetic matches
+    # the oracle's (pos*B)//n bucketing exactly; n >= B makes every
+    # bucket non-empty.
+    lo = f"(b * n + {B - 1}) DIV {B}"
+    hi = f"((b + 1) * n + {B - 1}) DIV {B}"
+    bsf = h.select(
         "doc_id",
         "n",
         "tot",
-        F.expr(f"(pos * {B}) DIV n").alias("bucket"),
-        "v",
+        F.expr(
+            f"transform(sequence(0, {B - 1}), b -> named_struct("
+            f"'s', aggregate(slice(p, {lo} + 1, {hi} - ({lo})), 0L,"
+            " (a, x) -> a + x),"
+            f" 'l', {hi} - ({lo})))"
+        ).alias("bs"),
     )
-    bs = by.groupBy("doc_id", "n", "tot", "bucket").agg(
-        F.sum("v").alias("bsum"), F.count(F.lit(1)).alias("blen")
-    )
-    bits = bs.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("bsum") * F.col("n") > F.col("tot") * F.col("blen"),
-                F.expr("shiftleft(1L, CAST(bucket AS INT))"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).alias("ahash")
-    )
+    bits = bsf.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(sequence(0, {B - 1}), 0L, (acc, b) -> acc + IF("
+            "element_at(bs, b + 1).s * n > tot * element_at(bs, b + 1).l,"
+            " shiftleft(1L, b), 0L))"
+        ).alias("ahash"),
+        # OPTIMIZER FENCE (localCheckpoint of the doc_id+8-byte-hash
+        # frame, eager=False): without it, the inner band join's
+        # inferred isnotnull(bv) predicates substitute the FULL nested
+        # fold tree through the projections (PushPredicateThroughProject
+        # rewrites aliases regardless of cost) and each element_at(bs,·)
+        # inside the pushed predicate re-evaluates the whole 32-slice
+        # transform — measured as a single task pinning one core for
+        # >25 min at sf0.1. The old explode+groupBy shape got this fence
+        # for free from its Aggregate node; the checkpoint provides it
+        # at |docs| x 16 B, trivially bounded at any scale.
+    ).localCheckpoint(eager=False)
     # repartition on the band key so the self-join's second side is a
     # ReusedExchange of the first (the d03 one-exchange band join) —
     # the hash pipeline above is computed ONCE, and the shuffled join
@@ -590,27 +606,35 @@ def m07_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ascii() sees the same single-char strings)
         F.expr("transform(split(text, ''), c -> ascii(c))").alias("p"),
     )
-    by = px.select(
-        "doc_id", F.size("p").alias("n"), F.posexplode_outer("p").alias("pos", "v")
+    # r14 (guide §2.4, the m06 in-row rule): the 33 cell (sum, len)
+    # pairs are slice-aggregates inside ONE transform lambda — bucket b
+    # covers positions [ceil(b*n/C), ceil((b+1)*n/C)), the exact
+    # (pos*C) DIV n == b set — so the explode, BOTH groupBy exchanges
+    # and the collect_list sort of the old shape disappear; the cell
+    # array is ordered by construction (no array_sort needed). n >= C
+    # guarantees every cell non-empty (ANSI-safe element_at below).
+    lo = f"(b * n + {C - 1}) DIV {C}"
+    hi = f"((b + 1) * n + {C - 1}) DIV {C}"
+    arr = px.select(
+        "doc_id", "p", F.size("p").alias("n")
     ).select(
-        "doc_id", F.expr(f"(pos * {C}) DIV n").alias("bucket"), "v"
-    )
-    bs = by.groupBy("doc_id", "bucket").agg(
-        F.sum("v").alias("bsum"), F.count(F.lit(1)).alias("blen")
-    )
-    # n >= C guarantees every cell is non-empty, so the sorted array is
-    # exactly C structs and the 1-based element_at window below never
-    # leaves range (ANSI-safe by construction)
-    arr = bs.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list(F.struct("bucket", "bsum", "blen"))).alias("a")
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {C - 1}), b -> named_struct("
+            f"'s', aggregate(slice(p, {lo} + 1, {hi} - ({lo})), 0L,"
+            " (a, x) -> a + x),"
+            f" 'l', {hi} - ({lo})))"
+        ).alias("a"),
     )
     bits = arr.select(
         "doc_id",
         F.expr(
             f"aggregate(sequence(0, {C - 2}), 0L, (acc, b) -> acc + IF("
-            "element_at(a, b + 1).bsum * element_at(a, b + 2).blen > "
-            "element_at(a, b + 2).bsum * element_at(a, b + 1).blen, "
+            "element_at(a, b + 1).s * element_at(a, b + 2).l > "
+            "element_at(a, b + 2).s * element_at(a, b + 1).l, "
             "shiftleft(1L, b), 0L))"
         ).alias("dhash"),
-    )
+        # OPTIMIZER FENCE — see m06: keeps the band join's inferred
+        # isnotnull predicates from substituting the nested fold tree
+    ).localCheckpoint(eager=False)
     return _hash_band_pairs(bits, "dhash", _M07_BANDS, _M07_MAX_HAMMING)

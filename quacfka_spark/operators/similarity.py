@@ -661,6 +661,20 @@ def sim07_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sv = en.select("vec_id", F.posexplode(subs).alias("sub", "svec"))
 
+    def sv_of(df):
+        # Normalize AFTER a pushed vec_id filter (r14; guide §4.2/§6):
+        # the Arrow normalize is a per-row map, so filter-then-normalize
+        # is bit-identical to normalize-then-filter — but mapInArrow is
+        # an optimizer barrier, so a vec_id predicate placed ABOVE it
+        # (the old sv.filter(...) shape) forced a FULL corpus normalize
+        # pass just to keep 16 seed rows (cb0) or 1 query row (qsv).
+        # Filtering the raw scan first pushes the predicate into the
+        # parquet scan (PushedFilters) and the Arrow pass sees only the
+        # surviving rows. No spread: these frames are 1-16 rows.
+        return with_l2_normalized(df).select(
+            "vec_id", F.posexplode(subs).alias("sub", "svec")
+        )
+
     def l2sq_sql(a: str, b: str) -> str:
         # squared-L2 fold as SQL text (the cosine_sql rationale: one
         # expr parse instead of ~80 py4j round trips; identical tree)
@@ -706,7 +720,7 @@ def sim07_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cb0 = pack(
-        sv.filter(F.col("vec_id") < _PQ_K).select(
+        sv_of(e.filter(F.col("vec_id") < _PQ_K)).select(
             "sub",
             F.col("vec_id").cast("int").alias("code"),
             F.col("svec").alias("cw"),
@@ -745,7 +759,7 @@ def sim07_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # query lookup table: the query row's distances to every refined
     # codeword — 128 rows, computed on the tiny cb side
-    qsv = sv.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+    qsv = sv_of(e.filter(F.col("vec_id") == _QUERY_VEC_ID)).select(
         "sub", F.col("svec").alias("qsv")
     )
     lut = cb.join(F.broadcast(qsv), "sub").select(

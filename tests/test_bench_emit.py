@@ -128,11 +128,11 @@ def test_spread_block_rides_the_line_under_budget():
 
 
 def test_spread_stall_markers_ride_then_shed():
-    """Round-10 (r9 verdict #4): per-query stall markers — the
-    per-sample wall times of scattered queries — ride the parsed line
-    with the full headline set, and are the FIRST evidence shed when
-    the line would overflow (full copy stays in BENCH_STATS.json)."""
-    timings = {name: 1.23 for name in HEADLINE}
+    """Round-10 (r9 verdict #4), re-ordered in round 14 (r13 verdict
+    #4): per-query stall markers — the per-sample wall times of
+    scattered queries — ride the parsed line when it fits whole, and
+    are the FIRST evidence shed when the line would overflow, BEFORE
+    any query folding (full copy stays in BENCH_STATS.json)."""
     spread = {
         "med_total": 81.4, "max_total": 112.9, "rerun": 12,
         "stalls": {
@@ -140,6 +140,8 @@ def test_spread_stall_markers_ride_then_shed():
             for i in range(6)
         },
     }
+    # small query map: everything fits, stalls ride the line
+    timings = {name: 1.23 for name in HEADLINE[:12]}
     line = build_headline_line(
         timings, 0.1, _INGEST, _INGEST,
         ingest_wide=_INGEST_WIDE, ingest_streaming_wide=_INGEST_WIDE,
@@ -148,6 +150,7 @@ def test_spread_stall_markers_ride_then_shed():
     assert len(line) <= LINE_BUDGET, len(line)
     d = json.loads(line)
     assert d["spread"]["stalls"]["q00_some_scattered_query"] == [1.2, 14.8, 1.3]
+    assert d["queries"] == timings
     # overflow path: 200 long-named queries + 4 long ingest blocks ->
     # stalls shed, core spread stats survive, line parses
     big = _fake_timings(200)
@@ -161,6 +164,39 @@ def test_spread_stall_markers_ride_then_shed():
     d2 = json.loads(line2)
     assert d2["spread"]["med_total"] == 81.4
     assert "stalls" not in d2["spread"]
+
+
+def test_stalls_shed_before_query_fold_keeps_query_map_stable():
+    """Round-14 (r13 verdict #4): the stalls block is shed BEFORE the
+    query map is folded, so a contended window (large stalls block)
+    publishes the IDENTICAL per-query map a clean window would — the
+    driver's PERF diff must never read fold-evicted queries as
+    "dropped_from_bench" again (r13: 8 queries)."""
+    timings = {name: round(0.4 + i * 0.013, 2) for i, name in enumerate(HEADLINE)}
+    spread_clean = {"med_total": 81.4, "max_total": 112.9, "rerun": 12}
+    spread_noisy = dict(
+        spread_clean,
+        stalls={
+            f"q{i:02d}_some_scattered_query_name": [1.2, 14.8, 1.3]
+            for i in range(8)
+        },
+    )
+    kwargs = dict(
+        ingest_wide=_INGEST_WIDE, ingest_streaming_wide=_INGEST_WIDE
+    )
+    d_clean = json.loads(
+        build_headline_line(
+            timings, 0.1, _INGEST, _INGEST, spread=spread_clean, **kwargs
+        )
+    )
+    line_noisy = build_headline_line(
+        timings, 0.1, _INGEST, _INGEST, spread=spread_noisy, **kwargs
+    )
+    assert len(line_noisy) <= LINE_BUDGET, len(line_noisy)
+    d_noisy = json.loads(line_noisy)
+    # Identical query maps: window noise changes NO fold decision.
+    assert d_noisy["queries"] == d_clean["queries"]
+    assert d_noisy["spread"]["med_total"] == 81.4
 
 
 def test_window_marker_rides_compact_ingest_blocks():

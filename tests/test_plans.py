@@ -482,18 +482,22 @@ def test_x08_rates_broadcast_no_doc_shuffle(plans):
 
 
 def test_t14_lm_counts_aggregate_map_side_no_bnlj(plans):
-    """The bigram-LM filter's two count aggregations must combine
-    map-side before their exchanges, and the stats join must stay an
-    equi join on the bigram key — a nested-loop plan would be quadratic
-    in corpus n-grams."""
+    """The bigram-LM filter (r14 shape): the MODEL count tables live in
+    one checkpointed bounded frame read TWICE (unigram + bigram splits
+    — Scan ExistingRDD), the corpus is re-tokenized exactly once for
+    scoring plus once for the presentation join (2 parquet scans — a
+    third would mean the count frame stopped being materialized), the
+    per-doc scoring aggregation keeps its map-side partial, and the
+    stats join stays an equi join on the bigram key — a nested-loop
+    plan would be quadratic in corpus n-grams."""
     p = plans("t14_lm_perplexity")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
-    # BOTH count aggregations (unigram + bigram) must keep their
-    # map-side partial — one surviving partial_count would let the other
-    # regress to a full-row shuffle unnoticed
     import re as _re
 
-    assert len(_re.findall(r"partial_count", p)) >= 2, p
+    assert len(_re.findall(r"\(\d+\) Scan ExistingRDD", p)) == 2, p
+    assert len(_re.findall(r"\(\d+\) Scan parquet", p)) == 2, p
+    # the per-doc scoring count must keep its map-side partial
+    assert len(_re.findall(r"partial_count", p)) >= 1, p
 
 
 def test_t11_single_scan_no_agg_exchange(plans):
@@ -797,18 +801,25 @@ def test_sim09_probes_broadcast_corpus_never_shuffles(plans):
 
 
 def test_m06_shuffled_band_join_pruned_scan(plans):
-    """Perceptual-hash near-dup: the band self-join is a SHUFFLED join
-    on (band, value) — never a broadcast of the full band table (the
-    shape that survives 100 TB) — the payload reduces to narrow rows
-    before any exchange (bucket partial-agg below the shuffle), and
-    the scan reads only (doc_id, text)."""
+    """Perceptual-hash near-dup (r14 in-row shape): the band self-join
+    is a SHUFFLED join on (band, value) — never a broadcast of the full
+    band table (the shape that survives 100 TB) — and its input is the
+    checkpointed (doc_id, ahash) frame (Scan ExistingRDD: the in-row
+    hash fold computes in the checkpoint job; the fence keeps inferred
+    join-key predicates from re-inlining the fold tree). No per-char
+    Generate and no aggregation exchange survive in the join plan."""
     p = plans("m06_ahash_neardup")
     assert "ShuffledHashJoin" in p
     assert "BroadcastHashJoin" not in p
-    assert "partial_sum" in p
-    for schema in read_schemas(p):
-        cols = sorted(c.split(":")[0] for c in schema.split(","))
-        assert cols == ["doc_id", "text"], schema
+    assert "Scan ExistingRDD" in p
+    # the hash pipeline no longer explodes per-character rows or pays
+    # the two hash-agg exchanges: only the band explode's Generate and
+    # the single (j, bv) repartition remain
+    import re as _re
+
+    assert "partial_sum" not in p
+    hashex = _re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
+    assert all("j#" in a or "bv#" in a for a in hashex), hashex
 
 
 def test_m06_band_exchange_reused_at_runtime(spark):
