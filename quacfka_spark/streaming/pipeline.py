@@ -741,12 +741,17 @@ class StreamingPipeline:
             to_unpersist.append(decoded)
         try:
             raw_n = norm_n = custom_n = 0
-            written: list[tuple[str, str]] = []  # (table, path)
+            # (table, path, schema): the schema of what was written rides
+            # along so every per-epoch re-read below is schema-pinned —
+            # an unpinned read re-infers from parquet footers on the
+            # driver each epoch (r13's readback finding, r14 applied to
+            # the runner's view reads too)
+            written: list[tuple[str, str, object]] = []
 
             if self.config.write_raw:
                 p = self._epoch_dir(self.config.dest_table, epoch_id)
                 raw_n = self._write(decoded, p, self.config.dest_table)
-                written.append((self.config.dest_table, p))
+                written.append((self.config.dest_table, p, decoded.schema))
             _t_raw = _time.monotonic()
 
             # readback with the KNOWN schema (decoded's own) — schema
@@ -763,14 +768,15 @@ class StreamingPipeline:
             if self.normalizer is not None:
                 norm_table = f"{self.config.dest_table}_norm"
                 p = self._epoch_dir(norm_table, epoch_id)
-                norm_n = self._write(self.normalizer.apply(derived_src), p, norm_table)
-                written.append((norm_table, p))
+                norm_df = self.normalizer.apply(derived_src)
+                norm_n = self._write(norm_df, p, norm_table)
+                written.append((norm_table, p, norm_df.schema))
 
             if self.custom is not None:
                 for table, df in self.custom.apply_all(derived_src).items():
                     p = self._epoch_dir(table, epoch_id)
                     custom_n += self._write(df, p, table)
-                    written.append((table, p))
+                    written.append((table, p, df.schema))
             _t_der = _time.monotonic()
 
             if self.config.dedup_keys:
@@ -784,16 +790,21 @@ class StreamingPipeline:
             # D18: post-SQL over the *written* epoch output (the closed
             # file, not the in-flight batch) — true to DuckRunner.
             if self.runner is not None:
-                for table, path in written:
-                    self.spark.read.parquet(path).createOrReplaceTempView(table)
+                for table, path, schema in written:
+                    # schema-pinned: the file was just written from a
+                    # frame whose schema we hold — inference would
+                    # re-read every footer on the driver, per epoch
+                    self.spark.read.schema(schema).parquet(
+                        path
+                    ).createOrReplaceTempView(table)
                 self.runner.run(self.spark, epoch_id)
                 if self.runner.delete_on_done:
                     import shutil
 
-                    for _, path in written:
+                    for _, path, _schema in written:
                         shutil.rmtree(path, ignore_errors=True)
 
-            for table, path in written:
+            for table, path, _schema in written:
                 self._publish_path(path, epoch_id, table)
             # no sink materialized the batch (all stages toggled off):
             # count directly, else read the piggybacked observation (the
